@@ -1,0 +1,211 @@
+"""One-time golden generation: run the REFERENCE's deterministic path
+(uuid_planner_node -> graph_generator_node) with frozen ontology maps
+over its own fixtures, flatten the JSON-LD to triples, write goldens.
+LLM deps are stubbed; only pure deterministic code runs.
+"""
+import sys, types, json, os
+
+def make_mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items(): setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+def tool(*a, **k):
+    if len(a)==1 and callable(a[0]): return a[0]
+    return lambda f: f
+class HumanMessage:
+    def __init__(self, content=None, name=None, **k): self.content=content; self.name=name
+class ChatOpenAI:
+    def __init__(self, *a, **k): pass
+    def invoke(self, *a, **k): raise RuntimeError("LLM disabled")
+    def with_structured_output(self, *a, **k): return self
+class BaseModel:
+    def __init__(self, **kw):
+        for k,v in kw.items(): setattr(self,k,v)
+def Field(default=None, **k): return default
+def add_messages(a,b): return (a or []) + (b or [])
+
+make_mod("langchain_core")
+make_mod("langchain_core.tools", tool=tool)
+make_mod("langchain_core.messages", HumanMessage=HumanMessage)
+make_mod("langchain_openai", ChatOpenAI=ChatOpenAI)
+make_mod("pydantic", BaseModel=BaseModel, Field=Field)
+pv1 = make_mod("pydantic.v1", BaseModel=BaseModel, Field=Field)
+sys.modules["pydantic"].v1 = pv1
+make_mod("langgraph")
+make_mod("langgraph.graph")
+make_mod("langgraph.graph.message", add_messages=add_messages)
+make_mod("langgraph.types", Command=object)
+make_mod("langchain_core.prompts", ChatPromptTemplate=object)
+
+
+sys.path.insert(0, "/root/reference")
+from agents.uuid_planner import uuid_planner_node
+from agents.graph_generator import graph_generator_node, _normalise_value
+
+PREFETCH_MAP = {
+  "artifacts": ["Windows Prefetch execution cache records"],
+  "classes": ["WindowsPrefetch"],
+  "facets": ["WindowsPrefetchFacet", "FileFacet"],
+  "properties": {
+    "WindowsPrefetch": [],
+    "WindowsPrefetchFacet": ["applicationFileName", "timesExecuted", "firstRun",
+                             "lastRun", "volume", "accessedFile", "accessedDirectory"],
+    "FileFacet": ["fileName", "filePath", "createdTime", "modifiedTime"]
+  },
+  "relationships": [],
+  "analysis": "frozen fixture",
+  "additional_details": {}
+}
+MFT_MAP = {
+  "artifacts": ["MFT Records"],
+  "classes": ["File"],
+  "facets": ["FileFacet", "MftRecordFacet"],
+  "properties": {
+    "File": [],
+    "FileFacet": ["fileName", "filePath", "createdTime", "modifiedTime", "accessedTime",
+                  "allocationStatus", "sizeInBytes"],
+    "MftRecordFacet": ["mftFileID", "entryID", "sequenceNumber", "entrySequence",
+                       "mftParentID", "mftFileNameCreatedTime", "mftFileNameModifiedTime",
+                       "mftFileNameAccessedTime"]
+  },
+  "relationships": [],
+  "analysis": "frozen fixture",
+  "additional_details": {}
+}
+
+# reference smoke test injects prefetch aliases (tests/smoke_pipeline.py:58-65)
+from agents import uuid_planner as up
+up.PROPERTY_ALIAS_MAP.update({
+    "sourcefilename": ["applicationFileName", "fileName", "filePath", "accessedFile"],
+    "referencedpaths": ["accessedDirectory", "accessedFile"],
+    "runcount": ["timesExecuted"],
+    "filecreatedtime": ["firstRun"],
+    "filemodifiedtime": ["lastRun"],
+    "volumeserialnumber": ["volume"],
+})
+
+def run_case(name, raw_input, ontology_map):
+    state = {
+        "rawInputJSON": raw_input,
+        "ontologyMap": ontology_map,
+        "customFacets": {},
+        "uuidPlan": None, "slotTypeMap": {}, "recordFingerprints": [],
+        "graphGeneratorAttempts": 0, "graphGeneratorErrors": [],
+        "layer2_feedback_history": [],
+    }
+    out = uuid_planner_node(state)
+    state.update(out)
+    gout = graph_generator_node(state)
+    graph = gout["jsonldGraph"]
+    triples = []
+    for node in graph["@graph"]:
+        subj = node["@id"]
+        for pred, value in node.items():
+            if pred == "@id": continue
+            if pred == "@type":
+                triples.append((subj, "rdf:type", str(value), "@id")); continue
+            norm = _normalise_value(value)
+            vals = norm if isinstance(norm, tuple) else (norm,)
+            for v in vals:
+                if isinstance(v, bool): dt = "xsd:boolean"; v = "true" if v else "false"
+                elif isinstance(v, int): dt = "xsd:integer"; v = str(v)
+                elif isinstance(v, float): dt = "xsd:decimal"; v = repr(v)
+                elif pred == "uco-core:hasFacet" or (isinstance(v, str) and v.startswith("kb:")): dt = "@id"; v = str(v)
+                else: dt = "xsd:string"; v = str(v)
+                triples.append((subj, pred, v, dt))
+    return {"state_plan": out, "graph": graph, "triples": sorted(triples)}
+
+prefetch_payload = {
+    "artifact_type": "Windows Prefetch execution cache records",
+    "description": "Windows Prefetch files parsed from C:\\Windows\\Prefetch",
+    "source": "prefetch_parser",
+    "records": json.load(open("/root/reference/tests/fixtures/windows_prefetch.json")),
+}
+mft_payload = json.load(open("/root/reference/test.json"))
+
+out = {}
+out["prefetch"] = run_case("prefetch", prefetch_payload, PREFETCH_MAP)
+out["mft"] = run_case("mft", mft_payload, MFT_MAP)
+
+os.makedirs("/root/repo/tests/goldens", exist_ok=True)
+for name, res in out.items():
+    with open(f"/root/repo/tests/goldens/{name}_graph.json", "w") as f:
+        json.dump(res["graph"], f, indent=1, sort_keys=True)
+    with open(f"/root/repo/tests/goldens/{name}_triples.json", "w") as f:
+        json.dump(res["triples"], f, indent=0)
+    print(name, "triples:", len(res["triples"]))
+print("subjects sample:", out["prefetch"]["triples"][0])
+
+# --- Custom-facet full path golden (deterministic auto-generation) ---------
+from copy import deepcopy
+from agents.custom_facet import _auto_generate_custom_facets
+
+def run_custom_case(name, payload, base_map, unmapped_fields):
+    record = payload.get("record") or {}
+    details = [{"field": f, "sampleValue": record.get(f)} for f in unmapped_fields]
+    facets, cstate, ttl, updates = _auto_generate_custom_facets(details, payload, base_map)
+    omap = deepcopy(base_map)
+    fname = updates.get("facet_name")
+    if fname:
+        omap.setdefault("facets", []).append(fname)
+        omap.setdefault("properties", {})[fname] = list(updates.get("properties", []))
+    state = {
+        "rawInputJSON": payload, "ontologyMap": omap, "customFacets": facets,
+        "uuidPlan": None, "slotTypeMap": {}, "recordFingerprints": [],
+        "graphGeneratorAttempts": 0, "graphGeneratorErrors": [],
+        "layer2_feedback_history": [],
+    }
+    out = uuid_planner_node(state); state.update(out)
+    gout = graph_generator_node(state)
+    graph = gout["jsonldGraph"]
+    triples = []
+    for node in graph["@graph"]:
+        subj = node["@id"]
+        for pred, value in node.items():
+            if pred == "@id": continue
+            if pred == "@type":
+                triples.append((subj, "rdf:type", str(value), "@id")); continue
+            norm = _normalise_value(value)
+            vals = norm if isinstance(norm, tuple) else (norm,)
+            for v in vals:
+                if isinstance(v, bool): dt = "xsd:boolean"; v = "true" if v else "false"
+                elif isinstance(v, int): dt = "xsd:integer"; v = str(v)
+                elif isinstance(v, float): dt = "xsd:decimal"; v = repr(v)
+                elif pred == "uco-core:hasFacet" or (isinstance(v, str) and v.startswith("kb:")): dt = "@id"; v = str(v)
+                else: dt = "xsd:string"; v = str(v)
+                triples.append((subj, pred, v, dt))
+    res = {"graph": graph, "triples": sorted(triples), "customFacets": facets, "ttl": ttl,
+           "ontologyMapAfter": omap}
+    with open(f"/root/repo/tests/goldens/{name}_graph.json", "w") as f:
+        json.dump(graph, f, indent=1, sort_keys=True)
+    with open(f"/root/repo/tests/goldens/{name}_triples.json", "w") as f:
+        json.dump(res["triples"], f, indent=0)
+    with open(f"/root/repo/tests/goldens/{name}_customfacets.json", "w") as f:
+        json.dump({"customFacets": facets, "ttl": ttl, "ontologyMapAfter": omap}, f, indent=1, sort_keys=True)
+    print(name, "triples:", len(res["triples"]))
+    return res
+
+MINIMAL_MAP = {"artifacts": [], "classes": ["ObservableObject"], "facets": [],
+               "properties": {"ObservableObject": []}, "relationships": [],
+               "analysis": "", "additional_details": {}}
+
+custom_payload = {
+    "artifact_type": "MFT Record",
+    "description": "MFT record with extended attributes",
+    "source": "ntfs_analysis_tool",
+    "record": {"EntryNumber": 77, "SecurityId": "S-1-5-21-1004", "ObjectIdFileDroid": "droid-0001",
+               "ZoneIdContents": "[ZoneTransfer] ZoneId=3"},
+}
+run_custom_case("custom_mft", custom_payload, MINIMAL_MAP,
+                ["EntryNumber", "SecurityId", "ObjectIdFileDroid", "ZoneIdContents"])
+
+iot_payload = {
+    "artifact_type": "IoT Sensor Reading",
+    "description": "sensor data",
+    "source": "iot_gateway",
+    "record": {"temperature": 23.5, "humidity": 41, "active": True, "sensor": "t-100"},
+}
+run_custom_case("custom_iot", iot_payload, MINIMAL_MAP,
+                ["temperature", "humidity", "active", "sensor"])
