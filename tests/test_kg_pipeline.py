@@ -1,0 +1,110 @@
+"""End-to-end Ray Data pipeline tests: synthesize transcripts -> triples."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from case_uco_ontology_map_ray.kg.mapper import ArtifactMapper
+from case_uco_ontology_map_ray.kg.records import extract_records
+from case_uco_ontology_map_ray.config import ONTOLOGY_MAPS
+from case_uco_ontology_map_ray.sources.transcripts import (
+    SCHEMA,
+    conversations_table,
+    generate_conversation,
+)
+from case_uco_ontology_map_ray.stages.kg_stage import TurnTriples
+
+
+def test_generator_is_deterministic_and_schema_conformant():
+    t1 = conversations_table(range(5))
+    t2 = conversations_table(range(5))
+    assert t1.equals(t2)
+    assert t1.schema.equals(SCHEMA)
+    # turn_idx dense from 0 within each conversation
+    conv0 = t1.filter(pa.compute.equal(t1["conv_id"], "conv-00000001"))
+    idx = conv0["turn_idx"].to_pylist()
+    assert idx == list(range(len(idx)))
+
+
+def test_turn_triples_stage_matches_direct_mapper():
+    """The Ray stage must emit exactly what the core mapper emits per record."""
+    table = conversations_table([3, 4])
+    stage = TurnTriples()
+    out = stage(table)
+    got = set(
+        zip(
+            out["subj"].to_pylist(),
+            out["pred"].to_pylist(),
+            out["obj"].to_pylist(),
+            out["obj_dt"].to_pylist(),
+        )
+    )
+
+    # recompute directly from the payloads
+    want = set()
+    mappers = {a: ArtifactMapper(m) for a, m in ONTOLOGY_MAPS.items()}
+    for text, role in zip(table["text"].to_pylist(), table["role"].to_pylist()):
+        if role != "tool":
+            continue
+        payload = json.loads(text)
+        atype = payload["artifact_type"]
+        for rec in extract_records(payload):
+            if atype in mappers:
+                _, trips = mappers[atype].process_record(rec)
+                want.update(trips)
+    # direct mapper covers only the frozen-map artifact types; the stage also
+    # emits custom-facet triples for the other types
+    assert want <= got
+    assert len(got) > len(want)
+    # lineage columns present and plausible
+    assert set(out["conv_id"].to_pylist()) == {"conv-00000003", "conv-00000004"}
+
+
+def test_stage_idempotent_across_instances():
+    table = conversations_table([7])
+    a = TurnTriples()(table)
+    b = TurnTriples()(table)
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_end_to_end(tmp_path):
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        distinct_triples,
+        triples_from_transcripts,
+        write_triples,
+    )
+    from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts
+
+    src = str(tmp_path / "transcripts")
+    synthesize_transcripts(src, num_conversations=12, mean_turns=9)
+
+    triples = triples_from_transcripts(src, batch_size=512)
+    out_dir = str(tmp_path / "triples")
+    write_triples(triples, out_dir)
+
+    back = rd.read_parquet(out_dir)
+    n = back.count()
+    assert n > 0
+    raw_df = back.to_pandas()
+    # structural invariants (FIXTURES.md §5) on the deduplicated triple set
+    # (identical records in different turns deterministically produce the
+    # same subjects — exact duplicates, removed by distinct_triples)
+    df = distinct_triples(rd.read_parquet(out_dir)).to_pandas()
+    types = df[df.pred == "rdf:type"].groupby("subj").size()
+    assert (types == 1).all()
+    # no empty objects
+    assert (df.obj.str.len() > 0).all()
+    # parent objects carry only rdf:type + hasFacet preds
+    parents = set(df[df.pred == "uco-core:hasFacet"].subj)
+    parent_preds = set(df[df.subj.isin(parents)].pred)
+    assert parent_preds <= {"rdf:type", "uco-core:hasFacet"}
+    # deterministic re-run yields the identical triple set
+    again = triples_from_transcripts(src, batch_size=512).to_pandas()
+    key = ["subj", "pred", "obj", "obj_dt", "conv_id", "turn_idx"]
+    assert set(map(tuple, again[key].values.tolist())) == set(
+        map(tuple, raw_df[key].values.tolist())
+    )
