@@ -1,44 +1,168 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself, then ``entry()`` as a smoke check,
+runs each ``queries()[name](sf_dir)`` at sf=0.01 and compares against
+``oracle_sql()[name]`` via DuckDB. Nothing here (or in the library) calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SYNTH_ROOT = "/tmp/cuomr_synth"
+
+# transcripts scale per testdata sf directory: (num_conversations, mean_turns)
+_SYNTH_SCALE = {
+    "sf0.001": (40, 12),
+    "sf0.01": (400, 12),
+    "sf0.1": (4000, 12),
+}
+
+
+def _transcripts_for(sf_dir: str) -> str:
+    """Deterministic synthetic transcript table for this scale, cached under
+    /tmp (BASELINE.json input_hint: the engine's input is a transcripts
+    table; the testdata dirs carry no transcripts, so we synthesize —
+    deterministically, keyed by scale)."""
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n_convs, mean_turns = _SYNTH_SCALE.get(sf, (400, 12))
+    out = f"{_SYNTH_ROOT}/transcripts_{sf}_{n_convs}x{mean_turns}"
+    marker = f"{out}/_SUCCESS"
+    if not os.path.exists(marker):
+        from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts
+
+        synthesize_transcripts(out, num_conversations=n_convs, mean_turns=mean_turns)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize sf0.001-scale transcripts, construct the
+    CASE/UCO triple graph, return the deduplicated triples Dataset."""
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        distinct_triples,
+        triples_from_transcripts,
+    )
+
+    src = _transcripts_for("/root/testdata/sf0.001")
+    return distinct_triples(triples_from_transcripts(src))
+
+
+# --------------------------------------------------------------------------
+# queries / oracle
+# --------------------------------------------------------------------------
+
+def _kg_triples(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+
+    return triples_from_transcripts(_transcripts_for(sf_dir))
+
+
+def _kg_triples_distinct(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        distinct_triples,
+        triples_from_transcripts,
+    )
+
+    return distinct_triples(triples_from_transcripts(_transcripts_for(sf_dir)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from case_uco_ontology_map_ray.pipelines import analytics
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG construction (rows-only checks; the hard correctness gate is the
+        # golden parity suite in tests/test_kg_core.py)
+        "kg_triples": _kg_triples,
+        "kg_triples_distinct": _kg_triples_distinct,
+        # relational operator surface (DuckDB-oracled)
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_top_revenue_orders": analytics.q3_top_revenue_orders,
+        "order_priority_counts": analytics.order_priority_counts,
+        "top_event_types": analytics.top_event_types,
+        "distinct_users": analytics.distinct_users,
+        "hourly_user_activity": analytics.hourly_user_activity,
+        "customer_order_totals": analytics.customer_order_totals,
+        "supplier_part_join": analytics.supplier_part_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(l_quantity) / count(*), 2) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 2) AS avg_price,
+                   round(sum(l_discount) / count(*), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                 JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+              AND o_orderkey IN (SELECT l_orderkey FROM lineitem)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "top_event_types": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY n DESC, event_type
+            LIMIT 5
+        """,
+        "distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "hourly_user_activity": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts)
+            ORDER BY n DESC, user_id, hour
+            LIMIT 20
+        """,
+        "customer_order_totals": """
+            SELECT c_custkey, c_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total DESC, c_custkey
+            LIMIT 10
+        """,
+        "supplier_part_join": """
+            SELECT p_brand, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY revenue DESC, p_brand
+            LIMIT 10
+        """,
+    }

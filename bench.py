@@ -1,0 +1,153 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Plain run:     python bench.py
+Scaling run:   python bench.py --scaling   (same job at 8 and 32 CPUs in
+               fresh processes on the same input; reports both throughputs
+               and efficiency — the sandbox substitute for N vs 4N nodes,
+               see BASELINE.md)
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+     GRAFT_BENCH_CONVS (default 600000 conversations ~ 8.7M turns ~ 2.9M
+     records ~ 32M triples for the KG headline).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "1200000"))
+MEAN_TURNS = 12
+SYNTH_DIR = f"/tmp/cuomr_synth/bench_{BENCH_CONVS}x{MEAN_TURNS}"
+
+
+def ensure_bench_transcripts():
+    """Generate (once, untimed) the deterministic bench transcript table."""
+    marker = f"{SYNTH_DIR}/_SUCCESS"
+    if os.path.exists(marker):
+        return
+    from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts
+
+    synthesize_transcripts(
+        SYNTH_DIR,
+        num_conversations=BENCH_CONVS,
+        mean_turns=MEAN_TURNS,
+        conversations_per_block=max(200, BENCH_CONVS // 512),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ensure_bench_transcripts()
+
+    from case_uco_ontology_map_ray.pipelines import analytics
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        distinct_triples,
+        triples_from_transcripts,
+    )
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- untimed warmup: spin up worker processes + actor imports so the
+    # timed runs measure steady-state compute, not interpreter startup ---
+    warm_dir = "/tmp/cuomr_synth/bench_warm_500x12"
+    if not os.path.exists(f"{warm_dir}/_SUCCESS"):
+        from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts
+
+        synthesize_transcripts(warm_dir, num_conversations=500, mean_turns=MEAN_TURNS)
+        with open(f"{warm_dir}/_SUCCESS", "w") as f:
+            f.write("ok")
+    triples_from_transcripts(warm_dir).count()
+
+    # --- headline: KG triple construction (map-only, streaming) ---
+    t0 = time.perf_counter()
+    n_triples = triples_from_transcripts(SYNTH_DIR).count()
+    headline = time.perf_counter() - t0
+    queries["kg_triples"] = round(headline, 3)
+    extras["n_triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / headline, 1)
+
+    # --- KG + exact dedup + parquet sink (wide op) on a 10% slice ---
+    slice_dir = f"/tmp/cuomr_synth/bench_slice_{BENCH_CONVS // 10}x{MEAN_TURNS}"
+    if not os.path.exists(f"{slice_dir}/_SUCCESS"):
+        from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts
+
+        synthesize_transcripts(slice_dir, num_conversations=BENCH_CONVS // 10,
+                               mean_turns=MEAN_TURNS,
+                               conversations_per_block=max(200, BENCH_CONVS // 10 // 256))
+        with open(f"{slice_dir}/_SUCCESS", "w") as f:
+            f.write("ok")
+    out_dir = f"/tmp/cuomr_bench_out/triples_{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    distinct_triples(triples_from_transcripts(slice_dir)).write_parquet(out_dir)
+    queries["kg_distinct_write"] = round(time.perf_counter() - t0, 3)
+
+    # --- relational surface at GRAFT_SF_DIR ---
+    for name, fn in [
+        ("q1_pricing_summary", analytics.q1_pricing_summary),
+        ("q3_top_revenue_orders", analytics.q3_top_revenue_orders),
+        ("top_event_types", analytics.top_event_types),
+        ("hourly_user_activity", analytics.hourly_user_activity),
+        ("supplier_part_join", analytics.supplier_part_join),
+    ]:
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "kg_triples_construction_sec",
+        "value": queries["kg_triples"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_convs": BENCH_CONVS,
+        **extras,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    r8 = results[8]["triples_per_sec"]
+    r32 = results[32]["triples_per_sec"]
+    eff = (r32 / r8) / (32 / 8)
+    print(json.dumps({
+        "sec_8": results[8]["value"], "sec_32": results[32]["value"],
+        "triples_per_sec_8": r8, "triples_per_sec_32": r32,
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": results[8]["queries"], "queries_32": results[32]["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -21,6 +21,11 @@ from typing import Any
 
 from ..config import NS_RECORD, NS_SLOT
 
+_NS_RECORD_BYTES = NS_RECORD.bytes
+_NS_SLOT_BYTES = NS_SLOT.bytes
+_sha1 = hashlib.sha1
+_sha256 = hashlib.sha256
+
 
 def canonical_json(record: dict[str, Any]) -> str:
     return json.dumps(record, sort_keys=True, separators=(",", ":"))
@@ -28,16 +33,28 @@ def canonical_json(record: dict[str, Any]) -> str:
 
 def record_fingerprint(record: dict[str, Any]) -> str:
     """sha256 hex of the canonical JSON encoding (ref tools.py:67-70)."""
-    return hashlib.sha256(canonical_json(record).encode("utf-8")).hexdigest()
+    return _sha256(canonical_json(record).encode("utf-8")).hexdigest()
+
+
+def _uuid5_hex(ns_bytes: bytes, name: str) -> str:
+    """RFC-4122 uuid5 string without UUID-object overhead (hot path).
+
+    Identical output to ``str(uuid.uuid5(ns, name))`` — verified in tests.
+    """
+    h = bytearray(_sha1(ns_bytes + name.encode("utf-8")).digest()[:16])
+    h[6] = (h[6] & 0x0F) | 0x50  # version 5
+    h[8] = (h[8] & 0x3F) | 0x80  # RFC 4122 variant
+    x = h.hex()
+    return f"{x[:8]}-{x[8:12]}-{x[12:16]}-{x[16:20]}-{x[20:]}"
 
 
 def uuid5_str(namespace: uuid.UUID, name: str) -> str:
-    return str(uuid.uuid5(namespace, name))
+    return _uuid5_hex(namespace.bytes, name)
 
 
 def record_uuid(fingerprint: str) -> str:
-    return uuid5_str(NS_RECORD, fingerprint)
+    return _uuid5_hex(_NS_RECORD_BYTES, fingerprint)
 
 
 def slot_uuid(rec_uuid: str, slug: str) -> str:
-    return uuid5_str(NS_SLOT, f"{rec_uuid}:{slug}")
+    return _uuid5_hex(_NS_SLOT_BYTES, f"{rec_uuid}:{slug}")

@@ -134,6 +134,10 @@ class ArtifactMapper:
 
         # Memoized field resolution: normalized_key -> (owner_slug|None, qualified|None)
         self._field_cache: dict[str, tuple[str | None, str | None]] = {}
+        # raw_key -> (owner_slug|None, qualified|None): skips normalize+match
+        # entirely for repeated field names (the common case — every record
+        # of an artifact type shares its schema)
+        self._raw_cache: dict[str, tuple[str | None, str | None]] = {}
 
         self.all_slugs = [self.primary_slug] + self.facet_slugs + self.rel_slots
 
@@ -212,9 +216,13 @@ class ArtifactMapper:
         Explicit propertyFieldMap rows first, then the per-field alias/heuristic
         pass in record key order (ref uuid_planner.py:136-191).
         """
-        properties: dict[str, dict[str, Any]] = {u: {} for u in plan.values()}
-        raw: dict[str, dict[str, Any]] = {u: {} for u in plan.values()}
+        properties: dict[str, dict[str, Any]] = {}
+        raw: dict[str, dict[str, Any]] = {}
         primary_uuid = plan[self.primary_slug]
+        # ``raw`` is only consulted for relationship-slot payload gating
+        # (graph_generator.py:292-293); skip the bookkeeping when this
+        # artifact type has no relationship slots (the common case).
+        track_raw = bool(self.rel_slots)
 
         for owner, prop_map in self.property_field_map.items():
             owner_slug = slugify(owner)
@@ -229,16 +237,24 @@ class ArtifactMapper:
                         break
                 if value is None:
                     continue
-                properties[slot][qualify_property(prop_name)] = value
+                properties.setdefault(slot, {})[qualify_property(prop_name)] = value
 
+        raw_cache = self._raw_cache
         for raw_key, value in record.items():
-            owner_slug, prop_name = self._match_property(normalize_key(raw_key))
+            resolved = raw_cache.get(raw_key)
+            if resolved is None:
+                owner_slug, prop_name = self._match_property(normalize_key(raw_key))
+                qualified = qualify_property(prop_name) if prop_name else None
+                resolved = (owner_slug, qualified)
+                raw_cache[raw_key] = resolved
+            owner_slug, qualified = resolved
             slot = plan.get(owner_slug) if owner_slug else None
             if slot is None:
                 slot = primary_uuid
-            raw[slot][raw_key] = value
-            if prop_name:
-                properties[slot][qualify_property(prop_name)] = value
+            if track_raw:
+                raw.setdefault(slot, {})[raw_key] = value
+            if qualified:
+                properties.setdefault(slot, {})[qualified] = value
 
         return properties, raw
 

@@ -1,0 +1,43 @@
+"""Shuffle-light grouped aggregation: local Arrow combiner + global groupby.
+
+A bare ``ds.groupby(k).aggregate(...)`` shuffles every row. For low-to-medium
+cardinality keys we first combine inside each batch with pyarrow's hash
+aggregation (one output row per key per batch), then run the global groupby
+over the tiny partial stream — the all-to-all exchange moves
+O(keys x blocks) rows instead of O(rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_sums(
+    ds,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_alias: str | None = None,
+) -> pd.DataFrame:
+    """Group by ``keys``; emit Sum over each ``sum_cols[out_name] = in_col``
+    plus an optional row count. Returns the (small) result as pandas.
+    """
+    from ray.data.aggregate import Sum
+
+    count_col = count_alias or "__cnt"
+    spec = [(in_col, "sum") for in_col in sum_cols.values()]
+
+    def combine(t: pa.Table) -> pa.Table:
+        agg = t.group_by(keys).aggregate(spec + [([], "count_all")])
+        names = keys + [f"{c}_sum" for c in sum_cols.values()] + ["count_all"]
+        # pyarrow names count_all "count_all"; normalize the layout
+        agg = agg.rename_columns(keys + list(sum_cols.keys()) + [count_col])
+        return agg
+
+    partial = ds.map_batches(combine, batch_format="pyarrow")
+    aggs = [Sum(out, alias_name=out) for out in sum_cols]
+    aggs.append(Sum(count_col, alias_name=count_col))
+    out = partial.groupby(keys).aggregate(*aggs).to_pandas()
+    if count_alias is None:
+        out = out.drop(columns=[count_col])
+    return out

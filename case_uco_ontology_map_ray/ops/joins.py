@@ -1,0 +1,113 @@
+"""Join strategies for Ray Data datasets.
+
+- ``broadcast_join``: small side shipped ONCE via ``ray.put`` and joined
+  map-side inside ``map_batches`` — no shuffle. The right pattern whenever
+  one side fits in a worker's heap (dimension tables, filtered key sets).
+- ``semi_filter``: broadcast key-set membership filter (semi/anti join).
+- ``bucket_join``: both sides large — explicit hash-partitioned join: add
+  ``__bucket = mix64(key) % B`` to both sides, union on an aligned schema,
+  co-group per bucket, pandas merge inside ``map_groups``. One shuffle per
+  side; skew bounded by bucket count (salt hot keys upstream when a single
+  key dominates a bucket).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _pool_size(frac: float = 0.5) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, int(cpus * frac))
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str], how: str = "inner"):
+    """Map-side join of a Dataset against a small pandas table.
+
+    ``small_df`` is put in the object store once; every actor reads the same
+    shared copy in ``__init__`` (no re-shipping per batch).
+    """
+    import ray
+
+    ref = ray.put(small_df)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=_pool_size())
+
+
+def semi_filter(ds, keys, column: str, negate: bool = False):
+    """Semi (or anti) join: keep rows whose ``column`` is (not) in ``keys``."""
+    import ray
+
+    arr = keys if isinstance(keys, pa.Array) else pa.array(list(keys))
+    ref = ray.put(arr)
+
+    class Filter:
+        def __init__(self):
+            self.value_set = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(column), value_set=self.value_set)
+            if negate:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return ds.map_batches(
+        Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool_size()
+    )
+
+
+def _mix_bucket(key_col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
+    """Deterministic int64 mix -> [0, num_buckets) (xorshift avalanche)."""
+    x = key_col.cast(pa.int64())
+    x = pc.bit_wise_xor(x, pc.shift_right(x, 33))
+    x = pc.bit_wise_and(x, pa.scalar((1 << 62) - 1, pa.int64()))
+    # pyarrow has no modulo kernel; x - (x // B) * B
+    b = pa.scalar(num_buckets, pa.int64())
+    return pc.subtract(x, pc.multiply(pc.divide(x, b), b))
+
+
+def bucket_join(left, right, on: str, num_buckets: int = 32, how: str = "inner"):
+    lschema, rschema = left.schema(), right.schema()
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
+    col_types = dict(zip(lschema.names, lschema.types))
+    for name, typ in zip(rschema.names, rschema.types):
+        col_types.setdefault(name, typ)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def prepare(side_cols, side_tag):
+        def fn(t: pa.Table) -> pa.Table:
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in side_cols:
+                    arrays.append(t.column(c))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, type=col_types[c]))
+            out = pa.table(dict(zip(names, arrays)))
+            out = out.append_column("__bucket", _mix_bucket(t.column(on), num_buckets))
+            out = out.append_column("__side", pa.array([side_tag] * t.num_rows, pa.int8()))
+            return out
+
+        return fn
+
+    lt = left.map_batches(prepare(set(left_cols), 0), batch_format="pyarrow")
+    rt = right.map_batches(prepare(set(right_cols), 1), batch_format="pyarrow")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == 0, left_cols]
+        rg = g.loc[g["__side"] == 1, right_cols]
+        return lg.merge(rg, on=on, how=how)
+
+    return lt.union(rt).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -1,0 +1,212 @@
+"""Relational analytics pipelines over the TPC-H-ish test tables.
+
+Each function takes ``sf_dir`` and returns a small pandas DataFrame whose
+column NAMES and VALUES match the oracle SQL in ``__ray_entry__.oracle_sql``
+(aggregates rounded identically on both sides so distributed fp summation
+and DuckDB hash correctly).
+
+These exercise the engine's relational operator surface: pruned reads,
+vectorized filter/project, partial-aggregation groupby, broadcast and
+bucketed joins, top-k, distinct.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..ops.agg import grouped_sums
+from ..ops.joins import broadcast_join, semi_filter
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (filter -> computed
+    columns -> partial-agg groupby -> sort)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        disc_price = pc.multiply(t.column("l_extendedprice"),
+                                 pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t.column("l_tax")))
+        t = t.append_column("disc_price", disc_price)
+        return t.append_column("charge", charge)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(
+        prepped,
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols={
+            "sum_qty": "l_quantity",
+            "sum_base_price": "l_extendedprice",
+            "sum_disc_price": "disc_price",
+            "sum_charge": "charge",
+            "sum_disc": "l_discount",
+        },
+        count_alias="count_order",
+    )
+    out["avg_qty"] = (out.sum_qty / out.count_order).round(2)
+    out["avg_price"] = (out.sum_base_price / out.count_order).round(2)
+    out["avg_disc"] = (out.sum_disc / out.count_order).round(4)
+    out = out.drop(columns=["sum_disc"])
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        out[c] = out[c].round(2)
+    out = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+                "avg_disc", "count_order"]]
+
+
+def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3-style: top-k open orders by revenue for one market segment.
+
+    Join strategy (scale-conscious): customer keys for the segment are a
+    broadcast SEMI filter into orders; the filtered orders (small) broadcast-
+    join onto lineitem partial aggregates — no all-to-all shuffle of lineitem.
+    """
+    cutoff = np.datetime64("1995-03-15T00:00:00", "us")
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust_keys = (
+        cust.map_batches(
+            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment)).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = semi_filter(orders, cust_keys, "o_custkey")
+    open_orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff)))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.select(["l_orderkey"]).append_column("rev", rev)
+
+    li = semi_filter(li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+                     open_orders["o_orderkey"].to_numpy(), "l_orderkey")
+    rev = grouped_sums(li, keys=["l_orderkey"], sum_cols={"revenue": "rev"})
+    rev["revenue"] = rev["revenue"].round(2)
+    out = rev.merge(open_orders[["o_orderkey", "o_orderdate"]],
+                    left_on="l_orderkey", right_on="o_orderkey")
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
+    return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+def order_priority_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-style: order priority histogram for a quarter, where the
+    order has at least one line item (semi join via bucket-free broadcast)."""
+    lo = np.datetime64("1995-01-01T00:00:00", "us")
+    hi = np.datetime64("1995-04-01T00:00:00", "us")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t.column("o_orderdate"), pa.scalar(lo)),
+                    pc.less(t.column("o_orderdate"), pa.scalar(hi)))
+        ),
+        batch_format="pyarrow",
+    )
+    li_keys = (
+        rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+        .map_batches(lambda t: t.group_by(["l_orderkey"]).aggregate([]), batch_format="pyarrow")
+        .to_pandas()["l_orderkey"]
+        .unique()
+    )
+    orders = semi_filter(orders, li_keys, "o_orderkey")
+    out = grouped_sums(orders, keys=["o_orderpriority"], sum_cols={}, count_alias="order_count")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def top_event_types(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """events: count + value sum per type, top-k by count (tiebreak on name)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    out = grouped_sums(ds, keys=["event_type"], sum_cols={"sum_value": "value"},
+                       count_alias="n")
+    out["sum_value"] = out["sum_value"].round(2)
+    out = out.sort_values(["n", "event_type"], ascending=[False, True]).head(k)
+    return out[["event_type", "n", "sum_value"]].reset_index(drop=True)
+
+
+def distinct_users(sf_dir: str) -> pd.DataFrame:
+    """count(distinct user_id) via per-batch unique -> global unique -> count."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    pre = ds.map_batches(lambda t: t.group_by(["user_id"]).aggregate([]),
+                         batch_format="pyarrow")
+    n = pre.unique("user_id")
+    return pd.DataFrame({"n_users": [len(n)]})
+
+
+def hourly_user_activity(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Tumbling-window aggregate: per (user, hour) event count + value sum;
+    top-k windows by count. Windows = date_trunc, i.e. a groupby — the
+    streaming-shaped workload expressed batch-first (ray_guide §Streaming)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t.column("ts"), unit="hour"))
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(ds, keys=["user_id", "hour"], sum_cols={"sum_value": "value"},
+                       count_alias="n")
+    out["sum_value"] = out["sum_value"].round(2)
+    out = out.sort_values(["n", "user_id", "hour"], ascending=[False, True, True]).head(k)
+    return out[["user_id", "hour", "n", "sum_value"]].reset_index(drop=True)
+
+
+def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Broadcast join demo: top-k customers by total order value with name."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    totals = grouped_sums(orders, keys=["o_custkey"], sum_cols={"total": "o_totalprice"},
+                          count_alias="n_orders")
+    totals["total"] = totals["total"].round(2)
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"]).to_pandas()
+    out = totals.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["total", "o_custkey"], ascending=[False, True]).head(k)
+    return out[["c_custkey", "c_name", "n_orders", "total"]].reset_index(drop=True)
+
+
+def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Bucketed large-large join demo: lineitem x part on partkey, revenue by
+    brand (the bucket join is the portable hash-partitioned join shape)."""
+    from ..ops.joins import bucket_join
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return t.select(["l_partkey"]).append_column("rev", rev)
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]), batch_format="pyarrow"
+    )
+    joined = bucket_join(li, part, on="l_partkey", num_buckets=16)
+    out = grouped_sums(joined, keys=["p_brand"], sum_cols={"revenue": "rev"},
+                       count_alias="n")
+    out["revenue"] = out["revenue"].round(2)
+    out = out.sort_values(["revenue", "p_brand"], ascending=[False, True]).head(k)
+    return out[["p_brand", "n", "revenue"]].reset_index(drop=True)

@@ -12,6 +12,7 @@ triples, so the pipeline is idempotent and restart-safe.
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data as rd
 
 from ..stages.kg_stage import TurnTriples
@@ -51,35 +52,60 @@ def triples_from_transcripts(
 TRIPLE_KEY = ["subj", "pred", "obj", "obj_dt"]
 
 
-def distinct_triples(triples: rd.Dataset) -> rd.Dataset:
+def _local_dedup(t: "pa.Table") -> "pa.Table":
+    """Arrow hash-dedup on the triple key keeping the smallest lineage."""
+    agg = t.group_by(TRIPLE_KEY).aggregate(
+        [("conv_id", "min"), ("turn_idx", "min"),
+         ("artifact_type", "min"), ("record_fp", "min")]
+    )
+    return agg.rename_columns(
+        TRIPLE_KEY + ["conv_id", "turn_idx", "artifact_type", "record_fp"]
+    )
+
+
+def _subj_partition(t: "pa.Table", num_parts: int) -> "pa.Table":
+    """Vectorized partition id from the subject uuid's first two hex chars.
+
+    All duplicates of a triple share the subject (uuid5 of the record), so
+    partitioning by subject prefix co-locates every duplicate. numpy parses
+    the hex pair without a Python loop.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    pref = pc.utf8_slice_codeunits(t.column("subj"), 0, 2)
+    b = pref.combine_chunks().to_numpy(zero_copy_only=False).astype("S2")
+    digits = b.view(np.uint8).reshape(-1, 2).astype(np.int32)
+    # '0'-'9' -> 0-9, 'a'-'f' -> 10-15
+    digits = np.where(digits >= 97, digits - 87, digits - 48)
+    part = (digits[:, 0] * 16 + digits[:, 1]) % num_parts
+    return t.append_column("__part", pa.array(part, pa.int32()))
+
+
+def distinct_triples(triples: rd.Dataset, num_parts: int = 256) -> rd.Dataset:
     """Exact triple dedup (SURVEY.md §2.5 A5 generalized to triples).
 
     Identical records in different turns produce identical uuid5 subjects, so
     the raw triple stream contains exact duplicates differing only in lineage.
-    Two-phase dedup keeps the shuffle small:
-      1. local combiner: per-batch arrow group_by drops in-batch duplicates;
-      2. global hash-partitioned groupby on the triple key, keeping the
-         lexicographically smallest lineage (deterministic under any
-         parallelism / block arrival order).
+    Three-phase, shuffle-light dedup:
+      1. local combiner: per-batch arrow group_by drops in-batch duplicates
+         (keeps the smallest lineage);
+      2. partition by subject-uuid prefix (every duplicate shares its subj) —
+         the shuffle key is a single int32, far cheaper to exchange than the
+         4-string triple key;
+      3. per-partition arrow group_by finishes the dedup.
+    Result is deterministic under any parallelism / block arrival order:
+    lineage = lexicographically smallest (conv_id, turn_idx) per column.
     """
-    from ray.data.aggregate import Min
-
-    def local_dedup(t: "pa.Table") -> "pa.Table":
-        agg = t.group_by(TRIPLE_KEY).aggregate(
-            [("conv_id", "min"), ("turn_idx", "min"),
-             ("artifact_type", "min"), ("record_fp", "min")]
-        )
-        return agg.rename_columns(TRIPLE_KEY + ["conv_id", "turn_idx", "artifact_type", "record_fp"])
-
-    import pyarrow as pa  # noqa: F401  (annotation scope)
-
-    pre = triples.map_batches(local_dedup, batch_format="pyarrow")
-    return pre.groupby(TRIPLE_KEY).aggregate(
-        Min("conv_id", alias_name="conv_id"),
-        Min("turn_idx", alias_name="turn_idx"),
-        Min("artifact_type", alias_name="artifact_type"),
-        Min("record_fp", alias_name="record_fp"),
+    pre = triples.map_batches(_local_dedup, batch_format="pyarrow")
+    parted = pre.map_batches(
+        lambda t: _subj_partition(t, num_parts), batch_format="pyarrow"
     )
+
+    def finish(g: "pa.Table") -> "pa.Table":
+        return _local_dedup(g.drop_columns(["__part"]))
+
+    return parted.groupby("__part").map_groups(finish, batch_format="pyarrow")
 
 
 def sorted_turns(source: "str | rd.Dataset") -> rd.Dataset:

@@ -56,3 +56,14 @@ def test_infer_xsd_datatype():
     assert infer_xsd_datatype(2.5) == "xsd:decimal"
     assert infer_xsd_datatype("x") == "xsd:string"
     assert infer_xsd_datatype(None) == "xsd:string"
+
+
+def test_fast_uuid5_matches_stdlib():
+    import uuid as _uuid
+
+    from case_uco_ontology_map_ray.config import NS_RECORD, NS_SLOT
+    from case_uco_ontology_map_ray.functions.fingerprint import uuid5_str
+
+    for ns in (NS_RECORD, NS_SLOT, _uuid.NAMESPACE_DNS):
+        for name in ("", "abc", "conv-00000001:prefetch", "ünïcödé"):
+            assert uuid5_str(ns, name) == str(_uuid.uuid5(ns, name))
