@@ -73,7 +73,7 @@ def _kg_triples_distinct(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from case_uco_ontology_map_ray.pipelines import analytics
+    from case_uco_ontology_map_ray.pipelines import analytics, corpus
 
     return {
         # KG construction (rows-only checks; the hard correctness gate is the
@@ -89,6 +89,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_activity": analytics.hourly_user_activity,
         "customer_order_totals": analytics.customer_order_totals,
         "supplier_part_join": analytics.supplier_part_join,
+        # training-data corpus ops: dedup / text analysis / similarity
+        "dedup_exact_documents": corpus.dedup_exact_documents,
+        "dedup_minhash_documents": corpus.dedup_minhash_documents,
+        "dedup_simhash_documents": corpus.dedup_simhash_documents,
+        "ngram_jaccard_pairs": corpus.ngram_jaccard_pairs,
+        "doc_token_stats": corpus.doc_token_stats,
+        "text_stats_by_lang": corpus.text_stats_by_lang,
+        "doc_quality": corpus.doc_quality,
+        "doc_lang_id": corpus.doc_lang_id,
+        "doc_fingerprints": corpus.doc_fingerprints,
+        "similarity_topk": corpus.similarity_topk,
+        "similarity_topk_ivf": corpus.similarity_topk_ivf,
+        "embedding_neardup": corpus.embedding_neardup,
     }
 
 
@@ -164,5 +177,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand
             ORDER BY revenue DESC, p_brand
             LIMIT 10
+        """,
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(text)
+            ORDER BY doc_id
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars_measured
+            FROM documents ORDER BY doc_id
+        """,
+        "text_stats_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   round(sum(len(string_split_regex(trim(text), '\\s+'))) * 1.0
+                         / count(*), 2) AS avg_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        "similarity_topk": """
+            SELECT b.vec_id,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cos
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id = 0 AND b.vec_id <> 0
+            ORDER BY cos DESC, b.vec_id
+            LIMIT 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cos
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY id_a, id_b
         """,
     }

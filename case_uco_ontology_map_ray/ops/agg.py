@@ -9,8 +9,20 @@ O(keys x blocks) rows instead of O(rows).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+def round_away(x, ndigits: int):
+    """Round half away from zero — DuckDB's ROUND() rule (numpy/pandas
+    default to half-to-even, which diverges on exact .5 boundaries)."""
+    m = 10.0 ** ndigits
+    arr = np.asarray(x, dtype=np.float64)
+    out = np.sign(arr) * np.floor(np.abs(arr) * m + 0.5) / m
+    if isinstance(x, pd.Series):
+        return pd.Series(out, index=x.index, name=x.name)
+    return out
 
 
 def grouped_sums(

@@ -1,0 +1,175 @@
+"""Text-analysis operators over a document table (doc_id, text, ...).
+
+- token/char stats (vectorized pyarrow kernels, oracle-checkable SQL)
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (stopword-profile n-gram heuristic; actor stage)
+- document fingerprinting (md5 content hash — oracle md5(); winnowing-style
+  rolling-hash fingerprint as the non-SQL variant)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tiny public stopword profiles (top function words) per language.
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "para", "en", "que"},
+    "zh": {"的", "是", "了", "在", "和", "有", "我", "不", "这", "他"},
+}
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def token_stats(ds) -> "pa.Table":
+    """Per-doc vectorized stats: n_tokens (whitespace), n_chars_measured."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        toks = pc.list_value_length(pc.utf8_split_whitespace(text))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": toks.cast(pa.int64()),
+            "n_chars_measured": pc.utf8_length(text).cast(pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def text_stats_by_lang(ds) -> pd.DataFrame:
+    """Grouped rollup: per lang, doc count + avg token count + total chars."""
+    from ..ops.agg import grouped_sums, round_away
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        toks = pc.list_value_length(pc.utf8_split_whitespace(text)).cast(pa.int64())
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_tokens": toks,
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        })
+
+    prepped = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(prepped, keys=["lang"],
+                       sum_cols={"total_tokens": "n_tokens", "total_chars": "n_chars"},
+                       count_alias="n_docs")
+    out["avg_tokens"] = round_away(out.total_tokens / out.n_docs, 2)
+    out = out.drop(columns=["total_tokens"])
+    return out[["lang", "n_docs", "avg_tokens", "total_chars"]].sort_values(
+        "lang").reset_index(drop=True)
+
+
+class QualityScorer:
+    """Actor stage: heuristic quality features per document.
+
+    Features mirror common training-data filters (C4/Gopher-style):
+    mean token length, punctuation ratio, stopword ratio, uppercase ratio,
+    and a composite keep/drop score.
+    """
+
+    def __init__(self):
+        self.word = _WORD_RE
+        self.punct = _PUNCT_RE
+        self.stop = _LANG_PROFILES["en"]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        mean_tok = np.zeros(n)
+        punct_ratio = np.zeros(n)
+        stop_ratio = np.zeros(n)
+        upper_ratio = np.zeros(n)
+        for i, x in enumerate(texts):
+            toks = self.word.findall(x)
+            nt = len(toks) or 1
+            mean_tok[i] = sum(map(len, toks)) / nt
+            punct_ratio[i] = len(self.punct.findall(x)) / max(1, len(x))
+            stop_ratio[i] = sum(1 for w in toks if w.lower() in self.stop) / nt
+            upper_ratio[i] = sum(1 for c in x if c.isupper()) / max(1, len(x))
+        score = (
+            (mean_tok > 2.5) & (mean_tok < 12)
+        ).astype(float) * 0.4 + (punct_ratio < 0.2) * 0.3 + (stop_ratio > 0.01) * 0.3
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "mean_token_len": pa.array(np.round(mean_tok, 3)),
+            "punct_ratio": pa.array(np.round(punct_ratio, 4)),
+            "stopword_ratio": pa.array(np.round(stop_ratio, 4)),
+            "upper_ratio": pa.array(np.round(upper_ratio, 4)),
+            "quality_score": pa.array(np.round(score, 2)),
+        })
+
+
+def quality_scores(ds):
+    from .dedup import _pool
+
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=_pool())
+
+
+class LangId:
+    """Actor stage: stopword-profile language ID (n-gram-free heuristic).
+
+    Scores each language by the fraction of tokens found in its stopword
+    profile; predicts argmax with 'und' (undetermined) when all scores are 0.
+    """
+
+    def __init__(self):
+        self.word = _WORD_RE
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        preds, scores = [], []
+        for x in texts:
+            toks = [w.lower() for w in self.word.findall(x)]
+            nt = len(toks) or 1
+            best_lang, best = "und", 0.0
+            for lang, prof in self.profiles.items():
+                s = sum(1 for w in toks if w in prof) / nt
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang)
+            scores.append(round(best, 4))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "pred_lang": pa.array(preds, pa.string()),
+            "lang_score": pa.array(scores),
+        })
+
+
+def lang_id(ds):
+    from .dedup import _pool
+
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=_pool())
+
+
+def doc_fingerprints(ds):
+    """md5 content fingerprint per doc (oracle: SELECT md5(text))."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest()
+              for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fp": pa.array(hs, pa.string())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def rolling_fingerprints(ds, keep: int = 8):
+    """Winnowing-style rolling-hash fingerprints (non-SQL variant)."""
+    from ..functions.hashing import rolling_fingerprint
+
+    def fp(t: pa.Table) -> pa.Table:
+        out = [rolling_fingerprint(x, keep=keep) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(out, pa.list_(pa.int64()))})
+
+    return ds.map_batches(fp, batch_format="pyarrow")

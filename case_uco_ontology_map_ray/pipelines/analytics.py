@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..ops.agg import grouped_sums
+from ..ops.agg import grouped_sums, round_away
 from ..ops.joins import broadcast_join, semi_filter
 
 
@@ -57,12 +57,12 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         },
         count_alias="count_order",
     )
-    out["avg_qty"] = (out.sum_qty / out.count_order).round(2)
-    out["avg_price"] = (out.sum_base_price / out.count_order).round(2)
-    out["avg_disc"] = (out.sum_disc / out.count_order).round(4)
+    out["avg_qty"] = round_away(out.sum_qty / out.count_order, 2)
+    out["avg_price"] = round_away(out.sum_base_price / out.count_order, 2)
+    out["avg_disc"] = round_away(out.sum_disc / out.count_order, 4)
     out = out.drop(columns=["sum_disc"])
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        out[c] = out[c].round(2)
+        out[c] = round_away(out[c], 2)
     out = out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
     return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
                 "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
@@ -107,7 +107,7 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
     li = semi_filter(li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
                      open_orders["o_orderkey"].to_numpy(), "l_orderkey")
     rev = grouped_sums(li, keys=["l_orderkey"], sum_cols={"revenue": "rev"})
-    rev["revenue"] = rev["revenue"].round(2)
+    rev["revenue"] = round_away(rev["revenue"], 2)
     out = rev.merge(open_orders[["o_orderkey", "o_orderdate"]],
                     left_on="l_orderkey", right_on="o_orderkey")
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
@@ -144,7 +144,7 @@ def top_event_types(sf_dir: str, k: int = 5) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
     out = grouped_sums(ds, keys=["event_type"], sum_cols={"sum_value": "value"},
                        count_alias="n")
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = round_away(out["sum_value"], 2)
     out = out.sort_values(["n", "event_type"], ascending=[False, True]).head(k)
     return out[["event_type", "n", "sum_value"]].reset_index(drop=True)
 
@@ -170,7 +170,7 @@ def hourly_user_activity(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_sums(ds, keys=["user_id", "hour"], sum_cols={"sum_value": "value"},
                        count_alias="n")
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = round_away(out["sum_value"], 2)
     out = out.sort_values(["n", "user_id", "hour"], ascending=[False, True, True]).head(k)
     return out[["user_id", "hour", "n", "sum_value"]].reset_index(drop=True)
 
@@ -180,7 +180,7 @@ def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     totals = grouped_sums(orders, keys=["o_custkey"], sum_cols={"total": "o_totalprice"},
                           count_alias="n_orders")
-    totals["total"] = totals["total"].round(2)
+    totals["total"] = round_away(totals["total"], 2)
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"]).to_pandas()
     out = totals.merge(cust, left_on="o_custkey", right_on="c_custkey")
     out = out.sort_values(["total", "o_custkey"], ascending=[False, True]).head(k)
@@ -207,6 +207,6 @@ def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     joined = bucket_join(li, part, on="l_partkey", num_buckets=16)
     out = grouped_sums(joined, keys=["p_brand"], sum_cols={"revenue": "rev"},
                        count_alias="n")
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = round_away(out["revenue"], 2)
     out = out.sort_values(["revenue", "p_brand"], ascending=[False, True]).head(k)
     return out[["p_brand", "n", "revenue"]].reset_index(drop=True)

@@ -1,0 +1,91 @@
+"""Training-data corpus pipelines over documents/embeddings test tables:
+dedup, text analysis, similarity search. Query-shaped (sf_dir -> result)
+for the driver contract; column names match __ray_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..ops import dedup as dd
+from ..ops import similarity as sim
+from ..ops import text as tx
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
+    out = dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_minhash_documents(sf_dir: str) -> pd.DataFrame:
+    return dd.minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def dedup_simhash_documents(sf_dir: str) -> pd.DataFrame:
+    return dd.simhash_groups(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    return dd.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    out = tx.token_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def text_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    return tx.text_stats_by_lang(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def doc_quality(sf_dir: str) -> pd.DataFrame:
+    out = tx.quality_scores(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_lang_id(sf_dir: str) -> pd.DataFrame:
+    out = tx.lang_id(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    out = tx.doc_fingerprints(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    """The embedding of vec_id 0 — a fixed, reproducible query."""
+    t = (
+        _emb(sf_dir)
+        .map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("vec_id"), 0)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return np.asarray(t["embedding"].iloc[0], dtype=np.float64)
+
+
+def similarity_topk(sf_dir: str) -> pd.DataFrame:
+    q = _query_vector(sf_dir)
+    return sim.brute_force_topk(_emb(sf_dir), q, k=10, exclude_ids=(0,))
+
+
+def similarity_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    q = _query_vector(sf_dir)
+    return sim.ivf_topk(_emb(sf_dir), q, k=10, n_centroids=8, nprobe=8)
+
+
+def embedding_neardup(sf_dir: str, tau: float = 0.45) -> pd.DataFrame:
+    return sim.embedding_neardup_pairs(_emb(sf_dir), tau=tau)

@@ -1,0 +1,130 @@
+"""Tests for dedup / similarity / text-analysis operators (sf0.001 tables
++ synthetic near-dup corpora)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dups():
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "the quick brown fox jumps over the lazy dog and runs far off",
+        "completely different content about database query engines and joins",
+        "another unrelated document mentioning streams windows and watermarks",
+        "the quick brown fox jumps over the lazy dog and runs far away",  # exact dup of 0
+    ]
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(base)])
+
+
+def test_exact_dedup_keeps_min_id():
+    from case_uco_ontology_map_ray.ops.dedup import exact_dedup
+
+    kept = sorted(exact_dedup(_docs_with_dups()).to_pandas()["doc_id"])
+    assert kept == [0, 1, 2, 3]  # doc 4 is an exact dup of doc 0
+
+
+def test_minhash_lsh_clusters_near_dups():
+    from case_uco_ontology_map_ray.ops.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_docs_with_dups(), num_perm=64, bands=32,
+                            shingle_k=3, tau=0.4)
+    cl = dict(zip(out.doc_id, out.cluster_id))
+    assert cl[0] == cl[4] == 0       # exact dups share a cluster
+    assert cl[1] == 0                # near dup joins the cluster
+    assert cl[2] == 2 and cl[3] == 3  # unrelated docs stay singletons
+
+
+def test_simhash_groups_near_dups():
+    from case_uco_ontology_map_ray.ops.dedup import simhash_groups
+
+    out = simhash_groups(_docs_with_dups(), radius=6)
+    gr = dict(zip(out.doc_id, out.group_id))
+    assert gr[0] == gr[4]
+    assert gr[2] != gr[0] and gr[3] != gr[0]
+
+
+def test_ngram_jaccard_pairs_finds_pair():
+    from case_uco_ontology_map_ray.ops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs_with_dups(), tau=0.4)
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (0, 4) in pairs and (0, 1) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_brute_force_topk_matches_numpy():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import brute_force_topk
+
+    rng = np.random.RandomState(0)
+    m = rng.randn(200, 16).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(200)]
+    )
+    q = m[0].astype(np.float64)
+    got = brute_force_topk(ds, q, k=5, exclude_ids=(0,))
+    mn = m.astype(np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    cos = mn @ (q / np.linalg.norm(q))
+    cos[0] = -2
+    want = set(np.argsort(-cos)[:5].tolist())
+    assert set(got["vec_id"]) == want
+
+
+def test_ivf_topk_high_recall_with_full_probe():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(1)
+    m = rng.randn(300, 16).astype(np.float32)
+    ds = rd.from_items([{"vec_id": i, "embedding": m[i].tolist()} for i in range(300)])
+    q = m[7].astype(np.float64)
+    exact = set(brute_force_topk(ds, q, k=10)["vec_id"])
+    approx = set(ivf_topk(ds, q, k=10, n_centroids=8, nprobe=8)["vec_id"])
+    assert len(exact & approx) >= 9  # nprobe == n_centroids -> near-exhaustive
+
+
+def test_lang_id_prefers_profile_language():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import lang_id
+
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "the cat and the dog of a house in that city"},
+        {"doc_id": 1, "text": "der hund und die katze ist nicht mit der maus"},
+        {"doc_id": 2, "text": "le chat et le chien est dans la maison pour un jour"},
+    ])
+    out = lang_id(ds).to_pandas().sort_values("doc_id")
+    assert list(out.pred_lang) == ["en", "de", "fr"]
+
+
+def test_quality_scores_schema_and_range():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import quality_scores
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = quality_scores(ds).to_pandas()
+    assert len(out) == 500
+    assert out.quality_score.between(0, 1).all()
+    assert out.punct_ratio.between(0, 1).all()
+
+
+def test_rolling_fingerprints_deterministic():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import rolling_fingerprints
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]).limit(20)
+    a = rolling_fingerprints(ds).to_pandas().sort_values("doc_id")
+    b = rolling_fingerprints(ds).to_pandas().sort_values("doc_id")
+    assert list(map(list, a.fingerprint)) == list(map(list, b.fingerprint))
