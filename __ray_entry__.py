@@ -72,6 +72,32 @@ def _kg_triples_distinct(sf_dir: str):
     return distinct_triples(triples_from_transcripts(_transcripts_for(sf_dir)))
 
 
+def _kg_entity_canonicalization(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import canonical_entities
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    entity, _link = canonical_entities(triples)
+    return entity
+
+
+def _kg_entity_links(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import canonical_entities
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    _entity, link = canonical_entities(triples)
+    return link
+
+
+def _kg_conversation_entities(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import conversation_entity_stats
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return conversation_entity_stats(triples)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from case_uco_ontology_map_ray.pipelines import analytics, corpus
 
@@ -80,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # golden parity suite in tests/test_kg_core.py)
         "kg_triples": _kg_triples,
         "kg_triples_distinct": _kg_triples_distinct,
+        "kg_entity_canonicalization": _kg_entity_canonicalization,
+        "kg_entity_links": _kg_entity_links,
+        "kg_conversation_entities": _kg_conversation_entities,
         # relational operator surface (DuckDB-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_revenue_orders": analytics.q3_top_revenue_orders,

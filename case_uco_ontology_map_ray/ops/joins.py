@@ -105,9 +105,22 @@ def bucket_join(left, right, on: str, num_buckets: int = 32, how: str = "inner")
     lt = left.map_batches(prepare(set(left_cols), 0), batch_format="pyarrow")
     rt = right.map_batches(prepare(set(right_cols), 1), batch_format="pyarrow")
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == 0, left_cols]
-        rg = g.loc[g["__side"] == 1, right_cols]
-        return lg.merge(rg, on=on, how=how)
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # Split sides while still in Arrow: converting the unioned table
+        # (int64 columns with nulls) to pandas would promote to float64 and
+        # corrupt keys beyond 2^53. Each side's own columns are null-free.
+        side = g.column("__side")
+        lg = g.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        rg = g.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
+        out = lg.merge(rg, on=on, how=how)
+        want = {}
+        for c in out.columns:
+            t = col_types.get(c)
+            if t is not None and pa.types.is_integer(t) and out[c].dtype != "int64":
+                if not out[c].isna().any():
+                    want[c] = str(t)
+        return pa.Table.from_pandas(
+            out.astype(want, copy=False) if want else out, preserve_index=False
+        ).replace_schema_metadata(None)
 
-    return lt.union(rt).groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return lt.union(rt).groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")

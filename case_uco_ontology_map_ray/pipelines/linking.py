@@ -1,0 +1,282 @@
+"""Entity linking + canonicalization over the triple stream.
+
+The reference resolves identity only within one payload (deterministic uuid5
+per record). At transcript scale the same real-world entity (a file path)
+appears across turns, conversations, and artifact types (an MFT ``FullPath``
+and a prefetch ``SourceFilename`` naming the same file). This stage links
+those mentions and assigns one deterministic canonical entity ID per
+connected component of near-identical paths (north_rule: MinHash-LSH
+blocking + union-find as iterative groupby-aggregate rounds).
+
+Pipeline:
+  1. mentions: filter path-bearing preds out of the triple stream (map-only);
+     normalize the path; pid = stable 64-bit hash of the normalized path.
+  2. distinct paths: two-phase dedup (local arrow combiner + pid-partitioned
+     finish) — the node set for clustering.
+  3. LSH incidence: char-shingle MinHash signatures -> (band:int64, pid)
+     rows (actor pool; hash family built once per actor).
+  4. min-label propagation over the bipartite (band, pid) graph:
+     label <- min(label) within each band-bucket, then within each pid;
+     iterate until no label changes (bounded rounds). Every step is a
+     bucket_join / groupby-aggregate over int64 keys — no driver state.
+  5. canonical IDs: component label -> its path string -> uuid5(NS_ENTITY,
+     canonical path) -> link triples (subj, kb:canonicalEntity, kb:entity-x).
+
+Exact-duplicate paths canonicalize identically by construction (same pid);
+assignment is independent of block arrival order (min is commutative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import NS_ENTITY
+from ..functions.fingerprint import uuid5_str
+from ..functions.hashing import MinHasher, char_shingles, stable_hash64
+from ..ops.joins import bucket_join
+
+# Triple predicates whose objects are file-path mentions.
+PATH_PREDS = (
+    "uco-observable:filePath",
+    "uco-observable:applicationFileName",
+    "uco-observable:accessedFile",
+    "uco-observable:accessedDirectory",
+)
+
+
+def normalize_path(p: str) -> str:
+    """Case/sep/drive-insensitive path normal form."""
+    s = p.replace("\\", "/").lower()
+    while s.startswith("/"):
+        s = s[1:]
+    if len(s) > 1 and s[1] == ":":
+        s = s[2:]
+    elif s.startswith("c/"):
+        s = s[2:]
+    return s.strip("/")
+
+
+def mentions_from_triples(triples: rd.Dataset) -> rd.Dataset:
+    """(conv_id, turn_idx, subj, path, norm_path, pid) mention rows."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("pred"), value_set=pa.array(PATH_PREDS))
+        m = t.filter(mask)
+        paths = m.column("obj").to_pylist()
+        norm = [normalize_path(p) for p in paths]
+        pid = [np.int64(stable_hash64(p) >> 1) for p in norm]
+        return pa.table({
+            "conv_id": m.column("conv_id"),
+            "turn_idx": m.column("turn_idx"),
+            "subj": m.column("subj"),
+            "path": m.column("obj"),
+            "norm_path": pa.array(norm, pa.string()),
+            "pid": pa.array(pid, pa.int64()),
+        })
+
+    return triples.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_paths(mentions: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
+    """Dataset[(pid, norm_path)] — one row per distinct normalized path."""
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = t.select(["pid", "norm_path"]).group_by(["pid"]).aggregate(
+            [("norm_path", "min")]
+        )
+        part = pc.bit_wise_and(agg.column("pid"), pa.scalar(num_parts - 1, pa.int64()))
+        return agg.rename_columns(["pid", "norm_path"]).append_column(
+            "__part", part.cast(pa.int32())
+        )
+
+    pre = mentions.map_batches(local, batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        agg = g.drop_columns(["__part"]).group_by(["pid"]).aggregate(
+            [("norm_path", "min")]
+        )
+        return agg.rename_columns(["pid", "norm_path"])
+
+    return pre.groupby("__part").map_groups(finish, batch_format="pyarrow")
+
+
+class _PathSketcher:
+    """Actor stage: (pid, norm_path) -> (band, pid) LSH incidence rows."""
+
+    def __init__(self, num_perm: int = 32, bands: int = 8, shingle_k: int = 4):
+        self.mh = MinHasher(num_perm=num_perm, seed=7)
+        self.bands = bands
+        self.k = shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        pids, keys = [], []
+        for pid, path in zip(t.column("pid").to_pylist(),
+                             t.column("norm_path").to_pylist()):
+            sig = self.mh.signature(char_shingles(path, self.k))
+            for key in self.mh.band_keys(sig, self.bands):
+                pids.append(pid)
+                keys.append(np.int64(key >> 1))
+        return pa.table({"band": pa.array(keys, pa.int64()),
+                         "pid": pa.array(pids, pa.int64())})
+
+
+def _grouped_min(ds: rd.Dataset, key: str, val: str, out_name: str) -> rd.Dataset:
+    """groupby(key).min(val) with a local arrow combiner before the shuffle."""
+    from ray.data.aggregate import Min
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = t.select([key, val]).group_by([key]).aggregate([(val, "min")])
+        return agg.rename_columns([key, val])
+
+    pre = ds.map_batches(local, batch_format="pyarrow")
+    out = pre.groupby(key).aggregate(Min(val, alias_name=out_name))
+    return out
+
+
+def propagate_labels(incidence: rd.Dataset, labels: rd.Dataset,
+                     max_rounds: int = 5, num_buckets: int = 32):
+    """Min-label propagation rounds over the bipartite (band, pid) graph.
+
+    Each round: label(pid) <- min over { label(q) : q shares a band with pid }
+    expressed as two bucket_joins + two grouped mins — iterative
+    groupby-aggregate union-find (north_rule). Converges in O(component
+    diameter) rounds; bounded by ``max_rounds``.
+
+    Returns (labels Dataset[(pid, label)], rounds_run, converged).
+    """
+    labels = labels.materialize()
+    prev_sum = _label_checksum(labels)
+    for rnd in range(max_rounds):
+        # label(band) = min label of its members (join + grouped min)
+        lab_inc = bucket_join(incidence, labels, on="pid", num_buckets=num_buckets)
+        bucket_min = _grouped_min(lab_inc, "band", "label", "bmin").materialize()
+        # label(pid) = min(own label, min over its bands)
+        back = bucket_join(incidence, bucket_min, on="band", num_buckets=num_buckets)
+        cand = back.map_batches(
+            lambda t: t.select(["pid", "bmin"]).rename_columns(["pid", "label"]),
+            batch_format="pyarrow",
+        )
+        # materialize: the label table is small (one row per distinct path);
+        # without this every round would lazily re-execute all prior rounds
+        labels = _grouped_min(labels.union(cand), "pid", "label", "label").materialize()
+
+        # convergence: labels only decrease, so the (wraparound) checksum is
+        # unchanged iff no label changed this round — no extra join needed
+        cur = _label_checksum(labels)
+        if cur == prev_sum:
+            return labels, rnd + 1, True
+        prev_sum = cur
+    return labels, max_rounds, False
+
+
+def _label_checksum(labels: rd.Dataset) -> int:
+    """Deterministic wraparound sum of the label column (distributed partial
+    sums, merged on the driver)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        arr = t.column("label").to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({"s": pa.array([int(arr.sum(dtype=np.uint64))], pa.uint64())})
+
+    parts = labels.map_batches(part, batch_format="pyarrow").to_pandas()
+    return int(parts["s"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64))
+
+
+def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
+                       max_rounds: int = 5) -> tuple[rd.Dataset, rd.Dataset]:
+    """Full canonicalization. Returns (entity_table, link_triples).
+
+    entity_table: (pid, norm_path, label, canonical_path, canonical_id)
+    link_triples: (subj, pred=kb:canonicalEntity, obj=kb:entity-<uuid5>,
+                   obj_dt=@id, conv_id, turn_idx)
+    """
+    mentions = triples if "pid" in triples.schema().names else mentions_from_triples(triples)
+    paths = distinct_paths(mentions).materialize()  # small: one row per path
+
+    from ..ops.dedup import _pool
+
+    incidence = paths.map_batches(
+        _PathSketcher, fn_constructor_args=(num_perm, bands),
+        batch_format="pyarrow", concurrency=_pool(),
+    ).materialize()
+
+    labels = paths.map_batches(
+        lambda t: pa.table({"pid": t.column("pid"), "label": t.column("pid")}),
+        batch_format="pyarrow",
+    )
+    labels, rounds, converged = propagate_labels(incidence, labels, max_rounds)
+
+    # canonical path string per component: label == pid row of the path table
+    canon = bucket_join(
+        labels,
+        paths.map_batches(
+            lambda t: t.rename_columns(["label", "canonical_path"]),
+            batch_format="pyarrow",
+        ),
+        on="label",
+    )
+
+    def add_canonical_id(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["canonical_id"] = [
+            f"kb:entity-{uuid5_str(NS_ENTITY, p)}" for p in t["canonical_path"]
+        ]
+        return t
+
+    entity = bucket_join(paths, canon, on="pid").map_batches(
+        add_canonical_id, batch_format="pandas"
+    ).materialize()
+
+    link = bucket_join(
+        mentions,
+        entity.map_batches(
+            lambda t: t.select(["pid", "canonical_id"]), batch_format="pyarrow"
+        ),
+        on="pid",
+    )
+
+    def to_triples(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": t.column("subj"),
+            "pred": pa.array(["kb:canonicalEntity"] * t.num_rows, pa.string()),
+            "obj": t.column("canonical_id"),
+            "obj_dt": pa.array(["@id"] * t.num_rows, pa.string()),
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+        })
+
+    return entity, link.map_batches(to_triples, batch_format="pyarrow")
+
+
+def conversation_entity_stats(triples: rd.Dataset, salt_k: int = 8) -> pd.DataFrame:
+    """Distinct entities referenced per conversation — the salted
+    groupby(conv_id) pattern for hot conversations (SURVEY.md §4):
+    phase 1 groups by (conv_id, salt=pid % salt_k) and counts distinct pids
+    inside each salted group; phase 2 sums the partial counts per conv_id.
+    Distinctness is preserved because salting partitions pid space.
+    """
+    from ray.data.aggregate import Sum
+
+    mentions = mentions_from_triples(triples)
+
+    def local(t: pa.Table) -> pa.Table:
+        salt = pc.bit_wise_and(t.column("pid"), pa.scalar(salt_k - 1, pa.int64()))
+        x = t.select(["conv_id", "pid"]).append_column("salt", salt)
+        agg = x.group_by(["conv_id", "salt", "pid"]).aggregate([])
+        return agg
+
+    pre = mentions.map_batches(local, batch_format="pyarrow")
+
+    def per_salted_group(g: pa.Table) -> pa.Table:
+        # one group = one (conv_id, salt): count distinct pids
+        agg = g.group_by(["conv_id", "salt"]).aggregate([("pid", "count_distinct")])
+        return agg.rename_columns(["conv_id", "salt", "n"])
+
+    counts = pre.groupby(["conv_id", "salt"]).map_groups(
+        per_salted_group, batch_format="pyarrow"
+    )
+    out = counts.groupby("conv_id").aggregate(Sum("n", alias_name="n_entities")).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)

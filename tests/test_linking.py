@@ -1,0 +1,109 @@
+"""Entity linking / canonicalization tests."""
+
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _triples_ds(n_convs=6):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.sources.transcripts import conversations_table
+
+    import ray.data as rd
+
+    tab = conversations_table(range(n_convs), 12)
+    return triples_from_transcripts(rd.from_arrow(tab), concurrency=2)
+
+
+def test_normalize_path_unifies_mft_and_prefetch_forms():
+    from case_uco_ontology_map_ray.pipelines.linking import normalize_path
+
+    a = normalize_path("C\\Windows\\Prefetch\\MALICIOUS.EXE-12345678.pf")
+    b = normalize_path("\\Windows\\Prefetch\\MALICIOUS.EXE-12345678.pf")
+    assert a == b == "windows/prefetch/malicious.exe-12345678.pf"
+    assert normalize_path("c:/Windows/x") == "windows/x"
+
+
+def test_mentions_extraction():
+    from case_uco_ontology_map_ray.pipelines.linking import mentions_from_triples
+
+    m = mentions_from_triples(_triples_ds()).to_pandas()
+    assert len(m) > 0
+    assert set(m.columns) == {"conv_id", "turn_idx", "subj", "path", "norm_path", "pid"}
+    # same normalized path -> same pid
+    g = m.groupby("norm_path").pid.nunique()
+    assert (g == 1).all()
+
+
+def test_canonical_entities_converge_and_link():
+    from case_uco_ontology_map_ray.pipelines.linking import canonical_entities
+
+    triples = _triples_ds()
+    entity, link = canonical_entities(triples, max_rounds=5)
+    ent = entity.to_pandas()
+    ln = link.to_pandas()
+    assert len(ent) > 0 and len(ln) > 0
+    # canonical id is a function of the component: every pid maps to exactly
+    # one canonical_id, and label rows agree with the path table
+    assert ent.groupby("pid").canonical_id.nunique().eq(1).all()
+    # exact duplicates collapse: a path equal to its canonical_path has
+    # canonical label == its own pid
+    self_rows = ent[ent.norm_path == ent.canonical_path]
+    assert (self_rows.label == self_rows.pid).all()
+    # every mention got linked
+    assert set(ln.pred.unique()) == {"kb:canonicalEntity"}
+    assert ln.obj.str.startswith("kb:entity-").all()
+    # determinism: rerun yields identical entity table
+    ent2 = canonical_entities(triples, max_rounds=5)[0].to_pandas()
+    key = ["pid", "label", "canonical_id"]
+    assert set(map(tuple, ent[key].values.tolist())) == set(map(tuple, ent2[key].values.tolist()))
+
+
+def test_near_duplicate_paths_share_component():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        _PathSketcher,
+        canonical_entities,
+    )
+
+    import pyarrow as pa
+
+    # two near-identical paths + one unrelated; feed as prebuilt triples
+    rows = [
+        ("s1", "uco-observable:filePath", "C\\Users\\Bob\\payload-alpha-0001.bin"),
+        ("s2", "uco-observable:filePath", "C\\Users\\Bob\\payload-alpha-0002.bin"),
+        ("s3", "uco-observable:filePath", "D\\totally\\other\\thing.txt"),
+    ]
+    t = pa.table({
+        "subj": [r[0] for r in rows],
+        "pred": [r[1] for r in rows],
+        "obj": [r[2] for r in rows],
+        "obj_dt": ["xsd:string"] * 3,
+        "conv_id": ["c1"] * 3,
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+    })
+    entity, _ = canonical_entities(rd.from_arrow(t), num_perm=32, bands=16)
+    ent = entity.to_pandas()
+    by_path = dict(zip(ent.norm_path, ent.canonical_id))
+    a = by_path["users/bob/payload-alpha-0001.bin"]
+    b = by_path["users/bob/payload-alpha-0002.bin"]
+    c = by_path["d/totally/other/thing.txt"]
+    assert a == b
+    assert c != a
+
+
+def test_conversation_entity_stats_salted():
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        conversation_entity_stats,
+        mentions_from_triples,
+    )
+
+    triples = _triples_ds()
+    out = conversation_entity_stats(triples, salt_k=4)
+    # cross-check against a driver-side pandas ground truth
+    m = mentions_from_triples(triples).to_pandas()
+    want = m.groupby("conv_id").pid.nunique()
+    got = dict(zip(out.conv_id, out.n_entities))
+    assert got == want.to_dict()
