@@ -103,6 +103,12 @@ class ArtifactMapper:
             (ontology_map.get("additional_details", {}) or {}).get("propertyFieldMap", {}) or {}
         )
 
+        # declared property local-names per node type IRI (validator input:
+        # map-declared properties are legal regardless of strict SHACL)
+        self.declared_props: dict[str, set[str]] = {}
+        for owner, props in (ontology_map.get("properties", {}) or {}).items():
+            self.declared_props[iri_for(owner)] = {p.split(":")[-1] for p in props}
+
         # prop localname -> facet owner for placement enforcement
         # (ref graph_generator.py:50-56; owner must end with exact "Facet")
         self.prop_to_facet: dict[str, str] = {}
