@@ -98,6 +98,27 @@ def _kg_conversation_entities(sf_dir: str):
     return conversation_entity_stats(triples)
 
 
+def _kg_validated(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import validated_triples
+
+    return validated_triples(_transcripts_for(sf_dir)).filter(expr="violation == ''")
+
+
+def _kg_violations(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        validated_triples,
+        violation_summary,
+    )
+
+    return violation_summary(validated_triples(_transcripts_for(sf_dir)))
+
+
+def _kg_coverage(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import coverage_by_artifact_type
+
+    return coverage_by_artifact_type(_transcripts_for(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from case_uco_ontology_map_ray.pipelines import analytics, corpus
 
@@ -109,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_canonicalization": _kg_entity_canonicalization,
         "kg_entity_links": _kg_entity_links,
         "kg_conversation_entities": _kg_conversation_entities,
+        "kg_validated_clean": _kg_validated,
+        "kg_violation_summary": _kg_violations,
+        "kg_coverage": _kg_coverage,
         # relational operator surface (DuckDB-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_revenue_orders": analytics.q3_top_revenue_orders,

@@ -1,0 +1,45 @@
+"""Fenced-JSON extraction + repair (reference utils.py:57-91) and the
+comment-stripping JSON cleaner (custom_facet.py:39-59) — needed when
+ingesting LLM-produced ontology-map configs."""
+
+from __future__ import annotations
+
+import json
+import re
+
+_FENCE_RE = re.compile(r"```(?:json)?\s*(.*?)```", re.DOTALL)
+_LINE_COMMENT_RE = re.compile(r"//[^\n\"]*$", re.MULTILINE)
+_UUID_RE = re.compile(
+    r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+)
+
+
+def extract_fenced_json(text: str) -> dict | list:
+    """Last ```json fence wins; truncate-to-last-brace repair on failure."""
+    matches = _FENCE_RE.findall(text)
+    candidate = matches[-1].strip() if matches else text.strip()
+    try:
+        return json.loads(candidate)
+    except json.JSONDecodeError:
+        end = candidate.rfind("}")
+        if end != -1:
+            return json.loads(candidate[: end + 1])
+        raise
+
+
+def clean_json_payload(text: str) -> dict:
+    """Trim to outermost braces, drop // line comments, parse."""
+    m = _FENCE_RE.search(text)
+    candidate = (m.group(1) if m else text).strip()
+    start, end = candidate.find("{"), candidate.rfind("}")
+    if start == -1 or end == -1:
+        raise ValueError("No JSON object detected")
+    candidate = candidate[start: end + 1]
+    cleaned = "\n".join(_LINE_COMMENT_RE.sub("", ln) for ln in candidate.splitlines())
+    return json.loads(cleaned)
+
+
+def extract_uuids(text: str) -> list[str]:
+    """UUIDs mentioned in validator feedback (reference validator.py:125-137)
+    -> the partial-invalidation list."""
+    return _UUID_RE.findall(text)

@@ -108,6 +108,70 @@ def distinct_triples(triples: rd.Dataset, num_parts: int = 256) -> rd.Dataset:
     return parted.groupby("__part").map_groups(finish, batch_format="pyarrow")
 
 
+def validated_triples(source: "str | rd.Dataset", concurrency=None,
+                      batch_size: int = 2048) -> rd.Dataset:
+    """Triples + violation column (stages.validate_stage); split with
+    ``.filter(expr="violation == ''")`` / ``!=``."""
+    from ..stages.validate_stage import ValidatingTurnTriples
+
+    if isinstance(source, str):
+        ds = rd.read_parquet(source, columns=TRIPLE_INPUT_COLUMNS)
+    else:
+        ds = source
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = max(1, cpus - 2)
+    return ds.map_batches(
+        ValidatingTurnTriples, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True, concurrency=concurrency,
+    )
+
+
+def violation_summary(validated: rd.Dataset):
+    """Failure-pattern rollup (reference memory.py:21-57): violations
+    Dataset -> groupby(rule).count, as pandas."""
+    from ..ops.agg import grouped_sums
+
+    import pandas as pd
+
+    bad = validated.filter(expr="violation != ''")
+    out = grouped_sums(bad, keys=["violation", "pred"], sum_cols={},
+                       count_alias="n")
+    if out.empty:
+        return pd.DataFrame({"violation": pd.Series(dtype="str"),
+                             "pred": pd.Series(dtype="str"),
+                             "n": pd.Series(dtype="int64")})
+    return out.sort_values(["n", "violation"], ascending=[False, True]).reset_index(drop=True)
+
+
+def coverage_by_artifact_type(source: "str | rd.Dataset", concurrency=None):
+    """A1 coverage stats: per artifact type, record count + field mapping
+    coverage (partial map-side stats + global sum)."""
+    from ..ops.agg import grouped_sums, round_away
+    from ..stages.kg_stage import CoverageStats
+
+    if isinstance(source, str):
+        ds = rd.read_parquet(source, columns=TRIPLE_INPUT_COLUMNS)
+    else:
+        ds = source
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = max(1, cpus - 2)
+    per_record = ds.map_batches(CoverageStats, batch_format="pyarrow",
+                                batch_size=2048, concurrency=concurrency)
+    out = grouped_sums(per_record, keys=["artifact_type"],
+                       sum_cols={"total_fields": "total_fields",
+                                 "mapped_fields": "mapped_fields",
+                                 "unmapped_fields": "unmapped_fields"},
+                       count_alias="n_records")
+    out["coverage"] = round_away(out.mapped_fields / out.total_fields, 4)
+    return out.sort_values("artifact_type").reset_index(drop=True)
+
+
 def sorted_turns(source: "str | rd.Dataset") -> rd.Dataset:
     """Stable (conv_id, turn_idx) ordering of transcript turns — the per-turn
     text-equality invariant's ordering contract (BASELINE.json input_hint)."""

@@ -44,6 +44,46 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
+class CoverageStats:
+    """Actor stage: per-record field-coverage rows (artifact_type, total,
+    mapped, unmapped) — the A1 coverage aggregate's map side; follow with a
+    groupby(artifact_type) sum (see pipelines.kg.coverage_by_artifact_type)."""
+
+    def __init__(self, ontology_maps: dict | None = None):
+        self._inner = TurnTriples(ontology_maps)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kg.mapping_tables import coverage_stats
+
+        mask = pc.and_(
+            pc.equal(batch.column("role"), pa.scalar("tool")),
+            pc.not_equal(batch.column("text"), pa.scalar("")),
+        )
+        tool_turns = batch.filter(mask)
+        atypes, totals, mapped, unmapped = [], [], [], []
+        for text in tool_turns.column("text").to_pylist():
+            try:
+                payload = json.loads(text)
+            except (json.JSONDecodeError, TypeError):
+                continue
+            atype = payload.get("artifact_type") if isinstance(payload, dict) else None
+            for record in extract_records(payload):
+                r_atype = record.get("artifact_type", atype)
+                mapper = self._inner._mapper_for(r_atype, record)
+                un = mapper.unmapped_fields(record, reserved=RESERVED_RECORD_KEYS)
+                st = coverage_stats(record, un, RESERVED_RECORD_KEYS)
+                atypes.append(r_atype or "")
+                totals.append(st["totalFields"])
+                mapped.append(st["mappedFields"])
+                unmapped.append(st["unmappedFields"])
+        return pa.table({
+            "artifact_type": pa.array(atypes, pa.string()),
+            "total_fields": pa.array(totals, pa.int64()),
+            "mapped_fields": pa.array(mapped, pa.int64()),
+            "unmapped_fields": pa.array(unmapped, pa.int64()),
+        })
+
+
 class TurnTriples:
     def __init__(self, ontology_maps: dict | None = None):
         self.ontology_maps = ontology_maps or ONTOLOGY_MAPS

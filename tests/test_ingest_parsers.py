@@ -1,0 +1,96 @@
+"""Input normalization, fenced-JSON repair, mapping-table parsing tests
+(reference parity: services.py:23-64, utils.py:57-91,
+ontology_synthesizer.py:20-151)."""
+
+import pytest
+
+from case_uco_ontology_map_ray.functions.jsonx import (
+    clean_json_payload,
+    extract_fenced_json,
+    extract_uuids,
+)
+from case_uco_ontology_map_ray.kg.mapping_tables import (
+    coverage_stats,
+    parse_markdown_mapping_tables,
+    referenced_fields,
+    unmapped_details,
+)
+from case_uco_ontology_map_ray.sources.ingest import (
+    normalize_input,
+    wrap_csv_payload,
+)
+
+
+def test_normalize_input_json_dict_and_text():
+    out = normalize_input({"a": 1})
+    assert out["format"] == "json" and out["raw_json"] == {"a": 1}
+    out = normalize_input('{"x": [1, 2]}')
+    assert out["format"] == "json" and out["raw_json"] == {"x": [1, 2]}
+    out = normalize_input("just some notes about the case")
+    assert out["format"] == "text" and out["raw_json"] is None
+
+
+def test_normalize_input_csv():
+    csv_text = "EntryNumber,FullPath\n42,\\Windows\\foo.pf\n314,\\Users\\doc.docx\n"
+    out = normalize_input(csv_text)
+    assert out["format"] == "csv"
+    assert out["raw_json"][0]["EntryNumber"] == "42"
+    assert len(out["raw_json"]) == 2
+
+
+def test_wrap_csv_payload_single_and_multi():
+    one = wrap_csv_payload([{"A": 1}], "MFT Records", "d", "s")
+    assert one["record"] == {"A": 1} and one["artifact_type"] == "MFT Records"
+    many = wrap_csv_payload([{"A": 1}, {"A": 2}], "MFT Records", None, None)
+    assert len(many["records"]) == 2 and "description" not in many
+
+
+def test_extract_fenced_json_with_repair():
+    text = 'noise\n```json\n{"a": 1}\n```\nmore\n```json\n{"b": 2}\n```'
+    assert extract_fenced_json(text) == {"b": 2}  # last fence wins
+    broken = '```json\n{"a": 1} trailing garbage\n```'
+    assert extract_fenced_json(broken) == {"a": 1}  # truncate-to-last-brace
+
+
+def test_clean_json_payload_strips_comments():
+    text = 'prefix {\n "a": 1, // comment\n "b": 2\n} suffix'
+    assert clean_json_payload(text) == {"a": 1, "b": 2}
+
+
+def test_extract_uuids():
+    s = "invalid node 5526ecaf-dfff-504e-b328-0b0a5af104c9 and others"
+    assert extract_uuids(s) == ["5526ecaf-dfff-504e-b328-0b0a5af104c9"]
+
+
+def test_parse_markdown_mapping_tables():
+    md = """
+| PROPERTY | ORIGIN | TYPE | MAPS TO FIELD |
+|----------|--------|------|---------------|
+| timesExecuted | WindowsPrefetchFacet | xsd:integer | RunCount |
+| filePath | | xsd:string | FullPath, SourceFilename |
+| unmappedThing | FileFacet | xsd:string | N/A |
+"""
+    inverse = {"filePath": ["FileFacet"]}
+    out = parse_markdown_mapping_tables(md, inverse)
+    assert out["WindowsPrefetchFacet"]["timesExecuted"] == ["RunCount"]
+    assert out["FileFacet"]["filePath"] == ["FullPath", "SourceFilename"]
+    assert "unmappedThing" not in out.get("FileFacet", {})
+
+
+def test_referenced_fields_and_unmapped_details():
+    assert referenced_fields('maps record["RunCount"] and record.FullPath') == {
+        "RunCount", "FullPath"
+    }
+    rec = {"Long": "x" * 200, "N": 5}
+    det = unmapped_details(rec, ["Long", "N", "Missing"])
+    by_field = {d["field"]: d for d in det}
+    assert by_field["Long"]["isTruncated"] and len(by_field["Long"]["sampleValue"]) == 120
+    assert by_field["N"]["sampleValue"] == 5 and by_field["N"]["valueType"] == "int"
+    assert "sampleValue" not in by_field["Missing"]
+
+
+def test_coverage_stats():
+    rec = {"artifact_type": "X", "A": 1, "B": 2, "C": 3}
+    st = coverage_stats(rec, ["C"], reserved=("artifact_type",))
+    assert st == {"totalFields": 3, "mappedFields": 2, "unmappedFields": 1,
+                  "coverage": 0.6667}
