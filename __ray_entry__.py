@@ -119,6 +119,19 @@ def _kg_coverage(sf_dir: str):
     return coverage_by_artifact_type(_transcripts_for(sf_dir))
 
 
+def _media_features(sf_dir: str):
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.multimodal import (
+        media_features,
+        synth_media_table,
+    )
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = {"sf0.001": 120, "sf0.01": 600, "sf0.1": 2400}.get(sf, 600)
+    return media_features(rd.from_arrow(synth_media_table(n)), batch_size=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from case_uco_ontology_map_ray.pipelines import analytics, corpus
 
@@ -155,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": corpus.similarity_topk,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "embedding_neardup": corpus.embedding_neardup,
+        # multimodal plumbing (deterministic fake codec; rows-only)
+        "media_features": _media_features,
     }
 
 

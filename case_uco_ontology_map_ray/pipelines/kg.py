@@ -34,12 +34,18 @@ def triples_from_transcripts(
     else:
         ds = source
     if concurrency is None:
-        # Size the actor pool to the cluster, leaving headroom for the
-        # read/write stages so no stage starves (ray_guide: pool sizing).
-        import ray
+        # Default: stateless tasks with a per-worker-process compiled-stage
+        # cache — fully elastic, no actor-pool ramp-up (the compiled state
+        # is <1 ms to build). Pass an explicit concurrency to run the same
+        # stage as a bounded actor pool instead.
+        from ..stages.kg_stage import turn_triples_fn
 
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        concurrency = max(1, cpus - 2)
+        return ds.map_batches(
+            turn_triples_fn,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     return ds.map_batches(
         TurnTriples,
         batch_format="pyarrow",

@@ -44,6 +44,24 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
+_PROCESS_STAGE: "TurnTriples | None" = None
+
+
+def turn_triples_fn(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of the triple stage.
+
+    The compiled mapper state is cheap (<1 ms) and deterministic, so it can
+    live in a per-worker-process global instead of an actor: Ray tasks reuse
+    warm worker processes, which removes actor-pool ramp-up from the
+    critical path and lets the scheduler run the stage fully elastically.
+    Use the ``TurnTriples`` class form when injecting custom ontology maps.
+    """
+    global _PROCESS_STAGE
+    if _PROCESS_STAGE is None:
+        _PROCESS_STAGE = TurnTriples()
+    return _PROCESS_STAGE(batch)
+
+
 class CoverageStats:
     """Actor stage: per-record field-coverage rows (artifact_type, total,
     mapped, unmapped) — the A1 coverage aggregate's map side; follow with a
