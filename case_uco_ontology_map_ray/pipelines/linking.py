@@ -69,8 +69,11 @@ def mentions_from_triples(triples: rd.Dataset) -> rd.Dataset:
         paths = m.column("obj").to_pylist()
         norm = [normalize_path(p) for p in paths]
         pid = [np.int64(stable_hash64(p) >> 1) for p in norm]
+        conv = m.column("conv_id")
+        if pa.types.is_dictionary(conv.type):
+            conv = conv.cast(pa.string())  # arrow group_by keys need plain strings
         return pa.table({
-            "conv_id": m.column("conv_id"),
+            "conv_id": conv,
             "turn_idx": m.column("turn_idx"),
             "subj": m.column("subj"),
             "path": m.column("obj"),
