@@ -57,7 +57,7 @@ def run_bench() -> dict:
 
     from case_uco_ontology_map_ray.pipelines import analytics
     from case_uco_ontology_map_ray.pipelines.kg import (
-        distinct_triples,
+        distinct_triples_by_record,
         triples_from_transcripts,
     )
 
@@ -108,7 +108,7 @@ def run_bench() -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    distinct_triples(triples_from_transcripts(slice_dir)).write_parquet(out_dir)
+    distinct_triples_by_record(slice_dir).write_parquet(out_dir)
     queries["kg_distinct_write"] = round(time.perf_counter() - t0, 3)
 
     # --- relational surface at GRAFT_SF_DIR ---

@@ -108,3 +108,13 @@ def test_pipeline_end_to_end(tmp_path):
     assert set(map(tuple, again[key].values.tolist())) == set(
         map(tuple, raw_df[key].values.tolist())
     )
+
+    # record-level dedup (shuffle-before-expansion) emits the same triple
+    # key set as triple-level dedup
+    from case_uco_ontology_map_ray.pipelines.kg import distinct_triples_by_record
+
+    br = distinct_triples_by_record(src).to_pandas()
+    tkey = ["subj", "pred", "obj", "obj_dt"]
+    assert set(map(tuple, br[tkey].values.tolist())) == set(
+        map(tuple, df[tkey].values.tolist())
+    )
