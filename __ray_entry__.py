@@ -119,6 +119,12 @@ def _kg_coverage(sf_dir: str):
     return coverage_by_artifact_type(_transcripts_for(sf_dir))
 
 
+def _kg_custom_facet_defs(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import custom_facet_definitions
+
+    return custom_facet_definitions(_transcripts_for(sf_dir))
+
+
 def _media_features(sf_dir: str):
     import ray.data as rd
 
@@ -146,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_validated_clean": _kg_validated,
         "kg_violation_summary": _kg_violations,
         "kg_coverage": _kg_coverage,
+        "kg_custom_facet_defs": _kg_custom_facet_defs,
         # relational operator surface (DuckDB-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_revenue_orders": analytics.q3_top_revenue_orders,

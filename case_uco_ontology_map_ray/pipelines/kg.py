@@ -287,6 +287,79 @@ def coverage_by_artifact_type(source: "str | rd.Dataset", concurrency=None):
     return out.sort_values("artifact_type").reset_index(drop=True)
 
 
+def custom_facet_definitions(source: "str | rd.Dataset", concurrency=None):
+    """T4 as a distributed aggregate: per artifact type (custom-facet path
+    only), the deterministic dfc-ext facet definition + TTL stub inferred
+    from that type's record schema — a groupby(artifact_type) over
+    field-signature rows (reference custom_facet.py:122-222 semantics,
+    computed once per type instead of per payload)."""
+    import json as _json
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..config import FALLBACK_ONTOLOGY_MAP, ONTOLOGY_MAPS, RESERVED_RECORD_KEYS
+    from ..kg.custom_facets import generate_custom_facets
+    from ..kg.mapper import ArtifactMapper
+    from ..kg.records import extract_records
+
+    if isinstance(source, str):
+        ds = rd.read_parquet(source, columns=["role", "text"])
+    else:
+        ds = source
+
+    known = set(ONTOLOGY_MAPS)
+
+    def sigs(t: "pa.Table") -> "pa.Table":
+        mask = pc.and_(pc.equal(t.column("role"), "tool"),
+                       pc.not_equal(t.column("text"), ""))
+        atypes, sig_rows, samples = [], [], []
+        for text in t.filter(mask).column("text").to_pylist():
+            try:
+                payload = _json.loads(text)
+            except (ValueError, TypeError):
+                continue
+            for record in extract_records(payload):
+                atype = record.get("artifact_type")
+                if atype in known:
+                    continue
+                fields = tuple(sorted(k for k in record
+                                      if k not in RESERVED_RECORD_KEYS))
+                atypes.append(atype or "")
+                sig_rows.append(_json.dumps(fields))
+                samples.append(_json.dumps(record, sort_keys=True))
+        t2 = pa.table({"artifact_type": pa.array(atypes, pa.string()),
+                       "field_sig": pa.array(sig_rows, pa.string()),
+                       "sample": pa.array(samples, pa.string())})
+        # combiner: one sample per (type, signature), smallest sample wins
+        agg = t2.group_by(["artifact_type", "field_sig"]).aggregate([("sample", "min")])
+        return agg.rename_columns(["artifact_type", "field_sig", "sample"])
+
+    pre = ds.map_batches(sigs, batch_format="pyarrow")
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["field_sig", "sample"])
+        atype = g["artifact_type"].iloc[0]
+        record = _json.loads(g["sample"].iloc[0])
+        base = ArtifactMapper(FALLBACK_ONTOLOGY_MAP)
+        unmapped = base.unmapped_fields(record, reserved=RESERVED_RECORD_KEYS)
+        details = [{"field": f, "sampleValue": record.get(f)} for f in unmapped]
+        custom, _updated, ttl = generate_custom_facets(
+            details, record, atype, FALLBACK_ONTOLOGY_MAP
+        )
+        if not custom:
+            return pd.DataFrame({"artifact_type": [], "facet_name": [],
+                                 "properties": [], "ttl": []})
+        facet_name = next(iter(custom["facetDefinitions"]))
+        props = _json.dumps(custom["facetDefinitions"][facet_name]["properties"],
+                            sort_keys=True)
+        return pd.DataFrame({"artifact_type": [atype], "facet_name": [facet_name],
+                             "properties": [props], "ttl": [ttl]})
+
+    out = pre.groupby("artifact_type").map_groups(per_type, batch_format="pandas")
+    return out.to_pandas().sort_values("artifact_type").reset_index(drop=True)
+
+
 def sorted_turns(source: "str | rd.Dataset") -> rd.Dataset:
     """Stable (conv_id, turn_idx) ordering of transcript turns — the per-turn
     text-equality invariant's ordering contract (BASELINE.json input_hint)."""
