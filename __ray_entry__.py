@@ -162,6 +162,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_activity": analytics.hourly_user_activity,
         "customer_order_totals": analytics.customer_order_totals,
         "supplier_part_join": analytics.supplier_part_join,
+        "q6_revenue_delta": analytics.q6_revenue_delta,
+        "nation_order_volume": analytics.nation_order_volume,
+        "customers_without_orders": analytics.customers_without_orders,
+        "event_sessions": analytics.event_sessions,
+        "top_tokens": corpus.top_tokens,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_minhash_documents": corpus.dedup_minhash_documents,
@@ -252,6 +257,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand
             ORDER BY revenue DESC, p_brand
             LIMIT 10
+        """,
+        "q6_revenue_delta": """
+            SELECT round(CAST(coalesce(sum(l_extendedprice * l_discount), 0)
+                              AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "nation_order_volume": """
+            SELECT r_name, n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "customers_without_orders": """
+            SELECT count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "event_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sessions AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events
+            FROM sessions
+            GROUP BY user_id, session_id
+            ORDER BY n_events DESC, user_id, session_start
+            LIMIT 15
+        """,
+        "top_tokens": """
+            SELECT tok, count(*) AS n
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY n DESC, tok
+            LIMIT 20
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id FROM documents

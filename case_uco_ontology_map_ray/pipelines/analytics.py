@@ -187,6 +187,102 @@ def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out[["c_custkey", "c_name", "n_orders", "total"]].reset_index(drop=True)
 
 
+def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-style scalar aggregate: revenue delta from discount band
+    (vectorized filter + global sum, no groupby)."""
+    lo = np.datetime64("1995-01-01T00:00:00", "us")
+    hi = np.datetime64("1996-01-01T00:00:00", "us")
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t.column("l_shipdate"), pa.scalar(lo)),
+                    pc.less(t.column("l_shipdate"), pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
+                        pc.less_equal(t.column("l_discount"), pa.scalar(0.07))),
+                pc.less(t.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        f = t.filter(m)
+        rev = pc.multiply(f.column("l_extendedprice"), f.column("l_discount"))
+        return pa.table({"rev": rev})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    total = parts.sum("rev") or 0.0
+    return pd.DataFrame({"revenue": [float(round_away(total, 2))]})
+
+
+def nation_order_volume(sf_dir: str) -> pd.DataFrame:
+    """Q5-flavoured multi-join via broadcast dimensions: order value by
+    customer nation (region/nation/customer are small sides — one pandas
+    merge chain broadcast once; orders stream)."""
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    region = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"]).to_pandas()
+    dims = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "n_name", "r_name"]]
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_join(orders, dims, on="c_custkey")
+    out = grouped_sums(joined, keys=["r_name", "n_name"],
+                       sum_cols={"total": "o_totalprice"}, count_alias="n_orders")
+    out["total"] = round_away(out["total"], 2)
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers that placed no orders (broadcast key-set filter,
+    negated)."""
+    okeys = (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+        .map_batches(lambda t: t.group_by(["o_custkey"]).aggregate([]),
+                     batch_format="pyarrow")
+        .to_pandas()["o_custkey"].unique()
+    )
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    out = semi_filter(cust, okeys, "c_custkey", negate=True).to_pandas()
+    return pd.DataFrame({"n_customers": [len(out)]})
+
+
+def event_sessions(sf_dir: str, gap_minutes: int = 30, k: int = 15) -> pd.DataFrame:
+    """Gap-based sessionization per user: sort within user group, split on
+    >gap inactivity, count events per session; top-k longest sessions.
+    The streaming-shaped op as groupby(key).map_groups over ts-sorted groups
+    (ray_guide §Streaming). Oracle: SQL window lag + cumulative sum.
+    """
+    import numpy as np
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        t = g["ts"].astype("int64").to_numpy()
+        new_session = np.ones(len(t), dtype=np.int64)
+        new_session[1:] = (np.diff(t) > gap_us).astype(np.int64)
+        sid = np.cumsum(new_session)
+        out = g.assign(session_id=sid).groupby("session_id").agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+        )
+        return out.reset_index(drop=True)
+
+    sessions = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = sessions.to_pandas()
+    out = out.sort_values(["n_events", "user_id", "session_start"],
+                          ascending=[False, True, True]).head(k)
+    return out[["user_id", "session_start", "n_events"]].reset_index(drop=True)
+
+
 def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Bucketed large-large join demo: lineitem x part on partkey, revenue by
     brand (the bucket join is the portable hash-partitioned join shape)."""

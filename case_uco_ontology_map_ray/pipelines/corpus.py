@@ -64,6 +64,29 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Token frequency: explode whitespace tokens (flat-map shape inside
+    map_batches) -> partial counts per batch -> global sum -> top-k."""
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums
+
+    ds = _docs(sf_dir, ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(t.column("text")))
+        one = pa.table({"tok": toks})
+        agg = one.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "n_part"])
+
+    parts = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(parts, keys=["tok"], sum_cols={"n": "n_part"})
+    out["n"] = out["n"].astype("int64")
+    out = out[out.tok != ""]
+    return (out.sort_values(["n", "tok"], ascending=[False, True])
+            .head(k)[["tok", "n"]].reset_index(drop=True))
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     """The embedding of vec_id 0 — a fixed, reproducible query."""
     t = (
