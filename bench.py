@@ -111,6 +111,14 @@ def run_bench() -> dict:
     distinct_triples_by_record(slice_dir).write_parquet(out_dir)
     queries["kg_distinct_write"] = round(time.perf_counter() - t0, 3)
 
+    # --- entity canonicalization (LSH blocking + union-find) on the slice ---
+    from case_uco_ontology_map_ray.pipelines.linking import canonical_entities
+
+    t0 = time.perf_counter()
+    _entity, link = canonical_entities(triples_from_transcripts(slice_dir))
+    extras["n_entity_links"] = link.count()
+    queries["kg_canonicalize"] = round(time.perf_counter() - t0, 3)
+
     # --- relational surface at GRAFT_SF_DIR ---
     for name, fn in [
         ("q1_pricing_summary", analytics.q1_pricing_summary),

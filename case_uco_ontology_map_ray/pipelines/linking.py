@@ -188,16 +188,56 @@ def _label_checksum(labels: rd.Dataset) -> int:
     return int(parts["s"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64))
 
 
+def _labels_vectorized(band: np.ndarray, pid: np.ndarray,
+                       max_rounds: int) -> tuple[np.ndarray, np.ndarray]:
+    """Min-label propagation over (band, pid) incidence, fully vectorized.
+
+    Same fixpoint as ``propagate_labels`` (min is order-independent), but as
+    numpy segment-mins — used when the distinct-path set fits one node
+    (labels are 16 bytes/path: 10^8 paths ≈ 1.6 GB, far under a worker
+    heap). Returns (unique_pids, final_labels).
+    """
+    order = np.argsort(band, kind="stable")
+    b_sorted = band[order]
+    seg_starts = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
+    seg_lengths = np.diff(np.r_[seg_starts, len(b_sorted)])
+
+    uniq, inv = np.unique(pid, return_inverse=True)
+    inv_sorted = inv[order]
+    lab = uniq.copy()
+    for _ in range(max_rounds):
+        row_lab = lab[inv_sorted]
+        bmin = np.minimum.reduceat(row_lab, seg_starts)
+        bmin_rows = np.repeat(bmin, seg_lengths)
+        new = lab.copy()
+        np.minimum.at(new, inv_sorted, bmin_rows)
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return uniq, lab
+
+
 def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
-                       max_rounds: int = 5) -> tuple[rd.Dataset, rd.Dataset]:
+                       max_rounds: int = 5,
+                       small_threshold: int = 5_000_000) -> tuple[rd.Dataset, rd.Dataset]:
     """Full canonicalization. Returns (entity_table, link_triples).
 
     entity_table: (pid, norm_path, label, canonical_path, canonical_id)
     link_triples: (subj, pred=kb:canonicalEntity, obj=kb:entity-<uuid5>,
                    obj_dt=@id, conv_id, turn_idx)
+
+    Adaptive strategy on the DISTINCT-PATH set (always orders of magnitude
+    smaller than the mention stream):
+    - <= small_threshold paths: vectorized numpy label propagation + a
+      broadcast pid->canonical_id map for the link join (no shuffles beyond
+      the distinct-paths dedup);
+    - larger: the fully distributed groupby-aggregate rounds
+      (``propagate_labels``) + bucketed joins.
+    Both paths compute the identical fixpoint (min-label is commutative).
     """
     mentions = triples if "pid" in triples.schema().names else mentions_from_triples(triples)
-    paths = distinct_paths(mentions).materialize()  # small: one row per path
+    paths = distinct_paths(mentions).materialize()  # one row per distinct path
+    n_paths = paths.count()
 
     from ..ops.dedup import _pool
 
@@ -206,13 +246,53 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
         batch_format="pyarrow", concurrency=_pool(),
     ).materialize()
 
+    if n_paths <= small_threshold:
+        inc = incidence.to_pandas()
+        uniq, lab = _labels_vectorized(
+            inc["band"].to_numpy(), inc["pid"].to_numpy(), max_rounds
+        )
+        pdf = paths.to_pandas()
+        pid_to_path = dict(zip(pdf["pid"], pdf["norm_path"]))
+        lab_map = dict(zip(uniq.tolist(), lab.tolist()))
+        pdf["label"] = pdf["pid"].map(lab_map).fillna(pdf["pid"]).astype("int64")
+        pdf["canonical_path"] = pdf["label"].map(pid_to_path)
+        pdf["canonical_id"] = [
+            f"kb:entity-{uuid5_str(NS_ENTITY, p)}" for p in pdf["canonical_path"]
+        ]
+        entity = rd.from_pandas(pdf)
+        canon_map = dict(zip(pdf["pid"], pdf["canonical_id"]))
+
+        import ray
+
+        ref = ray.put(canon_map)
+
+        class LinkJoin:
+            def __init__(self):
+                self.canon = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                canon = self.canon
+                ids = [canon.get(p, "") for p in t.column("pid").to_pylist()]
+                return pa.table({
+                    "subj": t.column("subj"),
+                    "pred": pa.array(["kb:canonicalEntity"] * t.num_rows, pa.string()),
+                    "obj": pa.array(ids, pa.string()),
+                    "obj_dt": pa.array(["@id"] * t.num_rows, pa.string()),
+                    "conv_id": t.column("conv_id"),
+                    "turn_idx": t.column("turn_idx"),
+                })
+
+        link = mentions.map_batches(LinkJoin, batch_format="pyarrow",
+                                    concurrency=_pool())
+        return entity, link
+
+    # ---- distributed path (label table too large to broadcast) ----
     labels = paths.map_batches(
         lambda t: pa.table({"pid": t.column("pid"), "label": t.column("pid")}),
         batch_format="pyarrow",
     )
     labels, rounds, converged = propagate_labels(incidence, labels, max_rounds)
 
-    # canonical path string per component: label == pid row of the path table
     canon = bucket_join(
         labels,
         paths.map_batches(

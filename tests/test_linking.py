@@ -94,6 +94,20 @@ def test_near_duplicate_paths_share_component():
     assert c != a
 
 
+def test_small_and_distributed_paths_agree():
+    """The vectorized small-mode and the distributed groupby-round mode must
+    compute the identical canonical assignment."""
+    from case_uco_ontology_map_ray.pipelines.linking import canonical_entities
+
+    triples = _triples_ds(4)
+    small = canonical_entities(triples, max_rounds=5)[0].to_pandas()
+    dist = canonical_entities(triples, max_rounds=5, small_threshold=0)[0].to_pandas()
+    key = ["pid", "label", "canonical_id"]
+    assert set(map(tuple, small[key].values.tolist())) == set(
+        map(tuple, dist[key].values.tolist())
+    )
+
+
 def test_conversation_entity_stats_salted():
     from case_uco_ontology_map_ray.pipelines.linking import (
         conversation_entity_stats,
