@@ -119,6 +119,12 @@ def _kg_coverage(sf_dir: str):
     return coverage_by_artifact_type(_transcripts_for(sf_dir))
 
 
+def _kg_jsonld_docs(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.jsonld import jsonld_from_transcripts
+
+    return jsonld_from_transcripts(_transcripts_for(sf_dir))
+
+
 def _kg_custom_facet_defs(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import custom_facet_definitions
 
@@ -153,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_violation_summary": _kg_violations,
         "kg_coverage": _kg_coverage,
         "kg_custom_facet_defs": _kg_custom_facet_defs,
+        "kg_jsonld_docs": _kg_jsonld_docs,
         # relational operator surface (DuckDB-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_revenue_orders": analytics.q3_top_revenue_orders,

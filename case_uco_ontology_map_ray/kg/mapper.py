@@ -274,10 +274,14 @@ class ArtifactMapper:
         fp, n = self.process_record_into(record, *cols)
         return fp, list(zip(*cols)) if n else []
 
-    def process_record_into(self, record: dict, subj_l: list, pred_l: list,
-                            obj_l: list, dt_l: list) -> tuple[str, int]:
-        """Hot-path variant: append triples straight into column lists
-        (no per-triple tuple allocation). Returns (fingerprint, n_emitted).
+    def compose_nodes(self, record: dict) -> tuple[str, list[str], dict[str, dict]]:
+        """Deterministic chain up to the composed JSON-LD node set.
+
+        Returns (fingerprint, node_order, {uuid: node}) where each node is
+        ``{"@type": iri, <qualified props with RAW values>...}`` plus
+        ``uco-core:hasFacet`` as a list of facet uuids on the parent —
+        exactly the reference's composed ``@graph`` minus the ``@id`` key
+        (the dict key is the id).
         """
         fp, plan, types = self.plan_record(record)
         properties, raw = self.route_properties(record, plan)
@@ -362,6 +366,15 @@ class ArtifactMapper:
                         if nodes.get(fu, {}).get("@type") == target_type:
                             nodes[fu][p] = node.pop(p)
                             break
+
+        return fp, node_order, nodes
+
+    def process_record_into(self, record: dict, subj_l: list, pred_l: list,
+                            obj_l: list, dt_l: list) -> tuple[str, int]:
+        """Hot-path variant: append triples straight into column lists
+        (no per-triple tuple allocation). Returns (fingerprint, n_emitted).
+        """
+        fp, node_order, nodes = self.compose_nodes(record)
 
         # Flatten to triples (column-wise: no per-triple tuples)
         n0 = len(subj_l)

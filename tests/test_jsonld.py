@@ -1,0 +1,46 @@
+"""JSON-LD document output — golden parity with the reference's composed
+graphs (tests/goldens/*_graph.json came from the reference's own
+deterministic generator)."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from case_uco_ontology_map_ray.pipelines.jsonld import jsonld_for_payload
+from tests.test_kg_core import MFT_PAYLOAD, PREFETCH_PAYLOAD
+
+GOLDENS = Path(__file__).parent / "goldens"
+
+
+def _norm(doc):
+    return json.loads(json.dumps(doc, sort_keys=True))
+
+
+@pytest.mark.parametrize("name,payload", [
+    ("prefetch", PREFETCH_PAYLOAD),
+    ("mft", MFT_PAYLOAD),
+])
+def test_jsonld_document_matches_reference_golden(name, payload):
+    with open(GOLDENS / f"{name}_graph.json") as f:
+        want = json.load(f)
+    got = _norm(jsonld_for_payload(payload))
+    assert got["@context"] == want["@context"]
+    # node order and full content must match the reference's composed graph
+    assert got["@graph"] == want["@graph"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonld_stage_over_transcripts():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.jsonld import jsonld_from_transcripts
+    from case_uco_ontology_map_ray.sources.transcripts import conversations_table
+
+    ds = rd.from_arrow(conversations_table(range(4), 12))
+    out = jsonld_from_transcripts(ds, concurrency=2).to_pandas()
+    assert len(out) > 0
+    doc = json.loads(out.jsonld.iloc[0])
+    assert "@context" in doc and "@graph" in doc
+    for node in doc["@graph"]:
+        assert "@id" in node and "@type" in node
