@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_volume": analytics.nation_order_volume,
         "customers_without_orders": analytics.customers_without_orders,
         "event_sessions": analytics.event_sessions,
+        "purchase_last_click": analytics.purchase_last_click,
         "top_tokens": corpus.top_tokens,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
@@ -309,6 +310,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_id
             ORDER BY n_events DESC, user_id, session_start
             LIMIT 15
+        """,
+        "purchase_last_click": """
+            SELECT a.event_id, a.user_id, a.ts, b.ts AS prev_click_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') a
+            ASOF JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') b
+              ON a.user_id = b.user_id AND a.ts > b.ts
+            ORDER BY a.event_id
         """,
         "top_tokens": """
             SELECT tok, count(*) AS n

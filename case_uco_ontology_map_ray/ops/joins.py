@@ -77,6 +77,63 @@ def _mix_bucket(key_col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     return pc.subtract(x, pc.multiply(pc.divide(x, b), b))
 
 
+def asof_join(left, right, on: str, ts: str, right_ts_name: str,
+              num_buckets: int = 32, strict: bool = True):
+    """As-of join: for each left row, the latest right row with
+    ``right.ts < left.ts`` (``<=`` when strict=False) per key.
+
+    Shape (ray_guide §Joins): hash-bucket both sides on the key, sort within
+    each bucket by (key, ts), ``pd.merge_asof`` per bucket. Rows without a
+    prior right match are dropped (inner as-of). The right ts is emitted as
+    ``right_ts_name``.
+    """
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+
+    def prepare(side_tag):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = t.select([on, ts]) if side_tag == 1 else t
+            out = keep.append_column("__bucket", _mix_bucket(t.column(on), num_buckets))
+            return out.append_column("__side", pa.array([side_tag] * t.num_rows, pa.int8()))
+
+        return fn
+
+    lt = left.map_batches(prepare(0), batch_format="pyarrow")
+    # right side reduced to (key, ts) then aligned to left's schema with nulls
+    rt = right.map_batches(prepare(1), batch_format="pyarrow")
+
+    def align(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in left_cols:
+            names.append(c)
+            if c in t.column_names:
+                arrays.append(t.column(c))
+            else:
+                arrays.append(pa.nulls(t.num_rows, type=lschema.types[left_cols.index(c)]))
+        out = pa.table(dict(zip(names, arrays)))
+        out = out.append_column("__bucket", t.column("__bucket"))
+        return out.append_column("__side", t.column("__side"))
+
+    both = lt.map_batches(align, batch_format="pyarrow").union(
+        rt.map_batches(align, batch_format="pyarrow")
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lg = g.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        rg = g.filter(pc.equal(side, 1)).select([on, ts]).to_pandas()
+        rg = rg.rename(columns={ts: right_ts_name})
+        lg = lg.sort_values(ts, kind="mergesort")
+        rg = rg.sort_values(right_ts_name, kind="mergesort")
+        out = pd.merge_asof(lg, rg, left_on=ts, right_on=right_ts_name,
+                            by=on, direction="backward",
+                            allow_exact_matches=not strict)
+        out = out.dropna(subset=[right_ts_name])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def bucket_join(left, right, on: str, num_buckets: int = 32, how: str = "inner"):
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)

@@ -283,6 +283,29 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30, k: int = 15) -> pd.DataFr
     return out[["user_id", "session_start", "n_events"]].reset_index(drop=True)
 
 
+def purchase_last_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each purchase event, the most recent STRICTLY-prior
+    click by the same user (ops.joins.asof_join; oracle: DuckDB ASOF JOIN)."""
+    from ..ops.joins import asof_join
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")).select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts="ts",
+                    right_ts_name="prev_click_ts").to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    for c in ("ts", "prev_click_ts"):
+        out[c] = out[c].astype("datetime64[us]")
+    return out[["event_id", "user_id", "ts", "prev_click_ts"]]
+
+
 def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Bucketed large-large join demo: lineitem x part on partkey, revenue by
     brand (the bucket join is the portable hash-partitioned join shape)."""
