@@ -131,6 +131,23 @@ def _kg_custom_facet_defs(sf_dir: str):
     return custom_facet_definitions(_transcripts_for(sf_dir))
 
 
+def _approx_stats(sf_dir: str):
+    """HLL distinct users + histogram value quantiles (mergeable sketches;
+    approximate by design — rows-only check, accuracy asserted in tests)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sketches import approx_distinct, approx_quantiles
+
+    users = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    vals = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    est = approx_distinct(users, "user_id")
+    q50, q90, q99 = approx_quantiles(vals, "value", [0.5, 0.9, 0.99], 0.0, 1000.0)
+    return pd.DataFrame({"approx_distinct_users": [round(est, 1)],
+                         "value_p50": [round(q50, 2)], "value_p90": [round(q90, 2)],
+                         "value_p99": [round(q99, 2)]})
+
+
 def _media_features(sf_dir: str):
     import ray.data as rd
 
@@ -188,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": corpus.similarity_topk,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "embedding_neardup": corpus.embedding_neardup,
+        # sketch aggregates (approximate by design; rows-only)
+        "approx_stats": _approx_stats,
         # multimodal plumbing (deterministic fake codec; rows-only)
         "media_features": _media_features,
     }

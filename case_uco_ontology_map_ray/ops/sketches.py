@@ -1,0 +1,141 @@
+"""Mergeable sketch aggregates: HyperLogLog distinct counting and a
+fixed-bin histogram quantile sketch.
+
+The at-scale aggregation pattern (ray_guide §Aggregation): each batch emits
+ONE serialized sketch row; a tiny second stage merges them — the shuffle
+moves O(batches) sketches instead of O(rows) values. Both sketches are
+deterministic (seeded hashing, fixed bins) so results are identical across
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------- HyperLogLog
+class HyperLogLog:
+    """Classic HLL (Flajolet et al.): 2^p registers over a seeded 64-bit
+    hash; merge = elementwise max; estimate with small/large-range
+    corrections."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        lz = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nonzero = rest != 0
+        if nonzero.any():
+            r = rest[nonzero]
+            lead = np.zeros(len(r), dtype=np.uint8)
+            cur = r.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+                lead[mask] += shift
+                cur[mask] = cur[mask] << np.uint64(shift)
+            lz[nonzero] = lead + 1
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        return HyperLogLog(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.power(2.0, -self.registers.astype(np.float64)).sum()
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        return cls(p, np.frombuffer(b, dtype=np.uint8).copy())
+
+
+def _hash_ints(values: np.ndarray, seed: int = 0x9E3779B9) -> np.ndarray:
+    x = values.astype(np.uint64) + np.uint64(seed)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Distributed approximate count-distinct: one HLL per batch, merged."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        vals = t.column(column).to_numpy(zero_copy_only=False)
+        hll.add_hashes(_hash_ints(vals))
+        return pa.table({"sketch": pa.array([hll.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow")
+    merged = HyperLogLog(p)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for raw in b.column("sketch").to_pylist():
+            merged = merged.merge(HyperLogLog.from_bytes(raw, p))
+    return merged.estimate()
+
+
+# ------------------------------------------------------- histogram quantiles
+class FixedHistogram:
+    """Mergeable fixed-bin histogram over a known value range; quantiles by
+    linear interpolation within bins. Deterministic and order-independent."""
+
+    def __init__(self, lo: float, hi: float, bins: int = 512,
+                 counts: np.ndarray | None = None):
+        self.lo, self.hi, self.bins = lo, hi, bins
+        self.counts = counts if counts is not None else np.zeros(bins, dtype=np.int64)
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.clip(values, self.lo, self.hi)
+        idx = ((v - self.lo) / (self.hi - self.lo) * (self.bins - 1)).astype(np.int64)
+        np.add.at(self.counts, idx, 1)
+
+    def merge(self, other: "FixedHistogram") -> "FixedHistogram":
+        return FixedHistogram(self.lo, self.hi, self.bins, self.counts + other.counts)
+
+    def quantile(self, q: float) -> float:
+        total = self.counts.sum()
+        if total == 0:
+            return float("nan")
+        target = q * total
+        cum = np.cumsum(self.counts)
+        i = int(np.searchsorted(cum, target))
+        i = min(i, self.bins - 1)
+        prev = cum[i - 1] if i else 0
+        within = (target - prev) / max(1, self.counts[i])
+        width = (self.hi - self.lo) / (self.bins - 1)
+        return float(self.lo + (i + within) * width)
+
+
+def approx_quantiles(ds, column: str, quantiles: list[float],
+                     lo: float, hi: float, bins: int = 512) -> list[float]:
+    """Distributed approximate quantiles: one histogram per batch, merged."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = FixedHistogram(lo, hi, bins)
+        h.add(t.column(column).to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"counts": pa.array([h.counts.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow")
+    merged = FixedHistogram(lo, hi, bins)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for raw in b.column("counts").to_pylist():
+            merged = merged.merge(
+                FixedHistogram(lo, hi, bins, np.frombuffer(raw, dtype=np.int64).copy())
+            )
+    return [merged.quantile(q) for q in quantiles]
