@@ -119,13 +119,20 @@ def run_bench() -> dict:
     extras["n_entity_links"] = link.count()
     queries["kg_canonicalize"] = round(time.perf_counter() - t0, 3)
 
-    # --- relational surface at GRAFT_SF_DIR ---
+    # --- relational + corpus surface at GRAFT_SF_DIR ---
+    from case_uco_ontology_map_ray.pipelines import corpus
+
     for name, fn in [
         ("q1_pricing_summary", analytics.q1_pricing_summary),
         ("q3_top_revenue_orders", analytics.q3_top_revenue_orders),
         ("top_event_types", analytics.top_event_types),
         ("hourly_user_activity", analytics.hourly_user_activity),
         ("supplier_part_join", analytics.supplier_part_join),
+        ("event_sessions", analytics.event_sessions),
+        ("purchase_last_click", analytics.purchase_last_click),
+        ("dedup_minhash_documents", corpus.dedup_minhash_documents),
+        ("similarity_topk", corpus.similarity_topk),
+        ("doc_quality", corpus.doc_quality),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)
