@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": analytics.customers_without_orders,
         "event_sessions": analytics.event_sessions,
         "purchase_last_click": analytics.purchase_last_click,
+        "rolling_hour_counts": analytics.rolling_hour_counts,
         "top_tokens": corpus.top_tokens,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
@@ -329,6 +330,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_id
             ORDER BY n_events DESC, user_id, session_start
             LIMIT 15
+        """,
+        "rolling_hour_counts": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS n_last_hour
+            FROM events
+            ORDER BY n_last_hour DESC, event_id
+            LIMIT 25
         """,
         "purchase_last_click": """
             SELECT a.event_id, a.user_id, a.ts, b.ts AS prev_click_ts

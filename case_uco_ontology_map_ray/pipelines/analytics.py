@@ -306,6 +306,34 @@ def purchase_last_click(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "user_id", "ts", "prev_click_ts"]]
 
 
+def rolling_hour_counts(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Sliding-window aggregate: for each event, the number of events by the
+    same user in the preceding hour (inclusive). Per-user sorted groups +
+    vectorized two-pointer window via searchsorted; top-k busiest moments.
+    Oracle: SQL window RANGE frame.
+    """
+    import numpy as np
+
+    hour_us = 3_600_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("int64").to_numpy()
+        lo = np.searchsorted(t, t - hour_us, side="left")
+        # peer-inclusive upper bound: SQL RANGE ... CURRENT ROW counts all
+        # rows sharing the current timestamp, not just earlier positions
+        hi = np.searchsorted(t, t, side="right")
+        return g.assign(n_last_hour=(hi - lo).astype("int64"))
+
+    rolled = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = rolled.to_pandas()
+    out = out.sort_values(["n_last_hour", "event_id"],
+                          ascending=[False, True]).head(k)
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out[["event_id", "user_id", "ts", "n_last_hour"]].reset_index(drop=True)
+
+
 def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Bucketed large-large join demo: lineitem x part on partkey, revenue by
     brand (the bucket join is the portable hash-partitioned join shape)."""
