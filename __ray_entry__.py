@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": analytics.event_sessions,
         "purchase_last_click": analytics.purchase_last_click,
         "rolling_hour_counts": analytics.rolling_hour_counts,
+        "top_events_per_type": analytics.top_events_per_type,
+        "user_event_pivot": analytics.user_event_pivot,
         "top_tokens": corpus.top_tokens,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
@@ -330,6 +332,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_id
             ORDER BY n_events DESC, user_id, session_start
             LIMIT 15
+        """,
+        "top_events_per_type": """
+            SELECT event_type, event_id, round(value, 2) AS value
+            FROM (SELECT event_type, event_id, value,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY value DESC, event_id) AS rn
+                  FROM events)
+            WHERE rn <= 3
+            ORDER BY event_type, value DESC, event_id
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+                   count(*) AS total
+            FROM events
+            GROUP BY user_id
+            ORDER BY total DESC, user_id
+            LIMIT 20
         """,
         "rolling_hour_counts": """
             SELECT event_id, user_id, ts,

@@ -334,6 +334,56 @@ def rolling_hour_counts(sf_dir: str, k: int = 25) -> pd.DataFrame:
     return out[["event_id", "user_id", "ts", "n_last_hour"]].reset_index(drop=True)
 
 
+def top_events_per_type(sf_dir: str, per_group: int = 3) -> pd.DataFrame:
+    """Top-k per group (window rank): the ``per_group`` highest-value events
+    of each event type. groupby(type).map_groups nlargest; oracle:
+    row_number() OVER (PARTITION BY ... ORDER BY ...)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # per-batch combiner: only each type's local top-k can survive
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["value", "event_id"], ascending=[False, True])
+            .groupby("event_type", sort=False).head(per_group),
+            preserve_index=False,
+        )
+
+    pre = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"], ascending=[False, True]).head(per_group)
+
+    out = pre.groupby("event_type").map_groups(final_topk, batch_format="pandas").to_pandas()
+    from ..ops.agg import round_away
+
+    out["value"] = round_away(out["value"], 2)
+    return out.sort_values(["event_type", "value", "event_id"],
+                           ascending=[True, False, True])[
+        ["event_type", "event_id", "value"]].reset_index(drop=True)
+
+
+def user_event_pivot(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Pivot: per-user event counts spread across event-type columns for the
+    top-k most active users. Partial (user,type) counts -> pandas pivot;
+    oracle: conditional-sum CASE pivot."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    counts = grouped_sums(ds, keys=["user_id", "event_type"], sum_cols={},
+                          count_alias="n")
+    wide = counts.pivot_table(index="user_id", columns="event_type", values="n",
+                              fill_value=0, aggfunc="sum").reset_index()
+    wide.columns.name = None
+    for c in ("click", "error", "purchase", "signup", "view"):
+        if c not in wide.columns:
+            wide[c] = 0
+        wide[c] = wide[c].astype("int64")
+    wide["total"] = wide[["click", "error", "purchase", "signup", "view"]].sum(axis=1)
+    out = wide.sort_values(["total", "user_id"], ascending=[False, True]).head(k)
+    return out[["user_id", "click", "error", "purchase", "signup", "view",
+                "total"]].reset_index(drop=True)
+
+
 def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Bucketed large-large join demo: lineitem x part on partkey, revenue by
     brand (the bucket join is the portable hash-partitioned join shape)."""
