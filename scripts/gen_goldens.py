@@ -209,3 +209,44 @@ iot_payload = {
 }
 run_custom_case("custom_iot", iot_payload, MINIMAL_MAP,
                 ["temperature", "humidity", "active", "sensor"])
+
+# --- Relationship + propertyFieldMap golden ---------------------------------
+REL_MAP = {
+  "artifacts": ["Windows Prefetch execution cache records"],
+  "classes": ["WindowsPrefetch"],
+  "facets": ["WindowsPrefetchFacet"],
+  "properties": {
+    "WindowsPrefetch": [],
+    "WindowsPrefetchFacet": ["applicationFileName", "timesExecuted"],
+  },
+  "relationships": [
+    {"type": "Connected_To", "source": "WindowsPrefetch", "target": "File"},
+    {"type": "Contained_Within", "source": "WindowsPrefetch", "target": "Volume"},
+  ],
+  "analysis": "frozen fixture with relationships",
+  "additional_details": {
+    "propertyFieldMap": {
+      "WindowsPrefetchFacet": {
+        "timesExecuted": ["RunCount"],
+        "applicationFileName": ["SourceFilename", "ExecutableName"]
+      },
+      "NonexistentOwner": {"someProp": ["PrefetchHash"]}
+    }
+  }
+}
+rel_payload = {
+    "artifact_type": "Windows Prefetch execution cache records",
+    "description": "prefetch with relationship slots",
+    "source": "prefetch_parser",
+    "record": {
+        "SourceFilename": "C\\Windows\\Prefetch\\APP.EXE-AAAA1111.pf",
+        "RunCount": 7,
+        "PrefetchHash": "AAAA1111",
+    },
+}
+out_rel = run_case("relationships", rel_payload, REL_MAP)
+with open("/root/repo/tests/goldens/relationships_graph.json", "w") as f:
+    json.dump(out_rel["graph"], f, indent=1, sort_keys=True)
+with open("/root/repo/tests/goldens/relationships_triples.json", "w") as f:
+    json.dump(out_rel["triples"], f, indent=0)
+print("relationships triples:", len(out_rel["triples"]))

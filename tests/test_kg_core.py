@@ -196,3 +196,50 @@ def test_unmapped_field_detection_excludes_reserved():
         {"artifact_type": "X", "description": "d", "source": "s", "record": {"Foo": 1}}
     )[0]
     assert mapper.unmapped_fields(rec, reserved=RESERVED_RECORD_KEYS) == ["Foo"]
+
+
+REL_MAP = {
+    "artifacts": ["Windows Prefetch execution cache records"],
+    "classes": ["WindowsPrefetch"],
+    "facets": ["WindowsPrefetchFacet"],
+    "properties": {
+        "WindowsPrefetch": [],
+        "WindowsPrefetchFacet": ["applicationFileName", "timesExecuted"],
+    },
+    "relationships": [
+        {"type": "Connected_To", "source": "WindowsPrefetch", "target": "File"},
+        {"type": "Contained_Within", "source": "WindowsPrefetch", "target": "Volume"},
+    ],
+    "analysis": "frozen fixture with relationships",
+    "additional_details": {
+        "propertyFieldMap": {
+            "WindowsPrefetchFacet": {
+                "timesExecuted": ["RunCount"],
+                "applicationFileName": ["SourceFilename", "ExecutableName"],
+            },
+            "NonexistentOwner": {"someProp": ["PrefetchHash"]},
+        }
+    },
+}
+
+
+def test_relationship_slots_and_property_field_map_match_reference_golden():
+    """Pins semantics untested by the other goldens: relationship slots are
+    gated on payload (excluded when empty), explicit propertyFieldMap rows
+    apply before the heuristic pass, and unknown owners route to the
+    primary node (reference uuid_planner.py:155-175, graph_generator.py
+    284-305)."""
+    payload = {
+        "artifact_type": "Windows Prefetch execution cache records",
+        "description": "prefetch with relationship slots",
+        "source": "prefetch_parser",
+        "record": {
+            "SourceFilename": "C\\Windows\\Prefetch\\APP.EXE-AAAA1111.pf",
+            "RunCount": 7,
+            "PrefetchHash": "AAAA1111",
+        },
+    }
+    got = run_payload(payload, REL_MAP)
+    assert got == load_golden("relationships")
+    # no relationship nodes were emitted (no payload routed to them)
+    assert not any("ObservableRelationship" in o for _, _, o, _ in got)
