@@ -250,3 +250,18 @@ with open("/root/repo/tests/goldens/relationships_graph.json", "w") as f:
 with open("/root/repo/tests/goldens/relationships_triples.json", "w") as f:
     json.dump(out_rel["triples"], f, indent=0)
 print("relationships triples:", len(out_rel["triples"]))
+
+# --- relationship WITH payload (routed via propertyFieldMap owner slug) ----
+REL_MAP2 = json.loads(json.dumps(REL_MAP))
+REL_MAP2["additional_details"]["propertyFieldMap"]["Relationship Connected_To 0"] = {
+    "kindOfRelationship": ["RelKind"]
+}
+rel_payload2 = json.loads(json.dumps(rel_payload))
+rel_payload2["record"]["RelKind"] = "Connected_To"
+out_rel2 = run_case("relationships_payload", rel_payload2, REL_MAP2)
+with open("/root/repo/tests/goldens/relationships_payload_graph.json", "w") as f:
+    json.dump(out_rel2["graph"], f, indent=1, sort_keys=True)
+with open("/root/repo/tests/goldens/relationships_payload_triples.json", "w") as f:
+    json.dump(out_rel2["triples"], f, indent=0)
+print("relationships_payload triples:", len(out_rel2["triples"]))
+for n in out_rel2["graph"]["@graph"]: print(n)

@@ -243,3 +243,28 @@ def test_relationship_slots_and_property_field_map_match_reference_golden():
     assert got == load_golden("relationships")
     # no relationship nodes were emitted (no payload routed to them)
     assert not any("ObservableRelationship" in o for _, _, o, _ in got)
+
+
+def test_relationship_slot_with_payload_included():
+    """When a propertyFieldMap owner slugs to a relationship slot, the slot
+    carries payload and the ObservableRelationship node IS emitted."""
+    import copy
+
+    rel_map2 = copy.deepcopy(REL_MAP)
+    rel_map2["additional_details"]["propertyFieldMap"]["Relationship Connected_To 0"] = {
+        "kindOfRelationship": ["RelKind"]
+    }
+    payload = {
+        "artifact_type": "Windows Prefetch execution cache records",
+        "description": "prefetch with relationship slots",
+        "source": "prefetch_parser",
+        "record": {
+            "SourceFilename": "C\\Windows\\Prefetch\\APP.EXE-AAAA1111.pf",
+            "RunCount": 7,
+            "PrefetchHash": "AAAA1111",
+            "RelKind": "Connected_To",
+        },
+    }
+    got = run_payload(payload, rel_map2)
+    assert got == load_golden("relationships_payload")
+    assert any(o == "uco-observable:ObservableRelationship" for _, _, o, _ in got)
