@@ -221,8 +221,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS sum_charge,
                    round(sum(l_quantity) / count(*), 2) AS avg_qty,
                    round(sum(l_extendedprice) / count(*), 2) AS avg_price,
                    round(sum(l_discount) / count(*), 4) AS avg_disc,
@@ -234,7 +234,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_top_revenue_orders": """
             SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
                    o_orderdate
             FROM customer JOIN orders ON c_custkey = o_custkey
                  JOIN lineitem ON l_orderkey = o_orderkey
@@ -255,7 +255,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderpriority
         """,
         "top_event_types": """
-            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            SELECT event_type, count(*) AS n,
+                   round(sum(CAST(round((value) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS sum_value
             FROM events
             GROUP BY event_type
             ORDER BY n DESC, event_type
@@ -266,7 +267,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_user_activity": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
-                   count(*) AS n, round(sum(value), 2) AS sum_value
+                   count(*) AS n, round(sum(CAST(round((value) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS sum_value
             FROM events
             GROUP BY user_id, date_trunc('hour', ts)
             ORDER BY n DESC, user_id, hour
@@ -282,15 +283,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_part_join": """
             SELECT p_brand, count(*) AS n,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) / 10000.0, 2) AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
             ORDER BY revenue DESC, p_brand
             LIMIT 10
         """,
         "q6_revenue_delta": """
-            SELECT round(CAST(coalesce(sum(l_extendedprice * l_discount), 0)
-                              AS DOUBLE), 2) AS revenue
+            SELECT round(coalesce(sum(CAST(round((l_extendedprice * l_discount) * 10000, 0) AS BIGINT)) / 10000.0, 0), 2) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'

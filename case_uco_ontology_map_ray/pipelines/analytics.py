@@ -26,6 +26,14 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _scale_i64(col, scale: float = 10000.0):
+    """Scale a double column to exact int64 (x1e4, half-away rounding) so
+    distributed sums are associative and match the SQL oracle exactly."""
+    scaled = pc.round(pc.multiply(col, pa.scalar(scale)), ndigits=0,
+                      round_mode="half_towards_infinity")  # = half away from zero
+    return scaled.cast(pa.int64())
+
+
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-style pricing summary over lineitem (filter -> computed
     columns -> partial-agg groupby -> sort)."""
@@ -41,8 +49,12 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         disc_price = pc.multiply(t.column("l_extendedprice"),
                                  pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t.column("l_tax")))
-        t = t.append_column("disc_price", disc_price)
-        return t.append_column("charge", charge)
+        # integer-scaled (1e4) sums: exact int64 addition is associative, so
+        # the distributed sum matches DuckDB bit-for-bit regardless of
+        # partitioning (raw double sums differ by ~1e-10 relative between
+        # association orders, enough to flip a .005 rounding boundary)
+        t = t.append_column("disc_price", _scale_i64(disc_price))
+        return t.append_column("charge", _scale_i64(charge))
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_sums(
@@ -57,6 +69,8 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         },
         count_alias="count_order",
     )
+    out["sum_disc_price"] = out["sum_disc_price"] / 10000.0
+    out["sum_charge"] = out["sum_charge"] / 10000.0
     out["avg_qty"] = round_away(out.sum_qty / out.count_order, 2)
     out["avg_price"] = round_away(out.sum_base_price / out.count_order, 2)
     out["avg_disc"] = round_away(out.sum_disc / out.count_order, 4)
@@ -102,12 +116,12 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
         t = t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff)))
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return t.select(["l_orderkey"]).append_column("rev", rev)
+        return t.select(["l_orderkey"]).append_column("rev", _scale_i64(rev))
 
     li = semi_filter(li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
                      open_orders["o_orderkey"].to_numpy(), "l_orderkey")
     rev = grouped_sums(li, keys=["l_orderkey"], sum_cols={"revenue": "rev"})
-    rev["revenue"] = round_away(rev["revenue"], 2)
+    rev["revenue"] = round_away(rev["revenue"] / 10000.0, 2)
     out = rev.merge(open_orders[["o_orderkey", "o_orderdate"]],
                     left_on="l_orderkey", right_on="o_orderkey")
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
@@ -142,9 +156,14 @@ def order_priority_counts(sf_dir: str) -> pd.DataFrame:
 def top_event_types(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """events: count + value sum per type, top-k by count (tiebreak on name)."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.set_column(t.column_names.index("value"), "value",
+                               _scale_i64(t.column("value"))),
+        batch_format="pyarrow",
+    )
     out = grouped_sums(ds, keys=["event_type"], sum_cols={"sum_value": "value"},
                        count_alias="n")
-    out["sum_value"] = round_away(out["sum_value"], 2)
+    out["sum_value"] = round_away(out["sum_value"] / 10000.0, 2)
     out = out.sort_values(["n", "event_type"], ascending=[False, True]).head(k)
     return out[["event_type", "n", "sum_value"]].reset_index(drop=True)
 
@@ -168,9 +187,14 @@ def hourly_user_activity(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return t.append_column("hour", pc.floor_temporal(t.column("ts"), unit="hour"))
 
     ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: t.set_column(t.column_names.index("value"), "value",
+                               _scale_i64(t.column("value"))),
+        batch_format="pyarrow",
+    )
     out = grouped_sums(ds, keys=["user_id", "hour"], sum_cols={"sum_value": "value"},
                        count_alias="n")
-    out["sum_value"] = round_away(out["sum_value"], 2)
+    out["sum_value"] = round_away(out["sum_value"] / 10000.0, 2)
     out = out.sort_values(["n", "user_id", "hour"], ascending=[False, True, True]).head(k)
     return out[["user_id", "hour", "n", "sum_value"]].reset_index(drop=True)
 
@@ -207,11 +231,11 @@ def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
         )
         f = t.filter(m)
         rev = pc.multiply(f.column("l_extendedprice"), f.column("l_discount"))
-        return pa.table({"rev": rev})
+        return pa.table({"rev": _scale_i64(rev)})
 
     parts = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    total = parts.sum("rev") or 0.0
-    return pd.DataFrame({"revenue": [float(round_away(total, 2))]})
+    total = parts.sum("rev") or 0
+    return pd.DataFrame({"revenue": [float(round_away(total / 10000.0, 2))]})
 
 
 def nation_order_volume(sf_dir: str) -> pd.DataFrame:
@@ -395,7 +419,7 @@ def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     def prep(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return t.select(["l_partkey"]).append_column("rev", rev)
+        return t.select(["l_partkey"]).append_column("rev", _scale_i64(rev))
 
     li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"]).map_batches(
@@ -404,6 +428,6 @@ def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     joined = bucket_join(li, part, on="l_partkey", num_buckets=16)
     out = grouped_sums(joined, keys=["p_brand"], sum_cols={"revenue": "rev"},
                        count_alias="n")
-    out["revenue"] = round_away(out["revenue"], 2)
+    out["revenue"] = round_away(out["revenue"] / 10000.0, 2)
     out = out.sort_values(["revenue", "p_brand"], ascending=[False, True]).head(k)
     return out[["p_brand", "n", "revenue"]].reset_index(drop=True)
