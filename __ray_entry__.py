@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_hour_counts": analytics.rolling_hour_counts,
         "top_events_per_type": analytics.top_events_per_type,
         "user_event_pivot": analytics.user_event_pivot,
+        "props_k_by_type": analytics.props_k_by_type,
         "top_tokens": corpus.top_tokens,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
@@ -332,6 +333,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id, session_id
             ORDER BY n_events DESC, user_id, session_start
             LIMIT 15
+        """,
+        "props_k_by_type": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(sum(CAST(json_extract(props, '$.k') AS BIGINT)) * 1.0
+                         / count(*), 2) AS avg_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "top_events_per_type": """
             SELECT event_type, event_id, round(value, 2) AS value

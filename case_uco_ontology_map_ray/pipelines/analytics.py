@@ -408,6 +408,26 @@ def user_event_pivot(sf_dir: str, k: int = 20) -> pd.DataFrame:
                 "total"]].reset_index(drop=True)
 
 
+def props_k_by_type(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column with a
+    vectorized regex kernel (no per-row json.loads) and aggregate the ``k``
+    field per event type. Oracle: DuckDB json_extract."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    prepped = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(prepped, keys=["event_type"], sum_cols={"sum_k": "k"},
+                       count_alias="n")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["avg_k"] = round_away(out.sum_k / out.n, 2)
+    return out.sort_values("event_type")[
+        ["event_type", "n", "sum_k", "avg_k"]].reset_index(drop=True)
+
+
 def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Bucketed large-large join demo: lineitem x part on partkey, revenue by
     brand (the bucket join is the portable hash-partitioned join shape)."""
