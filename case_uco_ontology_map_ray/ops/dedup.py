@@ -24,7 +24,6 @@ from ..functions.hashing import (
     char_shingles,
     jaccard,
     simhash64,
-    stable_hash64,
     word_shingles,
 )
 

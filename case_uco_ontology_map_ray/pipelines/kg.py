@@ -143,7 +143,7 @@ def distinct_triples_by_record(source: "str | rd.Dataset",
 
     from ..functions.fingerprint import record_fingerprint
     from ..kg.records import extract_records
-    from ..stages.kg_stage import TRIPLES_SCHEMA, TurnTriples
+    from ..stages.kg_stage import TurnTriples
 
     if isinstance(source, str):
         ds = rd.read_parquet(source, columns=TRIPLE_INPUT_COLUMNS)
