@@ -71,6 +71,18 @@ def main():
         link.write_parquet(f"{args.output}/entity_links")
 
     metrics["wall_sec"] = round(time.perf_counter() - t0, 2)
+    # triple/throughput metrics from the written output (parquet metadata
+    # only — no second data pass)
+    try:
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        rows = sum(pq.read_metadata(str(f)).num_rows
+                   for f in Path(args.output, "triples").rglob("*.parquet"))
+        metrics["triples"] = rows
+        metrics["triples_per_sec"] = round(rows / metrics["wall_sec"], 1)
+    except Exception:
+        pass
     with open(f"{args.output}/_metrics.json", "w") as f:
         json.dump(metrics, f, indent=1)
     print(json.dumps(metrics))
