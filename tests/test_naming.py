@@ -67,3 +67,12 @@ def test_fast_uuid5_matches_stdlib():
     for ns in (NS_RECORD, NS_SLOT, _uuid.NAMESPACE_DNS):
         for name in ("", "abc", "conv-00000001:prefetch", "ünïcödé"):
             assert uuid5_str(ns, name) == str(_uuid.uuid5(ns, name))
+
+
+def test_extension_facet_name_domain_agnostic():
+    # mirrors reference tests/test_dynamic_custom_facet_naming.py:206-245
+    assert extension_facet_name("Database Audit Log") == "DatabaseAuditLogExtensionFacet"
+    assert extension_facet_name("Network Flow") == "NetworkFlowExtensionFacet"
+    assert extension_facet_name("iot sensor reading") == "IotSensorReadingExtensionFacet"
+    assert extension_facet_name("BROWSER HISTORY") == "BrowserHistoryExtensionFacet"
+    assert extension_facet_name("API-Gateway_Access.Log") == "ApiGatewayAccessLogExtensionFacet"
