@@ -57,10 +57,25 @@ def entry() -> Any:
 # queries / oracle
 # --------------------------------------------------------------------------
 
+def _plain(ds):
+    """Decode dictionary-encoded columns to plain strings for driver-facing
+    results (in-flight blocks stay dictionary-encoded for compactness)."""
+    import pyarrow as pa
+
+    def decode(t: pa.Table) -> pa.Table:
+        for i, f in enumerate(t.schema):
+            if pa.types.is_dictionary(f.type):
+                t = t.set_column(i, pa.field(f.name, f.type.value_type),
+                                 t.column(i).cast(f.type.value_type))
+        return t
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
 def _kg_triples(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
 
-    return triples_from_transcripts(_transcripts_for(sf_dir))
+    return _plain(triples_from_transcripts(_transcripts_for(sf_dir)))
 
 
 def _kg_triples_distinct(sf_dir: str):
