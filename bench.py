@@ -111,6 +111,13 @@ def run_bench() -> dict:
     distinct_triples_by_record(slice_dir).write_parquet(out_dir)
     queries["kg_distinct_write"] = round(time.perf_counter() - t0, 3)
 
+    # --- validation sweep (SHACL-lite + fidelity) on the slice ---
+    from case_uco_ontology_map_ray.pipelines.kg import validated_triples
+
+    t0 = time.perf_counter()
+    validated_triples(slice_dir).count()
+    queries["kg_validated"] = round(time.perf_counter() - t0, 3)
+
     # --- entity canonicalization (LSH blocking + union-find) on the slice ---
     from case_uco_ontology_map_ray.pipelines.linking import canonical_entities
 
