@@ -1,14 +1,31 @@
 """Deduplication operators over a document table (doc_id, text).
 
 - exact_dedup:     content-hash groupby, keep min doc_id (oracle: md5 SQL)
-- minhash_lsh_dedup: shingle -> minhash -> band buckets -> candidate pairs ->
-                   Jaccard verify -> connected components (min-label rounds)
-- simhash_groups:  64-bit simhash fingerprints + near-group by hamming radius
-                   within buckets
+- minhash_lsh_dedup: shingle -> minhash -> band buckets -> candidate edges ->
+                   distributed Jaccard verify -> connected components
+                   (min-label propagation) -> Dataset[(doc_id, cluster_id)]
+- simhash_groups:  64-bit simhash fingerprints; band on 16-bit chunks, link
+                   docs within hamming ``radius`` of the bucket root, then
+                   min-label propagation -> Dataset[(doc_id, group_id)]
 - ngram_jaccard_pairs: candidate pairs with exact n-gram Jaccard >= tau
 
-All stages are map_batches/groupby compositions; the per-document sketching
-is a stateful actor stage (hash family built once per actor).
+Scale design (no driver-side corpus state anywhere):
+- Sketching is a stateful actor stage (hash family built once per actor);
+  the sketch table (doc_id, sig, shingles) is materialized once and reused
+  for banding AND verification (object-store blocks spill if needed).
+- Candidate edges are a Dataset; exact-Jaccard verification attaches both
+  sides' shingle sets via two ``bucket_join``s and verifies inside
+  ``map_batches`` — the only per-pair work is numpy ``intersect1d`` over
+  the LSH-bounded candidate list.
+- Connected components run as min-label propagation over the star-edge
+  incidence, adaptive exactly like ``pipelines.linking``: below
+  ``small_threshold`` distinct docs the (int64, int64) edge list is solved
+  with vectorized numpy on the driver + a broadcast non-singleton label map;
+  above it the fully distributed ``propagate_labels`` groupby/bucket_join
+  rounds take over. Both compute the same fixpoint (component min-label).
+
+Outputs pinned by regression goldens (tests/goldens/dedup/*, generated from
+the round-1 implementation by scripts/pin_dedup_goldens.py).
 """
 
 from __future__ import annotations
@@ -22,10 +39,13 @@ import pyarrow as pa
 from ..functions.hashing import (
     MinHasher,
     char_shingles,
-    jaccard,
     simhash64,
     word_shingles,
 )
+
+# Non-singleton label maps are broadcast on the small path; switch to the
+# distributed propagate_labels rounds above this many linked docs.
+SMALL_THRESHOLD = 5_000_000
 
 
 def _md5_column(texts: list[str]) -> list[str]:
@@ -49,12 +69,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 class _Sketcher:
-    """Actor stage: per-document shingles + minhash signature + simhash."""
+    """Actor stage: per-document shingles + minhash signature + simhash.
 
-    def __init__(self, num_perm: int, shingle_k: int, use_words: bool, seed: int = 42):
+    ``emit_shingles`` additionally carries the distinct shingle-hash set as a
+    list<uint64> column so downstream exact-Jaccard verification can run
+    distributed (joined per candidate edge) instead of re-reading text.
+    """
+
+    def __init__(self, num_perm: int, shingle_k: int, use_words: bool,
+                 seed: int = 42, emit_shingles: bool = False):
         self.mh = MinHasher(num_perm=num_perm, seed=seed)
         self.k = shingle_k
         self.use_words = use_words
+        self.emit_shingles = emit_shingles
 
     def shingles(self, text: str) -> np.ndarray:
         if self.use_words:
@@ -63,15 +90,183 @@ class _Sketcher:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
-        sigs = [self.mh.signature(self.shingles(x)) for x in texts]
-        sims = [simhash64(self.shingles(x)) for x in texts]
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
-                "simhash": pa.array(sims, pa.uint64()),
-            }
+        sh = [self.shingles(x) for x in texts]
+        sigs = [self.mh.signature(s) for s in sh]
+        sims = [simhash64(s) for s in sh]
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+            "simhash": pa.array(sims, pa.uint64()),
+        }
+        if self.emit_shingles:
+            cols["shingles"] = pa.array([s for s in sh], pa.list_(pa.uint64()))
+        return pa.table(cols)
+
+
+def _sketch(ds, num_perm: int, shingle_k: int, use_words: bool,
+            emit_shingles: bool = False):
+    return ds.map_batches(
+        _Sketcher,
+        fn_constructor_args=(num_perm, shingle_k, use_words, 42, emit_shingles),
+        batch_format="pyarrow", concurrency=_pool(),
+    )
+
+
+def _explode_bands(mh: MinHasher, bands: int):
+    def explode(t: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for doc_id, sig_bytes in zip(t.column("doc_id").to_pylist(),
+                                     t.column("sig").to_pylist()):
+            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+            for key in mh.band_keys(sig, bands):
+                ids.append(doc_id)
+                keys.append(key)
+        return pa.table({"band": pa.array(keys, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    return explode
+
+
+def _distinct_edges(edges, num_parts: int = 64):
+    """Dedup an (int64, int64) edge Dataset: local arrow combiner + one
+    hash-partitioned finish (the distinct_paths pattern from linking.py)."""
+    import pyarrow.compute as pc
+
+    c0, c1 = edges.schema().names[:2]
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = t.select([c0, c1]).group_by([c0, c1]).aggregate([])
+        part = pc.bit_wise_and(agg.column(c0), pa.scalar(num_parts - 1, pa.int64()))
+        return agg.append_column("__part", part.cast(pa.int32()))
+
+    pre = edges.map_batches(local, batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["__part"]).group_by([c0, c1]).aggregate([])
+
+    return pre.groupby("__part").map_groups(finish, batch_format="pyarrow")
+
+
+def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
+    """Attach both sides' shingle sets to candidate edges (two bucket_joins)
+    and keep edges with exact Jaccard >= tau. Fully distributed; the per-pair
+    work is one numpy intersect over pre-distinct shingle arrays."""
+    from .joins import bucket_join
+
+    c0, c1 = edges.schema().names[:2]
+    pay_u = payload.map_batches(
+        lambda t: t.rename_columns([c0, "__sh_u"]), batch_format="pyarrow")
+    pay_v = payload.map_batches(
+        lambda t: t.rename_columns([c1, "__sh_v"]), batch_format="pyarrow")
+    both = bucket_join(bucket_join(edges, pay_u, on=c0), pay_v, on=c1)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df[[c0, c1]]
+            return out.assign(jac=pd.Series(dtype="float64")) if emit_jac else out
+        keep = np.empty(len(df), dtype=bool)
+        jacs = np.empty(len(df), dtype=np.float64)
+        su = df["__sh_u"].to_numpy()
+        sv = df["__sh_v"].to_numpy()
+        for i in range(len(df)):
+            a, b = su[i], sv[i]
+            na, nb = len(a), len(b)
+            if na == 0 and nb == 0:
+                j = 1.0
+            else:
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                j = inter / (na + nb - inter)
+            jacs[i] = j
+            keep[i] = j >= tau
+        out = df.loc[keep, [c0, c1]].copy()
+        if emit_jac:
+            out["jac"] = np.round(jacs[keep], 4)
+        return out
+
+    return both.map_batches(verify, batch_format="pandas")
+
+
+def _propagate_components(edges, all_ids, out_col: str,
+                          small_threshold: int = SMALL_THRESHOLD,
+                          max_rounds: int = 8):
+    """Connected components over undirected (u, v) edges: every doc gets the
+    min doc_id of its component; docs in no edge stay singletons.
+
+    Returns Dataset[(doc_id, out_col)]. Adaptive: numpy + broadcast label map
+    below ``small_threshold`` linked docs, else the distributed
+    ``propagate_labels`` rounds from pipelines.linking.
+    """
+    import ray
+
+    c0, c1 = edges.schema().names[:2]
+    # Star incidence: edge (u, v) -> group u contains {u, v}; min-label over
+    # the bipartite (group, member) graph = component min.
+    incidence = edges.map_batches(
+        lambda t: pa.table({
+            "band": pa.concat_arrays([c.combine_chunks() for c in
+                                      (t.column(c0), t.column(c0))]),
+            "pid": pa.concat_arrays([c.combine_chunks() for c in
+                                     (t.column(c0), t.column(c1))]),
+        }),
+        batch_format="pyarrow",
+    )
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return all_ids.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                out_col: t.column("doc_id")}),
+            batch_format="pyarrow",
         )
+
+    if n_edges <= small_threshold:
+        from ..pipelines.linking import _labels_vectorized
+
+        inc = incidence.to_pandas()
+        uniq, lab = _labels_vectorized(
+            inc["band"].to_numpy(dtype=np.int64),
+            inc["pid"].to_numpy(dtype=np.int64), max_rounds)
+        nontrivial = {int(p): int(l) for p, l in zip(uniq, lab) if p != l}
+        ref = ray.put(nontrivial)
+
+        class Assign:
+            def __init__(self):
+                self.lab = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                lab = self.lab
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                out = np.array([lab.get(int(d), int(d)) for d in ids],
+                               dtype=np.int64)
+                return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 out_col: pa.array(out, pa.int64())})
+
+        return all_ids.map_batches(Assign, batch_format="pyarrow",
+                                   concurrency=_pool())
+
+    # ---- distributed path: label table too large to broadcast ----
+    from ..pipelines.linking import propagate_labels
+    from .joins import bucket_join
+
+    labels = all_ids.map_batches(
+        lambda t: pa.table({"pid": t.column("doc_id"),
+                            "label": t.column("doc_id")}),
+        batch_format="pyarrow",
+    )
+    labels, _rounds, _conv = propagate_labels(incidence, labels,
+                                              max_rounds=max_rounds)
+    # labels was initialized from all_ids, so every doc has a label row
+    joined = bucket_join(
+        all_ids.map_batches(lambda t: t.rename_columns(["pid"]),
+                            batch_format="pyarrow"),
+        labels, on="pid",
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("pid"),
+                         out_col: t.column("label").cast(pa.int64())})
+
+    return joined.map_batches(emit, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(
@@ -82,42 +277,29 @@ def minhash_lsh_dedup(
     use_words: bool = True,
     tau: float = 0.5,
     max_bucket: int = 64,
-    max_rounds: int = 4,
-) -> pd.DataFrame:
+    max_rounds: int = 8,
+):
     """MinHash-LSH near-dup clustering.
 
-    Pipeline: sketch (actor pool) -> explode band rows -> groupby(band key)
-    -> star candidate edges (capped per bucket, logged) -> Jaccard verify ->
-    min-label propagation rounds -> (doc_id, cluster_id).
-
-    Returns pandas (doc_id, cluster_id) where cluster_id = min doc_id of the
-    component (deterministic). Docs with no near-dup form singletons.
+    Pipeline: sketch (actor pool, one pass, materialized for reuse) ->
+    explode band rows -> groupby(band) star candidate edges (capped per
+    bucket) -> distinct edges -> distributed exact-Jaccard verify (shingle
+    sets bucket_joined onto edges) -> min-label propagation -> Dataset
+    (doc_id, cluster_id) with cluster_id = min doc_id of the component.
     """
-    import ray
+    mh = MinHasher(num_perm=num_perm, seed=42)
 
-    sk = _Sketcher(num_perm, shingle_k, use_words)
-    mh = sk.mh
-
-    def explode_bands(t: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for doc_id, sig_bytes in zip(t.column("doc_id").to_pylist(), t.column("sig").to_pylist()):
-            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-            for key in mh.band_keys(sig, bands):
-                ids.append(doc_id)
-                keys.append(key)
-        return pa.table({"band": pa.array(keys, pa.int64()),
-                         "doc_id": pa.array(ids, pa.int64())})
-
-    sketched = ds.map_batches(
-        _Sketcher, fn_constructor_args=(num_perm, shingle_k, use_words),
-        batch_format="pyarrow", concurrency=_pool(),
-    )
-    bands_ds = sketched.map_batches(explode_bands, batch_format="pyarrow")
+    sketched = _sketch(ds, num_perm, shingle_k, use_words,
+                       emit_shingles=True).materialize()
+    payload = sketched.select_columns(["doc_id", "shingles"])
+    bands_ds = sketched.select_columns(["doc_id", "sig"]).map_batches(
+        _explode_bands(mh, bands), batch_format="pyarrow")
 
     def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"u": [], "v": []}, dtype=np.int64)
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
         if len(ids) > max_bucket:
             # skew guard: a degenerate band (e.g. empty docs) would emit
             # O(n^2)-ish verify work; cap and keep the smallest ids
@@ -126,115 +308,108 @@ def minhash_lsh_dedup(
         others = ids[ids != root]
         return pd.DataFrame({"u": others, "v": np.full(len(others), root)})
 
-    edges = bands_ds.groupby("band").map_groups(bucket_edges, batch_format="pandas").to_pandas()
-    edges = edges.drop_duplicates()
-
-    # Jaccard verification of candidate edges (exact, on the shingle sets).
-    # Candidate count is LSH-bounded; verification is driver-side pandas here
-    # because the edge set is small relative to the corpus; at larger scale
-    # this becomes one more map_batches over edge partitions.
-    texts = dict(zip(*[c.to_pylist() for c in
-                       _collect_columns(ds, ["doc_id", "text"])]))
-    keep = []
-    for u, v in edges[["u", "v"]].itertuples(index=False):
-        if jaccard(sk.shingles(texts[u]), sk.shingles(texts[v])) >= tau:
-            keep.append((int(u), int(v)))
-
-    # Min-label propagation (union-find by rounds)
-    labels = {d: d for d in texts}
-    for _ in range(max_rounds):
-        changed = False
-        for u, v in keep:
-            m = min(labels[u], labels[v])
-            if labels[u] != m:
-                labels[u] = m; changed = True
-            if labels[v] != m:
-                labels[v] = m; changed = True
-        if not changed:
-            break
-    out = pd.DataFrame({"doc_id": list(labels), "cluster_id": [labels[d] for d in labels]})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    edges = bands_ds.groupby("band").map_groups(bucket_edges,
+                                                batch_format="pandas")
+    edges = _distinct_edges(edges)
+    verified = _verify_jaccard(edges, payload, tau)
+    return _propagate_components(verified, sketched.select_columns(["doc_id"]),
+                                 "cluster_id", max_rounds=max_rounds)
 
 
 def simhash_groups(ds, shingle_k: int = 3, use_words: bool = True,
-                   radius: int = 3) -> pd.DataFrame:
-    """SimHash near-dup grouping: fingerprint per doc; group docs whose
-    fingerprints agree on a 16-bit band and are within hamming ``radius``."""
-    sketched = ds.map_batches(
-        _Sketcher, fn_constructor_args=(8, shingle_k, use_words),
-        batch_format="pyarrow", concurrency=_pool(),
-    ).select_columns(["doc_id", "simhash"]).to_pandas()
+                   radius: int = 3, max_rounds: int = 8):
+    """SimHash near-dup grouping: 64-bit fingerprint per doc; per 16-bit band
+    chunk, link every doc within hamming ``radius`` of the bucket's min-id
+    root; connected components via min-label propagation.
 
-    sims = sketched["simhash"].to_numpy(dtype=np.uint64)
-    ids = sketched["doc_id"].to_numpy()
-    labels = {int(d): int(d) for d in ids}
-    # band by each of four 16-bit chunks (standard simhash blocking)
-    for shift in (0, 16, 32, 48):
-        band = (sims >> np.uint64(shift)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"band": band, "doc_id": ids, "sim": sims})
-        for _, g in df.groupby("band"):
-            if len(g) < 2:
-                continue
-            garr = g.sort_values("doc_id").to_numpy()
-            root_id, root_sim = int(garr[0][1]), int(garr[0][2])
-            for _, d, s in garr[1:]:
-                if bin(int(s) ^ root_sim).count("1") <= radius:
-                    m = min(labels[int(d)], labels[root_id])
-                    labels[int(d)] = labels[root_id] = m
-    out = pd.DataFrame({"doc_id": sorted(labels), "group_id": [labels[d] for d in sorted(labels)]})
-    return out
+    Returns Dataset[(doc_id, group_id)], group_id = component min doc_id.
+    """
+    sketched = _sketch(ds, 8, shingle_k, use_words).select_columns(
+        ["doc_id", "simhash"]).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        sims = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        bands_l, ids_l, sims_l = [], [], []
+        # band by each of four 16-bit chunks (standard simhash blocking);
+        # chunk index folded into the key so the four band spaces stay apart
+        for ci, shift in enumerate((0, 16, 32, 48)):
+            band = ((sims >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(np.int64)
+            bands_l.append(band + np.int64(ci << 16))
+            ids_l.append(ids)
+            sims_l.append(sims)
+        return pa.table({
+            "band": pa.array(np.concatenate(bands_l), pa.int64()),
+            "doc_id": pa.array(np.concatenate(ids_l), pa.int64()),
+            "sim": pa.array(np.concatenate(sims_l), pa.uint64()),
+        })
+
+    bands_ds = sketched.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sims = g["sim"].to_numpy(dtype=np.uint64)
+        root_id, root_sim = ids[0], sims[0]
+        # vectorized hamming distance to the bucket root (XOR + popcount)
+        x = sims[1:] ^ root_sim
+        dist = np.zeros(len(x), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            byte = ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)
+            dist += _POPCOUNT8[byte]
+        near = ids[1:][dist <= radius]
+        return pd.DataFrame({"u": near,
+                             "v": np.full(len(near), root_id, dtype=np.int64)})
+
+    edges = bands_ds.groupby("band").map_groups(bucket_edges,
+                                                batch_format="pandas")
+    edges = _distinct_edges(edges)
+    return _propagate_components(edges, sketched.select_columns(["doc_id"]),
+                                 "group_id", max_rounds=max_rounds)
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
 def ngram_jaccard_pairs(ds, shingle_k: int = 3, tau: float = 0.3,
                         num_perm: int = 64, bands: int = 32) -> pd.DataFrame:
     """Candidate near-dup pairs with exact word n-gram Jaccard >= tau.
 
-    LSH (aggressive banding) proposes candidates; exact Jaccard filters.
-    Returns (id_a, id_b, jac) with id_a < id_b.
+    LSH (aggressive banding) proposes candidates; the exact Jaccard filter
+    runs distributed over the candidate edges (shingle sets bucket_joined on).
+    Returns pandas (id_a, id_b, jac), id_a < id_b — O(matching pairs), not
+    O(corpus), so the driver collect is bounded by the result itself.
     """
-    sk = _Sketcher(num_perm, shingle_k, True)
-    mh = sk.mh
+    mh = MinHasher(num_perm=num_perm, seed=42)
 
-    def explode_bands(t: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for doc_id, sig_bytes in zip(t.column("doc_id").to_pylist(), t.column("sig").to_pylist()):
-            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-            for key in mh.band_keys(sig, bands):
-                ids.append(doc_id)
-                keys.append(key)
-        return pa.table({"band": pa.array(keys, pa.int64()),
-                         "doc_id": pa.array(ids, pa.int64())})
-
-    sketched = ds.map_batches(
-        _Sketcher, fn_constructor_args=(num_perm, shingle_k, True),
-        batch_format="pyarrow", concurrency=_pool(),
-    )
-    bands_ds = sketched.map_batches(explode_bands, batch_format="pyarrow")
+    sketched = _sketch(ds, num_perm, shingle_k, True,
+                       emit_shingles=True).materialize()
+    payload = sketched.select_columns(["doc_id", "shingles"])
+    bands_ds = sketched.select_columns(["doc_id", "sig"]).map_batches(
+        _explode_bands(mh, bands), batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())[:48]
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
 
-    pairs = bands_ds.groupby("band").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    pairs = pairs.drop_duplicates()
-    texts = dict(zip(*[c.to_pylist() for c in _collect_columns(ds, ["doc_id", "text"])]))
-    rows = []
-    for u, v in pairs[["id_a", "id_b"]].itertuples(index=False):
-        j = jaccard(sk.shingles(texts[u]), sk.shingles(texts[v]))
-        if j >= tau:
-            rows.append((int(u), int(v), round(float(j), 4)))
-    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jac"])
+    pairs = bands_ds.groupby("band").map_groups(bucket_pairs,
+                                                batch_format="pandas")
+    pairs = _distinct_edges(pairs)
+    out = _verify_jaccard(pairs, payload, tau, emit_jac=True).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jac": pd.Series(dtype="float64")})
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-
-
-def _collect_columns(ds, cols):
-    t = pa.concat_tables(
-        [b.select(cols) for b in ds.map_batches(lambda x: x.select(cols), batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
-    )
-    return [t.column(c) for c in cols]
 
 
 def _pool(frac: float = 0.5) -> int:

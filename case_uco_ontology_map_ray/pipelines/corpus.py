@@ -29,11 +29,15 @@ def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def dedup_minhash_documents(sf_dir: str) -> pd.DataFrame:
-    return dd.minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    out = dd.minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    out = out.astype({"doc_id": "int64", "cluster_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def dedup_simhash_documents(sf_dir: str) -> pd.DataFrame:
-    return dd.simhash_groups(_docs(sf_dir, ["doc_id", "text"]))
+    out = dd.simhash_groups(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    out = out.astype({"doc_id": "int64", "group_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:

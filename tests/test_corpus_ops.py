@@ -34,7 +34,7 @@ def test_minhash_lsh_clusters_near_dups():
     from case_uco_ontology_map_ray.ops.dedup import minhash_lsh_dedup
 
     out = minhash_lsh_dedup(_docs_with_dups(), num_perm=64, bands=32,
-                            shingle_k=3, tau=0.4)
+                            shingle_k=3, tau=0.4).to_pandas()
     cl = dict(zip(out.doc_id, out.cluster_id))
     assert cl[0] == cl[4] == 0       # exact dups share a cluster
     assert cl[1] == 0                # near dup joins the cluster
@@ -44,7 +44,7 @@ def test_minhash_lsh_clusters_near_dups():
 def test_simhash_groups_near_dups():
     from case_uco_ontology_map_ray.ops.dedup import simhash_groups
 
-    out = simhash_groups(_docs_with_dups(), radius=6)
+    out = simhash_groups(_docs_with_dups(), radius=6).to_pandas()
     gr = dict(zip(out.doc_id, out.group_id))
     assert gr[0] == gr[4]
     assert gr[2] != gr[0] and gr[3] != gr[0]
