@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": corpus.similarity_topk,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "embedding_neardup": corpus.embedding_neardup,
+        "embedding_neardup_lsh": corpus.embedding_neardup_lsh,
         # sketch aggregates (approximate by design; rows-only)
         "approx_stats": _approx_stats,
         # multimodal plumbing (deterministic fake codec; rows-only)

@@ -72,48 +72,159 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
     return out.reset_index(drop=True)
 
 
-def embedding_neardup_pairs(ds, tau: float = 0.95,
-                            id_col: str = "vec_id") -> pd.DataFrame:
-    """All pairs with cosine >= tau, id_a < id_b.
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic int64 avalanche (same mix as ops.joins._mix_bucket)."""
+    x = x.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return (x & np.uint64((1 << 62) - 1)).astype(np.int64)
 
-    Streams batches against a broadcast normalized matrix of the full corpus
-    (valid while the embedding table fits in a worker heap; the IVF variant
-    is the >memory path). Output cos rounded to 4 for oracle comparison.
+
+def embedding_neardup_pairs(ds, tau: float = 0.95, id_col: str = "vec_id",
+                            num_buckets: int = 8) -> pd.DataFrame:
+    """All pairs with cosine >= tau, id_a < id_b — EXACT, via a bucket-pair
+    self-join: every vector lands in bucket b = mix(id) % B and is replicated
+    to the B pair-groups {(min(b,o), max(b,o))}; each group holds two buckets
+    (2n/B vectors) and computes its cross/intra cosines with one matmul.
+
+    No whole-corpus broadcast and no driver materialization: peak per-task
+    memory is 2n/B vectors (tune ``num_buckets`` ~ n*d*16/worker_heap at
+    scale). Total compute is inherently O(n^2) — that is what "exact all
+    pairs" costs; ``embedding_neardup_lsh`` is the sublinear approximate
+    path. Output cos rounded to 4 for oracle comparison.
     """
-    import ray
+    B = num_buckets
 
-    whole = pa.concat_tables(
-        list(ds.map_batches(lambda t: t.select([id_col, "embedding"]),
-                            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
-    )
-    all_ids = whole.column(id_col).to_numpy(zero_copy_only=False)
-    all_m = _normalize(_to_matrix(whole))
-    ref = ray.put((all_ids, all_m))
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = (_mix64(ids) % B).astype(np.int64)
+        n = len(ids)
+        pair_ids = np.empty(n * B, dtype=np.int64)
+        idx = np.empty(n * B, dtype=np.int64)
+        for o in range(B):
+            lo = np.minimum(bkt, o)
+            hi = np.maximum(bkt, o)
+            pair_ids[o * n:(o + 1) * n] = lo * B + hi
+            idx[o * n:(o + 1) * n] = np.arange(n)
+        rep = t.select([id_col, "embedding"]).take(pa.array(idx))
+        return rep.append_column("__pair", pa.array(pair_ids, pa.int64())) \
+                  .append_column("__bkt", pa.array(np.tile(bkt, B), pa.int64()))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.m = ray.get(ref)
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bm = _normalize(_to_matrix(t))
-            bids = t.column(id_col).to_numpy(zero_copy_only=False)
-            cos = bm @ self.m.T
+    def pair_cosines(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        if g.empty:
+            return empty
+        pair = int(g["__pair"].iloc[0])
+        i, j = pair // B, pair % B
+        m = _normalize(np.stack(g["embedding"].map(np.asarray).to_numpy())
+                       .astype(np.float64))
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        bkt = g["__bkt"].to_numpy(dtype=np.int64)
+        if i == j:
+            cos = m @ m.T
             ai, bj = np.where(cos >= tau)
-            ia, ib = bids[ai], self.ids[bj]
-            keep = ia < ib
-            return pa.table({
-                "id_a": pa.array(ia[keep], pa.int64()),
-                "id_b": pa.array(ib[keep], pa.int64()),
-                "cos": pa.array(round_away(cos[ai, bj][keep], 4)),
-            })
+            keep = ids[ai] < ids[bj]
+        else:
+            mi, mj = bkt == i, bkt == j
+            cos_full = m[mi] @ m[mj].T
+            ai_, bj_ = np.where(cos_full >= tau)
+            ia_all, ib_all = ids[mi][ai_], ids[mj][bj_]
+            lo = np.minimum(ia_all, ib_all)
+            hi = np.maximum(ia_all, ib_all)
+            return pd.DataFrame({"id_a": lo, "id_b": hi,
+                                 "cos": round_away(cos_full[ai_, bj_], 4)})
+        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bj][keep],
+                             "cos": round_away(cos[ai, bj][keep], 4)})
 
-    from .dedup import _pool
-
-    out = ds.map_batches(Pairs, batch_format="pyarrow", concurrency=_pool()).to_pandas()
+    out = rep.groupby("__pair").map_groups(pair_cosines,
+                                           batch_format="pandas").to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
                              "cos": pd.Series(dtype="float64")})
+    out = out.astype({"id_a": "int64", "id_b": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_lsh(ds, tau: float = 0.95, id_col: str = "vec_id",
+                          n_bits: int = 16, bands: int = 4, dim: int | None = None,
+                          seed: int = 42, max_bucket: int = 4096) -> pd.DataFrame:
+    """Approximate near-dup pairs via random-hyperplane LSH: ``n_bits`` sign
+    bits per vector (seeded Gaussian projections), split into ``bands``;
+    vectors sharing any band bucket become candidates; exact cosine verifies
+    inside each bucket. Sublinear candidate generation — the 100-TB path
+    (recall < 1 by design; raise bands/lower bits-per-band for higher
+    recall). Returns (id_a, id_b, cos) with cos >= tau, id_a < id_b.
+    """
+    import ray
+
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first["embedding"])
+    rng = np.random.RandomState(seed)
+    proj = rng.randn(dim, n_bits)
+    ref = ray.put(proj)
+    r = n_bits // bands
+
+    class BandRows:
+        def __init__(self):
+            self.proj = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(t))
+            bits = (m @ self.proj) > 0
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            weights = (np.uint64(1) << np.arange(r, dtype=np.uint64))
+            out_band, out_id = [], []
+            for b in range(bands):
+                chunk = bits[:, b * r:(b + 1) * r].astype(np.uint64)
+                key = (chunk @ weights).astype(np.int64) + np.int64(b << 32)
+                out_band.append(key)
+                out_id.append(ids)
+            emb = pa.concat_arrays(
+                [t.column("embedding").combine_chunks()] * bands)
+            return pa.table({
+                "band": pa.array(np.concatenate(out_band), pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "embedding": emb,
+            })
+
+    from .dedup import _pool
+
+    banded = ds.map_batches(BandRows, batch_format="pyarrow",
+                            concurrency=_pool())
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        if len(g) < 2:
+            return empty
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) > max_bucket:  # degenerate-bucket skew guard
+            g = g.head(max_bucket)
+        m = _normalize(np.stack(g["embedding"].map(np.asarray).to_numpy())
+                       .astype(np.float64))
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        cos = m @ m.T
+        ai, bj = np.where(cos >= tau)
+        keep = ids[ai] < ids[bj]
+        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bj][keep],
+                             "cos": round_away(cos[ai, bj][keep], 4)})
+
+    out = banded.groupby("band").map_groups(bucket_verify,
+                                            batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    out = out.drop_duplicates(subset=["id_a", "id_b"]).astype(
+        {"id_a": "int64", "id_b": "int64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -128,7 +239,22 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16,
     """
     import ray
 
-    sample = ds.limit(max(n_centroids * 8, 256)).to_pandas()
+    # Seeded hash-based row sample (unbiased across blocks, deterministic):
+    # keep ids whose avalanche hash falls under a rank threshold, instead of
+    # ds.limit() which is first-block-biased.
+    target = max(n_centroids * 8, 256)
+
+    def sample_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix64(ids + np.int64(seed))
+        # per-batch partial: keep the locally smallest hashes, bounded
+        k = min(len(ids), target)
+        part = np.argsort(h, kind="stable")[:k]
+        return t.take(pa.array(np.sort(part))).append_column(
+            "__h", pa.array(h[np.sort(part)], pa.int64()))
+
+    sample = ds.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    sample = sample.nsmallest(target, "__h")  # global bottom-k by hash rank
     sm = _normalize(np.stack(sample["embedding"].map(np.asarray).to_numpy()).astype(np.float64))
     rng = np.random.RandomState(seed)
     centroids = sm[rng.choice(len(sm), size=min(n_centroids, len(sm)), replace=False)]

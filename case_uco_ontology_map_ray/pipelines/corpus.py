@@ -116,3 +116,13 @@ def similarity_topk_ivf(sf_dir: str) -> pd.DataFrame:
 
 def embedding_neardup(sf_dir: str, tau: float = 0.45) -> pd.DataFrame:
     return sim.embedding_neardup_pairs(_emb(sf_dir), tau=tau)
+
+
+def embedding_neardup_lsh(sf_dir: str, tau: float = 0.45) -> pd.DataFrame:
+    """Approximate (hyperplane-LSH) near-dup pairs — the sublinear scale
+    path; recall < 1 by design, so rows-only check (accuracy pinned in
+    tests/test_corpus_ops.py). tau=0.45 is a wide angle, so use short bands
+    (2 bits x 8): collision prob per band (1 - acos(tau)/pi)^2 ~ 0.42 ->
+    ~0.99 recall. At the op's native tau~0.95 regime, longer bands (4x4)
+    keep buckets sublinear."""
+    return sim.embedding_neardup_lsh(_emb(sf_dir), tau=tau, n_bits=16, bands=8)

@@ -128,3 +128,46 @@ def test_rolling_fingerprints_deterministic():
     a = rolling_fingerprints(ds).to_pandas().sort_values("doc_id")
     b = rolling_fingerprints(ds).to_pandas().sort_values("doc_id")
     assert list(map(list, a.fingerprint)) == list(map(list, b.fingerprint))
+
+
+def test_embedding_neardup_bucketpair_matches_bruteforce():
+    """The bucket-pair exact self-join must equal the O(n^2) reference
+    computation (it IS exact — only the distribution strategy changed)."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.agg import round_away
+    from case_uco_ontology_map_ray.ops.similarity import embedding_neardup_pairs
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(120, 8)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": m[i].tolist()} for i in range(120)]
+    )
+    got = embedding_neardup_pairs(ds, tau=0.8, num_buckets=4)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    ai, bj = np.where(cos >= 0.8)
+    keep = ai < bj
+    import pandas as pd
+    want = pd.DataFrame({"id_a": ai[keep], "id_b": bj[keep],
+                         "cos": round_away(cos[ai, bj][keep], 4)}) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.astype({"id_a": "int64", "id_b": "int64"}), check_dtype=False)
+
+
+def test_embedding_neardup_lsh_recall():
+    """Hyperplane-LSH candidates + exact verify: precision 1.0 (verified),
+    recall bounded below on the test table at the query's band config."""
+    from case_uco_ontology_map_ray.pipelines.corpus import (
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_neardup(sf)
+    lsh = embedding_neardup_lsh(sf)
+    ep = set(zip(exact.id_a, exact.id_b))
+    lp = set(zip(lsh.id_a, lsh.id_b))
+    assert lp <= ep                       # exact verify => no false positives
+    assert len(lp & ep) / max(1, len(ep)) >= 0.8
