@@ -53,3 +53,48 @@ def grouped_sums(
     if count_alias is None:
         out = out.drop(columns=[count_col])
     return out
+
+
+def grouped_sums_ds(
+    ds,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_alias: str | None = None,
+):
+    """``grouped_sums`` that stays a Dataset — for aggregates whose key
+    cardinality is O(data) (per-order, per-customer): the result must not be
+    collected; follow with ``topk_ds`` / a join / a write."""
+    from ray.data.aggregate import Sum
+
+    count_col = count_alias or "__cnt"
+    spec = [(in_col, "sum") for in_col in sum_cols.values()]
+
+    def combine(t: pa.Table) -> pa.Table:
+        agg = t.group_by(keys).aggregate(spec + [([], "count_all")])
+        return agg.rename_columns(keys + list(sum_cols.keys()) + [count_col])
+
+    partial = ds.map_batches(combine, batch_format="pyarrow")
+    aggs = [Sum(out, alias_name=out) for out in sum_cols]
+    aggs.append(Sum(count_col, alias_name=count_col))
+    out = partial.groupby(keys).aggregate(*aggs)
+    if count_alias is None:
+        out = out.map_batches(lambda t: t.drop_columns([count_col]),
+                              batch_format="pyarrow")
+    return out
+
+
+def topk_ds(ds, by: list[str], ascending: list[bool], k: int) -> pd.DataFrame:
+    """Distributed top-k over a Dataset with UNIQUE rows per ranking entity:
+    each batch keeps its local top-k (vectorized), the driver merges the tiny
+    partials (num_blocks x k rows) and takes the global top-k."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = [(c, "ascending" if a else "descending")
+                 for c, a in zip(by, ascending)]
+        idx = pa.compute.sort_indices(t, sort_keys=order)[:k]
+        return t.take(idx)
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return parts.sort_values(by, ascending=ascending).head(k).reset_index(drop=True)

@@ -77,6 +77,62 @@ def _mix_bucket(key_col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     return pc.subtract(x, pc.multiply(pc.divide(x, b), b))
 
 
+def bucket_semi_join(left, right, on: str, right_on: str | None = None,
+                     negate: bool = False, num_buckets: int = 32,
+                     pre_distinct: bool = True):
+    """Distributed semi (or anti) join: keep left rows whose ``on`` key does
+    (not) appear in ``right``'s ``right_on`` column — with NO driver-side key
+    collection. Both sides hash-bucket on the key; membership is checked per
+    bucket, which is sound because equal keys always share a bucket.
+
+    ``pre_distinct`` locally dedups the right key column inside each batch
+    before the shuffle (the combiner that keeps the exchanged key volume at
+    O(distinct keys x blocks), not O(rows)).
+    """
+    right_on = right_on or on
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        out = t.append_column("__bucket", _mix_bucket(t.column(on), num_buckets))
+        return out.append_column("__side", pa.array([0] * t.num_rows, pa.int8()))
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        keys = t.select([right_on])
+        if pre_distinct:
+            keys = keys.group_by([right_on]).aggregate([])
+        if right_on != on:
+            keys = keys.rename_columns([on])
+        arrays, names = [], []
+        for c in left_cols:
+            names.append(c)
+            if c == on:
+                arrays.append(keys.column(on))
+            else:
+                arrays.append(pa.nulls(keys.num_rows,
+                                       type=lschema.types[left_cols.index(c)]))
+        out = pa.table(dict(zip(names, arrays)))
+        out = out.append_column("__bucket", _mix_bucket(keys.column(on), num_buckets))
+        return out.append_column("__side", pa.array([1] * keys.num_rows, pa.int8()))
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow")
+    rt = right.map_batches(prep_right, batch_format="pyarrow")
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lg = g.filter(pc.equal(side, 0)).select(left_cols)
+        keys = g.filter(pc.equal(side, 1)).column(on).combine_chunks()
+        mask = pc.is_in(lg.column(on), value_set=keys)
+        if negate:
+            mask = pc.invert(pc.fill_null(mask, False))
+        else:
+            mask = pc.fill_null(mask, False)
+        return lg.filter(mask)
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        filter_bucket, batch_format="pyarrow")
+
+
 def asof_join(left, right, on: str, ts: str, right_ts_name: str,
               num_buckets: int = 32, strict: bool = True):
     """As-of join: for each left row, the latest right row with

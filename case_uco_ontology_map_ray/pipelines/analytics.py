@@ -18,8 +18,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..ops.agg import grouped_sums, round_away
-from ..ops.joins import broadcast_join, semi_filter
+from ..ops.agg import grouped_sums, grouped_sums_ds, round_away, topk_ds
+from ..ops.joins import broadcast_join, bucket_semi_join, semi_filter
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -86,28 +86,28 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
     """TPC-H Q3-style: top-k open orders by revenue for one market segment.
 
-    Join strategy (scale-conscious): customer keys for the segment are a
-    broadcast SEMI filter into orders; the filtered orders (small) broadcast-
-    join onto lineitem partial aggregates — no all-to-all shuffle of lineitem.
+    Join strategy (scale-conscious, no driver key-set collection anywhere):
+    segment customers bucket-semi-filter orders; open orders bucket-semi-
+    filter lineitem; revenue aggregates per order stay a Dataset; the global
+    top-k merges tiny per-block partials; only the k winning orders are
+    pulled to the driver for the o_orderdate attach.
     """
     cutoff = np.datetime64("1995-03-15T00:00:00", "us")
 
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    cust_keys = (
-        cust.map_batches(
-            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment)).select(["c_custkey"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()["c_custkey"]
-        .to_numpy()
+    seg_cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment)).select(["c_custkey"]),
+        batch_format="pyarrow",
     )
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = semi_filter(orders, cust_keys, "o_custkey")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
     open_orders = orders.map_batches(
         lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cutoff))),
         batch_format="pyarrow",
-    ).to_pandas()
+    )
+    open_orders = bucket_semi_join(open_orders, seg_cust,
+                                   on="o_custkey", right_on="c_custkey").materialize()
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -118,13 +118,23 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return t.select(["l_orderkey"]).append_column("rev", _scale_i64(rev))
 
-    li = semi_filter(li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-                     open_orders["o_orderkey"].to_numpy(), "l_orderkey")
-    rev = grouped_sums(li, keys=["l_orderkey"], sum_cols={"revenue": "rev"})
-    rev["revenue"] = round_away(rev["revenue"] / 10000.0, 2)
-    out = rev.merge(open_orders[["o_orderkey", "o_orderdate"]],
+    li = bucket_semi_join(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        open_orders, on="l_orderkey", right_on="o_orderkey")
+    rev_ds = grouped_sums_ds(li, keys=["l_orderkey"], sum_cols={"revenue": "rev"})
+    # margin before rounding: the oracle ranks by ROUNDED revenue, so rows
+    # just outside the raw top-k can tie into the rounded top-k
+    top = topk_ds(rev_ds, by=["revenue", "l_orderkey"],
+                  ascending=[False, True], k=k + 64)
+    top["revenue"] = round_away(top["revenue"] / 10000.0, 2)
+    top = top.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(k)
+    # attach o_orderdate for just the k winners (broadcast of k keys)
+    dates = semi_filter(open_orders, top["l_orderkey"].to_numpy(),
+                        "o_orderkey").to_pandas()
+    out = top.merge(dates[["o_orderkey", "o_orderdate"]],
                     left_on="l_orderkey", right_on="o_orderkey")
-    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(k)
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
     return out[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
 
@@ -142,13 +152,8 @@ def order_priority_counts(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    li_keys = (
-        rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
-        .map_batches(lambda t: t.group_by(["l_orderkey"]).aggregate([]), batch_format="pyarrow")
-        .to_pandas()["l_orderkey"]
-        .unique()
-    )
-    orders = semi_filter(orders, li_keys, "o_orderkey")
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    orders = bucket_semi_join(orders, li, on="o_orderkey", right_on="l_orderkey")
     out = grouped_sums(orders, keys=["o_orderpriority"], sum_cols={}, count_alias="order_count")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
@@ -169,12 +174,27 @@ def top_event_types(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
 
 def distinct_users(sf_dir: str) -> pd.DataFrame:
-    """count(distinct user_id) via per-batch unique -> global unique -> count."""
+    """count(distinct user_id): per-batch local distinct (combiner) ->
+    hash-partitioned exact distinct count per bucket -> sum of B partial
+    counts. The driver only ever sees B integers (never the key set)."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
-    pre = ds.map_batches(lambda t: t.group_by(["user_id"]).aggregate([]),
-                         batch_format="pyarrow")
-    n = pre.unique("user_id")
-    return pd.DataFrame({"n_users": [len(n)]})
+    num_parts = 32
+
+    from ..ops.joins import _mix_bucket
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["user_id"]).aggregate([])
+        return agg.append_column(
+            "__part", _mix_bucket(agg.column("user_id"), num_parts))
+
+    pre = ds.map_batches(local, batch_format="pyarrow")
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        n = g.group_by(["user_id"]).aggregate([]).num_rows
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = pre.groupby("__part").map_groups(count_bucket, batch_format="pyarrow")
+    return pd.DataFrame({"n_users": [int(parts.sum("n") or 0)]})
 
 
 def hourly_user_activity(sf_dir: str, k: int = 20) -> pd.DataFrame:
@@ -200,14 +220,24 @@ def hourly_user_activity(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 
 def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Broadcast join demo: top-k customers by total order value with name."""
+    """Top-k customers by total order value with name. Per-customer totals
+    stay a Dataset; the global top-k merges per-block partials; only the k
+    winners' names are fetched (broadcast of k keys into customer)."""
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    totals = grouped_sums(orders, keys=["o_custkey"], sum_cols={"total": "o_totalprice"},
-                          count_alias="n_orders")
-    totals["total"] = round_away(totals["total"], 2)
-    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"]).to_pandas()
-    out = totals.merge(cust, left_on="o_custkey", right_on="c_custkey")
-    out = out.sort_values(["total", "o_custkey"], ascending=[False, True]).head(k)
+    totals_ds = grouped_sums_ds(orders, keys=["o_custkey"],
+                                sum_cols={"total": "o_totalprice"},
+                                count_alias="n_orders")
+    top = topk_ds(totals_ds, by=["total", "o_custkey"],
+                  ascending=[False, True], k=k + 64)
+    top["total"] = round_away(top["total"], 2)
+    top = top.sort_values(["total", "o_custkey"],
+                          ascending=[False, True]).head(k)
+    cust = semi_filter(
+        rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"]),
+        top["o_custkey"].to_numpy(), "c_custkey",
+    ).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["total", "o_custkey"], ascending=[False, True])
     return out[["c_custkey", "c_name", "n_orders", "total"]].reset_index(drop=True)
 
 
@@ -263,17 +293,13 @@ def nation_order_volume(sf_dir: str) -> pd.DataFrame:
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join: customers that placed no orders (broadcast key-set filter,
-    negated)."""
-    okeys = (
-        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
-        .map_batches(lambda t: t.group_by(["o_custkey"]).aggregate([]),
-                     batch_format="pyarrow")
-        .to_pandas()["o_custkey"].unique()
-    )
+    """Anti join: customers that placed no orders — bucketed anti join (no
+    driver key-set collection; the driver sees only the final count)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
-    out = semi_filter(cust, okeys, "c_custkey", negate=True).to_pandas()
-    return pd.DataFrame({"n_customers": [len(out)]})
+    out = bucket_semi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                           negate=True)
+    return pd.DataFrame({"n_customers": [out.count()]})
 
 
 def event_sessions(sf_dir: str, gap_minutes: int = 30, k: int = 15) -> pd.DataFrame:
