@@ -2,16 +2,24 @@
 + one bounded correction pass, in a single actor sweep (no cluster loops).
 
 The reference's validate -> invalidate -> replan -> regenerate control loop
-(``graph.py:117-143``, MAX_VALIDATION_ATTEMPTS=3 / MAX_HALLUCINATION=2)
-becomes dataflow: every record is composed, validated, and — when a
-violation is found — recomposed once without the offending properties
-(deterministic uuid5 IDs make recomposition idempotent, so "partial UUID
-invalidation" is just recomputation). Violating triples are emitted with a
-non-empty ``violation`` column instead of being silently dropped; consumers
-split the stream with a filter:
+(``graph.py:117-143``, MAX_VALIDATION_ATTEMPTS=3 / MAX_HALLUCINATION=2,
+partial UUID invalidation per ``uuid_planner.py:286-303``) becomes dataflow:
+every record is composed and validated; when violations are found the record
+is recomposed ONCE without the offending (subject, property) assignments —
+the uuid5 plan is deterministic, so recomposition keeps the original node
+IDs, and facets emptied by the drop are pruned together with their
+``uco-core:hasFacet`` refs exactly as in first-pass composition (reference
+``graph_generator.py:199-216``). The corrected graph is re-validated and
+emitted with its (normally empty) violation codes; the dropped property
+triples are emitted too, with their original codes, so nothing disappears
+silently. Consumers split the stream with a filter:
 
-    clean      = out.filter(expr="violation == ''")
-    violations = out.filter(expr="violation != ''")
+    clean      = out.filter(expr="violation == ''")   # corrected graph
+    violations = out.filter(expr="violation != ''")   # dropped properties
+
+The correction is bounded at one pass by construction: the recompose is
+deterministic, so further rounds could only re-flag what the first round
+already dropped.
 """
 
 from __future__ import annotations
@@ -61,6 +69,37 @@ class ValidatingTurnTriples(TurnTriples):
             out.append((t, code))
         return out
 
+    @staticmethod
+    def _recompose_without(triples, flagged):
+        """One bounded correction: drop the flagged (subj, pred) property
+        triples, then prune facets left with only their rdf:type (their type
+        triple AND the parent's hasFacet ref go too — mirrors first-pass
+        empty-facet pruning, reference graph_generator.py:199-216).
+
+        Returns (corrected_triples, dropped_triples).
+        """
+        dropped = [t for t in triples if (t[0], t[1]) in flagged]
+        kept = [t for t in triples if (t[0], t[1]) not in flagged]
+
+        # subjects that still carry a real (non-type, non-ref) property
+        has_payload: set[str] = set()
+        facet_subjects: set[str] = set()
+        for s, p, o, dt in kept:
+            if p == "rdf:type":
+                if isinstance(o, str) and o.endswith("Facet"):
+                    facet_subjects.add(s)
+            elif p != "uco-core:hasFacet":
+                has_payload.add(s)
+        empty_facets = facet_subjects - has_payload
+        if not empty_facets:
+            return kept, dropped
+        corrected = [
+            t for t in kept
+            if not (t[0] in empty_facets
+                    or (t[1] == "uco-core:hasFacet" and t[2] in empty_facets))
+        ]
+        return corrected, dropped
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         mask = pc.and_(
             pc.equal(batch.column("role"), pa.scalar("tool")),
@@ -86,7 +125,19 @@ class ValidatingTurnTriples(TurnTriples):
                 mapper = self._mapper_for(r_atype, record)
                 fp, triples = mapper.process_record(record)
                 checked = self._validate_record(record, triples, mapper)
-                for (s, p, o, dt), code in checked:
+                flagged = {(t[0], t[1]): code for t, code in checked if code}
+                if flagged:
+                    # bounded correction pass: drop offending properties,
+                    # re-prune, re-validate the corrected graph
+                    corrected, droppedT = self._recompose_without(
+                        triples, flagged)
+                    rechecked = self._validate_record(record, corrected, mapper)
+                    emit = rechecked + [
+                        (t, flagged[(t[0], t[1])]) for t in droppedT
+                    ]
+                else:
+                    emit = checked
+                for (s, p, o, dt), code in emit:
                     cols["subj"].append(s)
                     cols["pred"].append(p)
                     cols["obj"].append(o)

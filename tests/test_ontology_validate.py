@@ -114,3 +114,79 @@ def test_validating_stage_on_synthetic_turns():
     assert set(map(tuple, df[key].values.tolist())) == set(
         map(tuple, plain[key].values.tolist())
     )
+
+
+def _one_turn_batch(payload: dict):
+    import json
+
+    import pyarrow as pa
+
+    return pa.table({
+        "conv_id": pa.array(["c0"]),
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": pa.array(["tool"]),
+        "text": pa.array([json.dumps(payload)]),
+    })
+
+
+def test_bounded_correction_recomposes_without_flagged_property():
+    """T7: an injected datatype violation (FileFacet sizeInBytes = 'oops')
+    is dropped in one bounded correction pass; the corrected graph is clean,
+    keeps the same deterministic node IDs, and the dropped property triple
+    stays in the stream with its violation code."""
+    from case_uco_ontology_map_ray.stages.kg_stage import TurnTriples
+    from case_uco_ontology_map_ray.stages.validate_stage import ValidatingTurnTriples
+
+    payload = {
+        "artifact_type": "MFT Records",
+        "records": [
+            {"EntryNumber": 5, "FullPath": "C:/Users/bad.txt", "Size": "oops"},
+            {"EntryNumber": 6, "FullPath": "C:/Users/good.txt", "Size": 123},
+        ],
+    }
+    out = ValidatingTurnTriples()(_one_turn_batch(payload)).to_pandas()
+
+    bad = out[out.violation != ""]
+    assert len(bad) == 1
+    assert bad.iloc[0]["pred"] == "uco-observable:sizeInBytes"
+    assert bad.iloc[0]["obj"] == "oops"
+    assert bad.iloc[0]["violation"].startswith("datatype[")
+
+    clean = out[out.violation == ""]
+    # corrected graph: no sizeInBytes=oops anywhere in the clean stream
+    assert not ((clean.pred == "uco-observable:sizeInBytes")
+                & (clean.obj == "oops")).any()
+    # the good record keeps its sizeInBytes
+    assert ((clean.pred == "uco-observable:sizeInBytes")
+            & (clean.obj == "123")).any()
+    # node IDs unchanged vs the unvalidated stage (deterministic plan reuse)
+    plain = TurnTriples()(_one_turn_batch(payload)).to_pandas()
+    assert set(clean.subj) <= set(plain.subj)
+    # clean stream = plain stream minus exactly the dropped property
+    key = ["subj", "pred", "obj"]
+    plain_set = set(map(tuple, plain[key].values.tolist()))
+    clean_set = set(map(tuple, clean[key].values.tolist()))
+    assert plain_set - clean_set == {
+        (bad.iloc[0]["subj"], "uco-observable:sizeInBytes", "oops")
+    }
+
+
+def test_bounded_correction_prunes_emptied_facet():
+    """If dropping the flagged property empties its facet, the facet node
+    and the parent's hasFacet ref are pruned (graph_generator.py:199-216)."""
+    from case_uco_ontology_map_ray.stages.validate_stage import ValidatingTurnTriples
+
+    # record whose ONLY FileFacet property is the bad one: no file fields
+    # except Size -> FileFacet carries just sizeInBytes
+    payload = {
+        "artifact_type": "MFT Records",
+        "records": [{"EntryNumber": 7, "Size": "not-a-number"}],
+    }
+    out = ValidatingTurnTriples()(_one_turn_batch(payload)).to_pandas()
+    clean = out[out.violation == ""]
+    # FileFacet emptied -> its type triple and the hasFacet ref are gone
+    facet_subjs = set(clean[clean.obj == "uco-observable:FileFacet"].subj)
+    assert facet_subjs == set()
+    refs = clean[clean.pred == "uco-core:hasFacet"]
+    # remaining hasFacet refs (MftRecordFacet) never point at pruned nodes
+    assert set(refs.obj) <= set(clean[clean.pred == "rdf:type"].subj)
