@@ -91,9 +91,25 @@ ONTOLOGY_MAPS: dict[str, dict] = {
             ],
             "FileFacet": ["fileName", "filePath", "createdTime", "modifiedTime"],
         },
-        "relationships": [],
+        # Live relationship slot (reference uuid_planner.py:260-265): the
+        # prefetch file is Contained_Within its volume. The propertyFieldMap
+        # rows below route record fields onto the relationship slot
+        # (reference uuid_planner.py:155-175 routes explicit rows to the
+        # owner slug, which may be a relationship slug); payload gating then
+        # includes the ObservableRelationship node (graph_generator.py:292).
+        "relationships": [
+            {"type": "Contained_Within", "source": "WindowsPrefetch",
+             "target": "Volume"},
+        ],
         "analysis": "frozen fixture",
-        "additional_details": {},
+        "additional_details": {
+            "propertyFieldMap": {
+                "relationship_Contained_Within_0": {
+                    "core:source": ["SourceFilename"],
+                    "core:target": ["VolumeSerialNumber"],
+                },
+            },
+        },
     },
     "MFT Records": {
         "artifacts": ["MFT Records"],

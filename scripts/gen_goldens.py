@@ -54,9 +54,18 @@ PREFETCH_MAP = {
                              "lastRun", "volume", "accessedFile", "accessedDirectory"],
     "FileFacet": ["fileName", "filePath", "createdTime", "modifiedTime"]
   },
-  "relationships": [],
+  "relationships": [
+    {"type": "Contained_Within", "source": "WindowsPrefetch", "target": "Volume"}
+  ],
   "analysis": "frozen fixture",
-  "additional_details": {}
+  "additional_details": {
+    "propertyFieldMap": {
+      "relationship_Contained_Within_0": {
+        "core:source": ["SourceFilename"],
+        "core:target": ["VolumeSerialNumber"]
+      }
+    }
+  }
 }
 MFT_MAP = {
   "artifacts": ["MFT Records"],

@@ -51,3 +51,37 @@ def test_custom_facet_definitions_aggregate():
     props = json.loads(out[out.artifact_type == "IoT Sensor Reading"].properties.iloc[0])
     assert "dfc-ext:temperature" in props
     assert props["dfc-ext:temperature"]["dataType"] == "xsd:decimal"
+
+
+def test_relationship_triples_emitted_from_transcripts():
+    """Live relationship path: prefetch records carry a Contained_Within
+    ObservableRelationship slot (config.ONTOLOGY_MAPS propertyFieldMap ->
+    relationship slug routing, reference uuid_planner.py:260-265 +
+    graph_generator.py:292 payload gating)."""
+    from case_uco_ontology_map_ray.sources.transcripts import conversations_table
+    from case_uco_ontology_map_ray.stages.kg_stage import TurnTriples
+
+    tab = conversations_table(range(6), 12)
+    df = TurnTriples()(tab).to_pandas()
+    for c in ("pred", "obj", "artifact_type"):
+        if str(df[c].dtype) == "category" or df[c].dtype == object:
+            df[c] = df[c].astype(str)
+
+    rel_nodes = df[(df.pred == "rdf:type")
+                   & (df.obj == "uco-observable:ObservableRelationship")]
+    assert len(rel_nodes) > 0
+    # every relationship node carries core:source and core:target payload
+    srcs = df[df.pred == "core:source"]
+    tgts = df[df.pred == "core:target"]
+    assert set(rel_nodes.subj) == set(srcs.subj) == set(tgts.subj)
+    # and only prefetch records produce them
+    assert set(rel_nodes.artifact_type) == {
+        "Windows Prefetch execution cache records"}
+    # validated stage keeps them clean (no placement/unknown-property flags)
+    from case_uco_ontology_map_ray.stages.validate_stage import (
+        ValidatingTurnTriples,
+    )
+
+    vdf = ValidatingTurnTriples()(tab).to_pandas()
+    vrel = vdf[vdf.pred.astype(str).isin(["core:source", "core:target"])]
+    assert len(vrel) > 0 and (vrel.violation == "").all()
