@@ -64,6 +64,93 @@ class OntologyIndex:
     def is_facet(self, name: str) -> bool:
         return name in self.facets
 
+    # ------------------------------------------------------- search surface
+    # Mirrors the reference's ontology query API so new artifact types can be
+    # mapped with tooling instead of hand-built frozen maps:
+    # list_all_classes (case_uco.py:476), search_classes (case_uco.py:686),
+    # relevant_facets (case_uco.py:1004,1019). The distilled index vendors no
+    # rdfs:comment text, so search matches names only (the reference's
+    # 'description' match_type needs the full TTLs).
+
+    def list_all_classes(self) -> list[dict]:
+        """Sorted [{'name', 'uri'}] over every class in the index."""
+        from ..functions.naming import iri_for
+
+        return sorted(
+            ({"name": name, "uri": iri_for(name)} for name in self.classes),
+            key=lambda x: x["name"],
+        )
+
+    def search_classes(self, keyword: str) -> list[dict]:
+        """Classes whose name contains ``keyword`` (case-insensitive),
+        sorted by name — reference ``search_classes`` name matches."""
+        from ..functions.naming import iri_for
+
+        kw = keyword.lower()
+        return sorted(
+            (
+                {"name": name, "uri": iri_for(name), "match_type": "name",
+                 "n_properties": len(self.shapes_for(name)),
+                 "is_facet": self.is_facet(name)}
+                for name in self.classes
+                if kw in name.lower()
+            ),
+            key=lambda x: x["name"],
+        )
+
+    def relevant_facets(self, class_name: str, limit: int = 10) -> list[str]:
+        """Facets relevant to a class by bidirectional name containment
+        (reference ``_find_relevant_facets``): unique, capped at ``limit``,
+        sorted for determinism (the reference's set() order is unstable)."""
+        cl = class_name.lower()
+        rel = {f for f in self.facets if cl in f.lower() or f.lower() in cl}
+        return sorted(rel)[:limit]
+
+    def search_properties(self, keyword: str) -> list[dict]:
+        """Properties whose local name contains ``keyword``, with their
+        owning classes and SHACL datatype — the lookup used when mapping a
+        new artifact field."""
+        kw = keyword.lower()
+        out = []
+        for prop, owners in self.prop_owners.items():
+            if kw in prop.lower():
+                dt = None
+                for o in owners:
+                    shape = self.classes[o]["shapes"].get(prop)
+                    if shape and shape.get("datatype"):
+                        dt = shape["datatype"]
+                        break
+                out.append({"property": prop, "owners": owners, "datatype": dt})
+        return sorted(out, key=lambda x: x["property"])
+
+    def suggest_mapping(self, field_names: list[str],
+                        top_n: int = 3) -> dict[str, list[dict]]:
+        """For each raw record field, ranked candidate ontology properties by
+        the SAME token-overlap heuristic the mapper uses
+        (kg/mapper.py:_match_property / reference uuid_planner.py:92-133) —
+        the tooling step for building a new artifact type's frozen map."""
+        from ..functions.naming import tokenize
+
+        out: dict[str, list[dict]] = {}
+        for raw in field_names:
+            # tokenize the RAW name (camelCase boundaries intact) — the
+            # mapper's normalize-first pass relies on the alias map for
+            # camel-cased fields; the tooling should not
+            toks = set(tokenize(raw))
+            scored = []
+            for prop, owners in self.prop_owners.items():
+                ptoks = set(tokenize(prop))
+                score = len(toks & ptoks)
+                if score > 0:
+                    scored.append({"property": prop, "owners": owners,
+                                   "score": score, "_extra": len(ptoks) - score})
+            # precision tie-break: fewer unmatched property tokens first
+            # (exact 'fileName' beats 'applicationFileName' for FileName)
+            scored.sort(key=lambda x: (-x["score"], x["_extra"], x["property"]))
+            out[raw] = [{k: v for k, v in s.items() if k != "_extra"}
+                        for s in scored[:top_n]]
+        return out
+
     # ------------------------------------------------------------------
     def to_json(self) -> str:
         return json.dumps({"classes": self.classes, "prop_kinds": self.prop_kinds},

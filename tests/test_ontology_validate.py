@@ -190,3 +190,46 @@ def test_bounded_correction_prunes_emptied_facet():
     refs = clean[clean.pred == "uco-core:hasFacet"]
     # remaining hasFacet refs (MftRecordFacet) never point at pruned nodes
     assert set(refs.obj) <= set(clean[clean.pred == "rdf:type"].subj)
+
+
+def test_ontology_search_api():
+    """Search surface mirroring reference case_uco.py:476,686,1004."""
+    from case_uco_ontology_map_ray.ontology.index import load_default_index
+
+    idx = load_default_index()
+    all_classes = idx.list_all_classes()
+    assert len(all_classes) == len(idx.classes)
+    assert all_classes == sorted(all_classes, key=lambda x: x["name"])
+    assert {"name": "WindowsPrefetch",
+            "uri": "uco-observable:WindowsPrefetch"} in all_classes
+
+    hits = idx.search_classes("prefetch")
+    names = [h["name"] for h in hits]
+    assert "WindowsPrefetch" in names and "WindowsPrefetchFacet" in names
+    facet_hit = next(h for h in hits if h["name"] == "WindowsPrefetchFacet")
+    assert facet_hit["is_facet"] and facet_hit["n_properties"] > 0
+
+    rel = idx.relevant_facets("WindowsPrefetch")
+    assert "WindowsPrefetchFacet" in rel and len(rel) <= 10
+
+    props = idx.search_properties("filePath")
+    assert any(p["property"] == "filePath" and "FileFacet" in p["owners"]
+               for p in props)
+
+
+def test_suggest_mapping_recovers_frozen_map_choices():
+    """The mapping-suggestion tool must rank the frozen-map properties at
+    the top for the fields they were hand-mapped from."""
+    from case_uco_ontology_map_ray.ontology.index import load_default_index
+
+    idx = load_default_index()
+    sugg = idx.suggest_mapping(["FileName", "FilePath", "RunCount"])
+    assert sugg["FileName"][0]["property"] == "fileName"
+    assert sugg["FilePath"][0]["property"] == "filePath"
+    # RunCount has no token overlap with timesExecuted -> that is exactly why
+    # the alias map exists; the tool returns no false certainty
+    assert all(s["score"] >= 1 for s in sugg["RunCount"])
+    # results ranked by score desc
+    for cands in sugg.values():
+        scores = [c["score"] for c in cands]
+        assert scores == sorted(scores, reverse=True)
