@@ -44,3 +44,35 @@ def test_jsonld_stage_over_transcripts():
     assert "@context" in doc and "@graph" in doc
     for node in doc["@graph"]:
         assert "@id" in node and "@type" in node
+
+
+def test_shacl_spotcheck_clean_on_samples(ray_session):
+    """CI-style SHACL-lite spot-check (SURVEY §7.4): sampled JSON-LD docs
+    from the real pipeline have zero violations; an injected broken doc is
+    caught. Uses pyshacl when importable, the structural RuleEngine pass
+    otherwise (pyshacl is not shipped in this container)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import json
+
+    from shacl_spotcheck import spotcheck_doc, spotcheck_docs
+
+    import __ray_entry__ as e
+
+    docs_ds = e.queries()["kg_jsonld_docs"]("/root/testdata/sf0.001")
+    rows = docs_ds.take(40)
+    docs = [json.loads(r["jsonld"]) for r in rows]
+    report = spotcheck_docs(docs)
+    assert report["n_docs"] == 40
+    assert report["n_violations"] == 0, report["problems"][:5]
+
+    # negative control: dangling facet ref + non-facet ref target
+    broken = {"@graph": [
+        {"@id": "a", "@type": "uco-observable:File",
+         "uco-core:hasFacet": [{"@id": "missing"}, {"@id": "b"}]},
+        {"@id": "b", "@type": "uco-observable:File"},
+    ]}
+    probs = spotcheck_doc(broken)
+    assert any("dangling" in p for p in probs)
+    assert any("non-facet" in p for p in probs)
