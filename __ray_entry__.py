@@ -128,6 +128,17 @@ def _kg_violations(sf_dir: str):
     return violation_summary(validated_triples(_transcripts_for(sf_dir)))
 
 
+def _kg_failure_memory(sf_dir: str):
+    """T8 learning accumulator: per-(artifact_type, rule) failure patterns
+    with derived correction strategies (rows-only; the transcript pipeline is
+    clean by construction, so accuracy is pinned by an injected-violation
+    test in tests/test_ontology_validate.py)."""
+    from case_uco_ontology_map_ray.pipelines.kg import validated_triples
+    from case_uco_ontology_map_ray.state.memory import learn_failure_patterns
+
+    return learn_failure_patterns(validated_triples(_transcripts_for(sf_dir)))
+
+
 def _kg_coverage(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import coverage_by_artifact_type
 
@@ -190,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_validated_clean": _kg_validated,
         "kg_violation_summary": _kg_violations,
         "kg_coverage": _kg_coverage,
+        "kg_failure_memory": _kg_failure_memory,
         "kg_custom_facet_defs": _kg_custom_facet_defs,
         "kg_jsonld_docs": _kg_jsonld_docs,
         # relational operator surface (DuckDB-oracled)

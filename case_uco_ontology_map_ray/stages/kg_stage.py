@@ -188,8 +188,13 @@ class TurnTriples:
         # pipeline's main data volume).
         return pa.table(
             {
-                "subj": pa.array(subj, pa.string()),
+                # subj repeats ~8-12x per record (one node id across its
+                # triples): dictionary encoding cuts the dominant column from
+                # 36 B/row to a 4 B index + one dict entry per node
+                "subj": pa.array(subj, pa.string()).dictionary_encode(),
                 "pred": pa.array(pred, pa.string()).dictionary_encode(),
+                # obj stays plain: its values (timestamps, paths) are mostly
+                # distinct, so a dictionary would not shrink it
                 "obj": pa.array(obj, pa.string()),
                 "obj_dt": pa.array(obj_dt, pa.string()).dictionary_encode(),
                 "conv_id": pa.array(out_conv, pa.string()).dictionary_encode(),

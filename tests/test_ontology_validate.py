@@ -233,3 +233,48 @@ def test_suggest_mapping_recovers_frozen_map_choices():
     for cands in sugg.values():
         scores = [c["score"] for c in cands]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_failure_memory_learning(ray_session):
+    """T8: injected violations aggregate into (artifact_type, rule) patterns
+    with the reference's priority rule (>2 -> high) and render the
+    memory-context string."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.stages.validate_stage import ValidatingTurnTriples
+    from case_uco_ontology_map_ray.state.memory import (
+        learn_failure_patterns,
+        memory_context,
+    )
+
+    payloads = []
+    for i in range(4):  # 4 bad records -> n > 2 -> priority high
+        payloads.append(json.dumps({
+            "artifact_type": "MFT Records",
+            "records": [{"EntryNumber": i, "FullPath": f"/x/{i}", "Size": "bad"}],
+        }))
+    tab = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(4)]),
+        "turn_idx": pa.array([0] * 4, pa.int32()),
+        "role": pa.array(["tool"] * 4),
+        "text": pa.array(payloads),
+    })
+    validated = rd.from_arrow(ValidatingTurnTriples()(tab))
+    pat = learn_failure_patterns(validated)
+    assert len(pat) == 1
+    row = pat.iloc[0]
+    assert row.artifact_type == "MFT Records"
+    assert row.rule == "datatype"
+    assert row.n == 4 and row.priority == "high"
+    assert row.sample_pred == "uco-observable:sizeInBytes"
+    ctx = memory_context(pat)
+    assert "MFT Records/datatype: 4 violations" in ctx
+    assert "drop-property-recompose [high]" in ctx
+
+    # empty stream -> reference's empty-context sentinel
+    clean = validated.filter(expr="violation == ''")
+    assert memory_context(learn_failure_patterns(clean)) == \
+        "No previous memory available"
