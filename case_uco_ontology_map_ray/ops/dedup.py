@@ -198,6 +198,10 @@ def _propagate_components(edges, all_ids, out_col: str,
     """
     import ray
 
+    # edges are small (LSH-bounded candidates that passed verification);
+    # materialize so count + downstream use don't re-execute the whole
+    # sketch/band/verify lineage
+    edges = edges.materialize()
     c0, c1 = edges.schema().names[:2]
     # Star incidence: edge (u, v) -> group u contains {u, v}; min-label over
     # the bipartite (group, member) graph = component min.
