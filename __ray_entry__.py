@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_documents": corpus.dedup_simhash_documents,
         "ngram_jaccard_pairs": corpus.ngram_jaccard_pairs,
         "doc_token_stats": corpus.doc_token_stats,
+        "doc_bpe_tokens": corpus.doc_bpe_tokens,
+        "doc_length_quantiles": corpus.doc_length_quantiles,
         "text_stats_by_lang": corpus.text_stats_by_lang,
         "doc_quality": corpus.doc_quality,
         "doc_lang_id": corpus.doc_lang_id,
@@ -440,6 +442,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                       AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_length_quantiles": """
+            SELECT round(quantile_cont(length(text), 0.5), 4) AS p50,
+                   round(quantile_cont(length(text), 0.9), 4) AS p90,
+                   round(quantile_cont(length(text), 0.99), 4) AS p99
+            FROM documents
         """,
         "similarity_topk": """
             SELECT b.vec_id,

@@ -173,3 +173,58 @@ def rolling_fingerprints(ds, keep: int = 8):
                          "fingerprint": pa.array(out, pa.list_(pa.int64()))})
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# GPT-2-flavoured pre-tokenizer classes, restricted to RE2 syntax so the
+# Arrow kernel (count_substring_regex, RE2) and the DuckDB oracle
+# (regexp_extract_all, RE2) tokenize identically.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(ds) -> "pa.Table":
+    """Per-doc sub-word token count under a BPE-ish pre-tokenizer split
+    (letters runs / digit runs / single punctuation). Fully vectorized:
+    one RE2 count kernel per batch, no Python loop."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n = pc.count_substring_regex(text, BPE_SPLIT_PATTERN)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bpe_tokens": n.cast(pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_quantiles(ds, qs=(0.5, 0.9, 0.99), col: str = "text") -> dict:
+    """EXACT quantile_cont over length(col), distributed: per-batch value
+    counts on the (bounded) length domain -> tiny global histogram ->
+    interpolated quantiles on the driver. The shuffle carries one row per
+    distinct length per block — never the data."""
+    from ray.data.aggregate import Sum
+
+    def local(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t.column(col)).cast(pa.int64())
+        one = pa.table({"len": ln})
+        agg = one.group_by(["len"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["len", "n"])
+
+    hist = (ds.map_batches(local, batch_format="pyarrow")
+              .groupby("len").aggregate(Sum("n", alias_name="n")).to_pandas())
+    hist = hist.sort_values("len").reset_index(drop=True)
+    lens = hist["len"].to_numpy(dtype=np.float64)
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+
+    def _value_at(idx: int) -> float:
+        return float(lens[np.searchsorted(cum, idx + 1)])
+
+    out = {}
+    for q in qs:
+        h = (total - 1) * q
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+        vlo, vhi = _value_at(lo), _value_at(hi)
+        out[q] = vlo + (h - lo) * (vhi - vlo)
+    return out

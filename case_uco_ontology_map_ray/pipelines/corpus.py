@@ -63,6 +63,21 @@ def doc_lang_id(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """Sub-word (BPE-ish pre-tokenizer) token counts; oracle: DuckDB
+    regexp_extract_all with the same RE2 pattern."""
+    out = tx.bpe_token_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact quantile_cont over document char lengths via a distributed
+    counting histogram; oracle: DuckDB quantile_cont."""
+    q = tx.length_quantiles(_docs(sf_dir, ["text"]), qs=(0.5, 0.9, 0.99))
+    return pd.DataFrame({"p50": [round(q[0.5], 4)], "p90": [round(q[0.9], 4)],
+                         "p99": [round(q[0.99], 4)]})
+
+
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     out = tx.doc_fingerprints(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -171,3 +171,29 @@ def test_embedding_neardup_lsh_recall():
     lp = set(zip(lsh.id_a, lsh.id_b))
     assert lp <= ep                       # exact verify => no false positives
     assert len(lp & ep) / max(1, len(ep)) >= 0.8
+
+
+def test_bpe_token_stats_vectorized():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import BPE_SPLIT_PATTERN, bpe_token_stats
+
+    import re
+    docs = ["hello world42!", "a-b_c", "", "123 456"]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    out = bpe_token_stats(ds).to_pandas().sort_values("doc_id")
+    # RE2 pattern subset is valid Python re too -> cross-check per doc
+    want = [len(re.findall(BPE_SPLIT_PATTERN, t)) for t in docs]
+    assert out["n_bpe_tokens"].tolist() == want
+
+
+def test_length_quantiles_exact():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import length_quantiles
+
+    texts = ["x" * n for n in [1, 2, 3, 4, 100]]
+    ds = rd.from_items([{"text": t} for t in texts])
+    q = length_quantiles(ds, qs=(0.5, 0.75))
+    assert q[0.5] == 3.0          # median of 1,2,3,4,100
+    assert q[0.75] == 4.0         # h = 3.0 exactly
