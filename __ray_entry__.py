@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": analytics.user_event_pivot,
         "props_k_by_type": analytics.props_k_by_type,
         "top_tokens": corpus.top_tokens,
+        "top_bigrams": corpus.top_bigrams,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_minhash_documents": corpus.dedup_minhash_documents,
@@ -421,6 +422,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok
             ORDER BY n DESC, tok
             LIMIT 20
+        """,
+        "top_bigrams": """
+            WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') AS t
+                          FROM documents),
+            pairs AS (
+                SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+                FROM toks WHERE len(t) >= 2
+            )
+            SELECT z[1] || ' ' || z[2] AS bigram, count(*) AS n
+            FROM pairs
+            WHERE z[1] <> '' AND z[2] <> ''
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id FROM documents

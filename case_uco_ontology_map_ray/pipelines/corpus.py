@@ -106,6 +106,48 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
             .head(k)[["tok", "n"]].reset_index(drop=True))
 
 
+def top_bigrams(sf_dir: str, k: int = 15) -> pd.DataFrame:
+    """Top word bigrams: whitespace tokens -> adjacent pairs, vectorized on
+    the Arrow list layout (values array sliced by one + element-wise join,
+    document boundaries masked via list offsets) -> partial counts ->
+    global sum -> top-k. Oracle: DuckDB list_zip over split tokens."""
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums
+
+    ds = _docs(sf_dir, ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        vals = toks.values
+        n = len(vals)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        a = vals.slice(0, n - 1)
+        b = vals.slice(1, n - 1)
+        joined = pc.binary_join_element_wise(a, b, " ")
+        # pair j spans (vals[j], vals[j+1]); drop pairs crossing a document
+        # boundary (j+1 == offs[k]) and pairs touching an empty token
+        valid = np.ones(n - 1, dtype=bool)
+        inner = offs[1:-1] - 1
+        valid[inner[(inner >= 0) & (inner < n - 1)]] = False
+        mask = pa.array(
+            valid & (pc.utf8_length(a).to_numpy(zero_copy_only=False) > 0)
+            & (pc.utf8_length(b).to_numpy(zero_copy_only=False) > 0))
+        pairs = pa.table({"bigram": joined.filter(mask)})
+        agg = pairs.group_by(["bigram"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["bigram", "n_part"])
+
+    parts = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(parts, keys=["bigram"], sum_cols={"n": "n_part"})
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["n", "bigram"], ascending=[False, True])
+            .head(k)[["bigram", "n"]].reset_index(drop=True))
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     """The embedding of vec_id 0 — a fixed, reproducible query."""
     t = (

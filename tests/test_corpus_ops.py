@@ -3,6 +3,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 pytestmark = pytest.mark.usefixtures("ray_session")
@@ -197,3 +198,19 @@ def test_length_quantiles_exact():
     q = length_quantiles(ds, qs=(0.5, 0.75))
     assert q[0.5] == 3.0          # median of 1,2,3,4,100
     assert q[0.75] == 4.0         # h = 3.0 exactly
+
+
+def test_top_bigrams_boundaries(tmp_path):
+    """Bigram pairs never cross document boundaries and skip empty tokens."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.corpus import top_bigrams
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["a b c", "c a  b", "  b c "])})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = top_bigrams(str(tmp_path))
+    got = dict(zip(out.bigram, out.n))
+    # 'a b': doc0 + doc1(double space collapses); 'b c': doc0 + doc2
+    assert got == {"a b": 2, "b c": 2, "c a": 1}
