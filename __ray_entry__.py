@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_type": analytics.top_events_per_type,
         "user_event_pivot": analytics.user_event_pivot,
         "props_k_by_type": analytics.props_k_by_type,
+        "event_value_quantiles": analytics.event_value_quantiles,
         "top_tokens": corpus.top_tokens,
         "top_bigrams": corpus.top_bigrams,
         # training-data corpus ops: dedup / text analysis / similarity
@@ -373,6 +374,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "event_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "top_events_per_type": """
             SELECT event_type, event_id, round(value, 2) AS value

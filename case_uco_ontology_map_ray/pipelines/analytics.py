@@ -454,6 +454,28 @@ def props_k_by_type(sf_dir: str) -> pd.DataFrame:
         ["event_type", "n", "sum_k", "avg_k"]].reset_index(drop=True)
 
 
+def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantile_cont over event values: groupby(event_type)
+    .map_groups with an in-group sort — exact because one event type fits a
+    worker (documented partitioning assumption; the unbounded-cardinality
+    path is the mergeable histogram sketch in ops/sketches). Oracle: DuckDB
+    quantile_cont(...) GROUP BY."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        out = {"event_type": [g["event_type"].iloc[0]]}
+        for name, q in (("p50", 0.5), ("p90", 0.9)):
+            h = (len(v) - 1) * q
+            lo = int(np.floor(h))
+            hi = int(np.ceil(h))
+            out[name] = [round_away(v[lo] + (h - lo) * (v[hi] - v[lo]), 4)]
+        return pd.DataFrame(out)
+
+    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
 def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Bucketed large-large join demo: lineitem x part on partkey, revenue by
     brand (the bucket join is the portable hash-partitioned join shape)."""
