@@ -127,6 +127,39 @@ def _explode_bands(mh: MinHasher, bands: int):
     return explode
 
 
+def _band_groups(bands_ds, extract_fn, num_parts: int = 64):
+    """Scale-safe per-band processing: co-group COMPLETE bands into
+    ``num_parts`` hash buckets (band determines bucket, so every band lands
+    whole in exactly one group), then run ``extract_fn`` once per bucket
+    over a band-sorted frame. One Ray groupby with ``num_parts`` vectorized
+    group calls — NOT one Python dispatch per band, which at 10^5+ distinct
+    bands costs ~1 ms each and dominates the pipeline.
+
+    ``extract_fn(g)`` receives the bucket frame sorted by (band, doc_id)
+    plus a ``__seg`` int64 column numbering the band segments.
+    """
+    import pyarrow.compute as pc
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .joins import _mix_bucket
+
+        return t.append_column("__bucket", _mix_bucket(t.column("band"),
+                                                       num_parts))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["band", "doc_id"], kind="mergesort").reset_index(drop=True)
+        band = g["band"].to_numpy()
+        seg = np.zeros(len(g), dtype=np.int64)
+        if len(g):
+            seg[1:] = np.cumsum(band[1:] != band[:-1])
+        g["__seg"] = seg
+        return extract_fn(g)
+
+    return bands_ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def _distinct_edges(edges, num_parts: int = 64):
     """Dedup an (int64, int64) edge Dataset: local arrow combiner + one
     hash-partitioned finish (the distinct_paths pattern from linking.py)."""
@@ -299,21 +332,24 @@ def minhash_lsh_dedup(
     bands_ds = sketched.select_columns(["doc_id", "sig"]).map_batches(
         _explode_bands(mh, bands), batch_format="pyarrow")
 
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ALL band segments in the bucket: root = segment
+        # min (first after sort); skew guard caps each band's star at
+        # max_bucket smallest ids (a degenerate band — e.g. empty docs —
+        # would otherwise emit unbounded verify work)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        seg = g["__seg"].to_numpy()
+        if len(doc) == 0:
             return pd.DataFrame({"u": pd.Series(dtype="int64"),
                                  "v": pd.Series(dtype="int64")})
-        if len(ids) > max_bucket:
-            # skew guard: a degenerate band (e.g. empty docs) would emit
-            # O(n^2)-ish verify work; cap and keep the smallest ids
-            ids = ids[:max_bucket]
-        root = ids.min()
-        others = ids[ids != root]
-        return pd.DataFrame({"u": others, "v": np.full(len(others), root)})
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        lens = np.diff(np.r_[starts, len(seg)])
+        pos = np.arange(len(seg)) - np.repeat(starts, lens)
+        roots = np.repeat(doc[starts], lens)
+        keep = (pos >= 1) & (pos < max_bucket)
+        return pd.DataFrame({"u": doc[keep], "v": roots[keep]})
 
-    edges = bands_ds.groupby("band").map_groups(bucket_edges,
-                                                batch_format="pandas")
+    edges = _band_groups(bands_ds, star_edges)
     edges = _distinct_edges(edges)
     verified = _verify_jaccard(edges, payload, tau)
     return _propagate_components(verified, sketched.select_columns(["doc_id"]),
@@ -350,26 +386,28 @@ def simhash_groups(ds, shingle_k: int = 3, use_words: bool = True,
 
     bands_ds = sketched.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def hamming_edges(g: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized across ALL band segments: every member's hamming
+        # distance to its segment root (XOR + byte-table popcount)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        sims = g["sim"].to_numpy(dtype=np.uint64)
+        seg = g["__seg"].to_numpy()
+        if len(doc) == 0:
             return pd.DataFrame({"u": pd.Series(dtype="int64"),
                                  "v": pd.Series(dtype="int64")})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        sims = g["sim"].to_numpy(dtype=np.uint64)
-        root_id, root_sim = ids[0], sims[0]
-        # vectorized hamming distance to the bucket root (XOR + popcount)
-        x = sims[1:] ^ root_sim
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        lens = np.diff(np.r_[starts, len(seg)])
+        pos = np.arange(len(seg)) - np.repeat(starts, lens)
+        roots = np.repeat(doc[starts], lens)
+        x = sims ^ np.repeat(sims[starts], lens)
         dist = np.zeros(len(x), dtype=np.int64)
         for shift in range(0, 64, 8):
             byte = ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)
             dist += _POPCOUNT8[byte]
-        near = ids[1:][dist <= radius]
-        return pd.DataFrame({"u": near,
-                             "v": np.full(len(near), root_id, dtype=np.int64)})
+        keep = (pos >= 1) & (dist <= radius)
+        return pd.DataFrame({"u": doc[keep], "v": roots[keep]})
 
-    edges = bands_ds.groupby("band").map_groups(bucket_edges,
-                                                batch_format="pandas")
+    edges = _band_groups(bands_ds, hamming_edges)
     edges = _distinct_edges(edges)
     return _propagate_components(edges, sketched.select_columns(["doc_id"]),
                                  "group_id", max_rounds=max_rounds)
@@ -395,16 +433,29 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 3, tau: float = 0.3,
     bands_ds = sketched.select_columns(["doc_id", "sig"]).map_batches(
         _explode_bands(mh, bands), batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())[:48]
-        if len(ids) < 2:
+    def pair_edges(g: pd.DataFrame) -> pd.DataFrame:
+        # python loop only over COLLIDING band segments (>=2 members) —
+        # vanishingly few relative to total bands
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        seg = g["__seg"].to_numpy()
+        if len(doc) == 0:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        lens = np.diff(np.r_[starts, len(seg)])
+        us, vs = [], []
+        for s, n in zip(starts[lens >= 2], lens[lens >= 2]):
+            ids = doc[s:s + min(n, 48)]
+            a, b = np.triu_indices(len(ids), k=1)
+            us.append(ids[a])
+            vs.append(ids[b])
+        if not us:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(us),
+                             "id_b": np.concatenate(vs)})
 
-    pairs = bands_ds.groupby("band").map_groups(bucket_pairs,
-                                                batch_format="pandas")
+    pairs = _band_groups(bands_ds, pair_edges)
     pairs = _distinct_edges(pairs)
     out = _verify_jaccard(pairs, payload, tau, emit_jac=True).to_pandas()
     if out.empty:
