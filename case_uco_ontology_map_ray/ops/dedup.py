@@ -69,19 +69,23 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 class _Sketcher:
-    """Actor stage: per-document shingles + minhash signature + simhash.
+    """Actor stage: per-document shingles + minhash signature (+ simhash).
 
     ``emit_shingles`` additionally carries the distinct shingle-hash set as a
     list<uint64> column so downstream exact-Jaccard verification can run
     distributed (joined per candidate edge) instead of re-reading text.
+    ``emit_simhash`` computes the 64-bit fingerprint only when the caller
+    needs it (it costs a 64xN bit matrix per doc — ~1/3 of sketch time).
     """
 
     def __init__(self, num_perm: int, shingle_k: int, use_words: bool,
-                 seed: int = 42, emit_shingles: bool = False):
+                 seed: int = 42, emit_shingles: bool = False,
+                 emit_simhash: bool = True):
         self.mh = MinHasher(num_perm=num_perm, seed=seed)
         self.k = shingle_k
         self.use_words = use_words
         self.emit_shingles = emit_shingles
+        self.emit_simhash = emit_simhash
 
     def shingles(self, text: str) -> np.ndarray:
         if self.use_words:
@@ -92,23 +96,25 @@ class _Sketcher:
         texts = t.column("text").to_pylist()
         sh = [self.shingles(x) for x in texts]
         sigs = [self.mh.signature(s) for s in sh]
-        sims = [simhash64(s) for s in sh]
         cols = {
             "doc_id": t.column("doc_id"),
             "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
-            "simhash": pa.array(sims, pa.uint64()),
         }
+        if self.emit_simhash:
+            cols["simhash"] = pa.array([simhash64(s) for s in sh], pa.uint64())
         if self.emit_shingles:
             cols["shingles"] = pa.array([s for s in sh], pa.list_(pa.uint64()))
         return pa.table(cols)
 
 
 def _sketch(ds, num_perm: int, shingle_k: int, use_words: bool,
-            emit_shingles: bool = False):
+            emit_shingles: bool = False, emit_simhash: bool = True):
+    # sketching is the dominant per-doc compute: give it all-but-one core
     return ds.map_batches(
         _Sketcher,
-        fn_constructor_args=(num_perm, shingle_k, use_words, 42, emit_shingles),
-        batch_format="pyarrow", concurrency=_pool(),
+        fn_constructor_args=(num_perm, shingle_k, use_words, 42,
+                             emit_shingles, emit_simhash),
+        batch_format="pyarrow", concurrency=_pool(1.0),
     )
 
 
@@ -183,10 +189,50 @@ def _distinct_edges(edges, num_parts: int = 64):
 def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
     """Attach both sides' shingle sets to candidate edges (two bucket_joins)
     and keep edges with exact Jaccard >= tau. Fully distributed; the per-pair
-    work is one numpy intersect over pre-distinct shingle arrays."""
-    from .joins import bucket_join
+    work is one numpy intersect over pre-distinct shingle arrays.
 
+    The payload is first reduced to candidate ENDPOINTS so the joins shuffle
+    O(candidates) shingle sets, not the whole corpus: endpoint ids are tiny
+    (2 int64 per verified-candidate edge), so below SMALL_THRESHOLD they
+    broadcast into a map-only filter; above, a bucket_semi_join does the
+    same reduction with one extra shuffle.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .joins import bucket_join, bucket_semi_join
+
+    # edges are LSH-bounded candidates (tiny next to the corpus); pin them
+    # so the endpoint scan + the join don't re-execute the band lineage
+    edges = edges.materialize()
     c0, c1 = edges.schema().names[:2]
+
+    eps = edges.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays(
+            [t.column(c0).combine_chunks(), t.column(c1).combine_chunks()]
+        ).unique()}),
+        batch_format="pyarrow",
+    )
+    n_eps_upper = eps.count()
+    if n_eps_upper <= SMALL_THRESHOLD:
+        ids = np.unique(np.concatenate(
+            [b.column("doc_id").to_numpy(zero_copy_only=False)
+             for b in eps.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        ref = ray.put(pa.array(ids, pa.int64()))
+
+        class KeepCandidates:
+            def __init__(self):
+                self.value_set = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(t.column("doc_id"),
+                                         value_set=self.value_set))
+
+        payload = payload.map_batches(KeepCandidates, batch_format="pyarrow",
+                                      concurrency=_pool())
+    else:
+        payload = bucket_semi_join(payload, eps, on="doc_id")
     pay_u = payload.map_batches(
         lambda t: t.rename_columns([c0, "__sh_u"]), batch_format="pyarrow")
     pay_v = payload.map_batches(
@@ -327,7 +373,7 @@ def minhash_lsh_dedup(
     mh = MinHasher(num_perm=num_perm, seed=42)
 
     sketched = _sketch(ds, num_perm, shingle_k, use_words,
-                       emit_shingles=True).materialize()
+                       emit_shingles=True, emit_simhash=False).materialize()
     payload = sketched.select_columns(["doc_id", "shingles"])
     bands_ds = sketched.select_columns(["doc_id", "sig"]).map_batches(
         _explode_bands(mh, bands), batch_format="pyarrow")
@@ -428,7 +474,7 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 3, tau: float = 0.3,
     mh = MinHasher(num_perm=num_perm, seed=42)
 
     sketched = _sketch(ds, num_perm, shingle_k, True,
-                       emit_shingles=True).materialize()
+                       emit_shingles=True, emit_simhash=False).materialize()
     payload = sketched.select_columns(["doc_id", "shingles"])
     bands_ds = sketched.select_columns(["doc_id", "sig"]).map_batches(
         _explode_bands(mh, bands), batch_format="pyarrow")
@@ -471,4 +517,6 @@ def _pool(frac: float = 0.5) -> int:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if frac >= 1.0:
+        return max(1, cpus - 1)
     return max(1, int(cpus * frac))

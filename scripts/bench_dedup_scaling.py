@@ -27,33 +27,37 @@ PAIR = tuple(int(x) for x in os.environ.get("GRAFT_SCALE_PAIR", "4,16").split(",
 
 
 def ensure_corpus() -> None:
+    """Vectorized synth: token-id matrix -> Arrow dictionary cast -> list
+    binary_join. Every 10th doc is a planted near-dup of its predecessor
+    (5 of 80 tokens mutated)."""
     if os.path.exists(f"{CORPUS}/_SUCCESS"):
         return
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     os.makedirs(CORPUS, exist_ok=True)
     rng = np.random.RandomState(7)
-    vocab = np.array([f"tok{i}" for i in range(5000)])
-    rows_per_file, n_files = 12_500, max(1, N_DOCS // 12_500)
-    doc_id = 0
+    n_vocab, n_tok = 5000, 80
+    vocab = pa.array([f"tok{i}" for i in range(n_vocab)])
+    rows_per_file = 50_000
+    n_files = max(1, N_DOCS // rows_per_file)
     for f in range(n_files):
-        ids, texts = [], []
-        for _ in range(rows_per_file):
-            if doc_id % 10 == 9 and texts:
-                # planted near-dup of the previous doc: mutate 5 tokens
-                words = texts[-1].split()
-                for j in rng.randint(0, len(words), size=5):
-                    words[j] = vocab[rng.randint(len(vocab))]
-                t = " ".join(words)
-            else:
-                t = " ".join(vocab[rng.randint(0, len(vocab), size=80)])
-            ids.append(doc_id)
-            texts.append(t)
-            doc_id += 1
-        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
-                                 "text": pa.array(texts)}),
+        n = rows_per_file
+        m = rng.randint(0, n_vocab, size=(n, n_tok), dtype=np.int32)
+        dup_rows = np.arange(9, n, 10)
+        m[dup_rows] = m[dup_rows - 1]
+        cols = rng.randint(0, n_tok, size=(len(dup_rows), 5))
+        vals = rng.randint(0, n_vocab, size=(len(dup_rows), 5), dtype=np.int32)
+        m[dup_rows[:, None], cols] = vals
+        flat = pa.DictionaryArray.from_arrays(
+            pa.array(m.ravel(), pa.int32()), vocab).cast(pa.string())
+        offsets = pa.array(np.arange(0, (n + 1) * n_tok, n_tok, dtype=np.int32))
+        lists = pa.ListArray.from_arrays(offsets, flat)
+        texts = pc.binary_join(lists, " ")
+        ids = pa.array(np.arange(f * n, (f + 1) * n, dtype=np.int64))
+        pq.write_table(pa.table({"doc_id": ids, "text": texts}),
                        f"{CORPUS}/part-{f:04d}.parquet")
     with open(f"{CORPUS}/_SUCCESS", "w") as fh:
         fh.write("ok")
