@@ -47,6 +47,13 @@ from ..functions.hashing import (
 # distributed propagate_labels rounds above this many linked docs.
 SMALL_THRESHOLD = 5_000_000
 
+# Verify path: below this many candidate ENDPOINTS their shingle sets are
+# gathered + broadcast in CSR layout (map-only verification, no sort
+# shuffles); above, the payload is bucket-semi-joined and verification runs
+# through two bucketed joins. ~2M endpoints x ~100 shingles x 8B = ~1.6 GB
+# broadcast — the same order as linking.py's label-map threshold.
+BROADCAST_VERIFY_THRESHOLD = 2_000_000
+
 
 def _md5_column(texts: list[str]) -> list[str]:
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
@@ -214,25 +221,85 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
         batch_format="pyarrow",
     )
     n_eps_upper = eps.count()
-    if n_eps_upper <= SMALL_THRESHOLD:
+    if n_eps_upper <= BROADCAST_VERIFY_THRESHOLD:
+        # CANDIDATE shingle sets fit one node (bounded by LSH candidate
+        # count, never the corpus): gather them with a map-only filter,
+        # broadcast once in CSR layout, verify edges with a lookup stage —
+        # zero sort shuffles (the two bucket_joins below cost two sorted
+        # exchanges that dominate verify wall-time at moderate scale)
         ids = np.unique(np.concatenate(
             [b.column("doc_id").to_numpy(zero_copy_only=False)
              for b in eps.iter_batches(batch_format="pyarrow")]
             or [np.array([], dtype=np.int64)]))
-        ref = ray.put(pa.array(ids, pa.int64()))
+        idref = ray.put(pa.array(ids, pa.int64()))
 
         class KeepCandidates:
             def __init__(self):
-                self.value_set = ray.get(ref)
+                self.value_set = ray.get(idref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 return t.filter(pc.is_in(t.column("doc_id"),
                                          value_set=self.value_set))
 
-        payload = payload.map_batches(KeepCandidates, batch_format="pyarrow",
-                                      concurrency=_pool())
-    else:
-        payload = bucket_semi_join(payload, eps, on="doc_id")
+        cand = payload.map_batches(KeepCandidates, batch_format="pyarrow",
+                                   concurrency=_pool())
+        # collect candidate sets into one CSR block (ids, offsets, values)
+        cids, offs, vals = [np.array([], dtype=np.int64)], [0], []
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            col = b.column(b.column_names[1]).combine_chunks()
+            cids.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            offs.append(lens)
+            vals.append(col.values.to_numpy(zero_copy_only=False)
+                        .astype(np.uint64))
+        cids = np.concatenate(cids)
+        lens = np.concatenate(offs[1:]) if len(offs) > 1 else np.array([], dtype=np.int64)
+        vals = (np.concatenate(vals) if vals
+                else np.array([], dtype=np.uint64))
+        order = np.argsort(cids, kind="stable")
+        # reorder CSR rows by sorted doc_id for searchsorted lookup
+        starts = np.zeros(len(cids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        sorted_starts = np.zeros(len(cids) + 1, dtype=np.int64)
+        np.cumsum(lens[order], out=sorted_starts[1:])
+        gather = np.concatenate(
+            [np.arange(starts[i], starts[i] + lens[i]) for i in order]
+        ) if len(cids) else np.array([], dtype=np.int64)
+        ref = ray.put((cids[order], sorted_starts, vals[gather]))
+
+        class VerifyEdges:
+            def __init__(self):
+                self.ids, self.starts, self.vals = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t.column(c0).to_numpy(zero_copy_only=False)
+                v = t.column(c1).to_numpy(zero_copy_only=False)
+                iu = np.searchsorted(self.ids, u)
+                iv = np.searchsorted(self.ids, v)
+                keep = np.empty(len(u), dtype=bool)
+                jacs = np.empty(len(u), dtype=np.float64)
+                st, vl = self.starts, self.vals
+                for i in range(len(u)):
+                    a = vl[st[iu[i]]:st[iu[i] + 1]]
+                    b = vl[st[iv[i]]:st[iv[i] + 1]]
+                    na, nb = len(a), len(b)
+                    if na == 0 and nb == 0:
+                        j = 1.0
+                    else:
+                        inter = len(np.intersect1d(a, b, assume_unique=True))
+                        j = inter / (na + nb - inter)
+                    jacs[i] = j
+                    keep[i] = j >= tau
+                cols = {c0: pa.array(u[keep], pa.int64()),
+                        c1: pa.array(v[keep], pa.int64())}
+                if emit_jac:
+                    cols["jac"] = pa.array(np.round(jacs[keep], 4))
+                return pa.table(cols)
+
+        return edges.map_batches(VerifyEdges, batch_format="pyarrow",
+                                 concurrency=_pool())
+
+    payload = bucket_semi_join(payload, eps, on="doc_id")
     pay_u = payload.map_batches(
         lambda t: t.rename_columns([c0, "__sh_u"]), batch_format="pyarrow")
     pay_v = payload.map_batches(

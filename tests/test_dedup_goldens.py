@@ -100,3 +100,14 @@ def test_propagate_components_distributed_path(ray_session):
     want = {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 5, 8: 8}
     got = dict(zip(small.doc_id, small.cid))
     assert got == want
+
+
+def test_verify_join_fallback_equals_broadcast(ray_session, monkeypatch):
+    """Above BROADCAST_VERIFY_THRESHOLD the verify stage falls back to
+    bucketed joins — force that path and assert identical clustering."""
+    from case_uco_ontology_map_ray.ops import dedup as dd
+
+    got_broadcast = corpus.dedup_minhash_documents(SF)
+    monkeypatch.setattr(dd, "BROADCAST_VERIFY_THRESHOLD", 0)
+    got_join = corpus.dedup_minhash_documents(SF)
+    pd.testing.assert_frame_equal(got_join, got_broadcast)
