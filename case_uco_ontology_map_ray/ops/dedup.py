@@ -257,14 +257,17 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
         vals = (np.concatenate(vals) if vals
                 else np.array([], dtype=np.uint64))
         order = np.argsort(cids, kind="stable")
-        # reorder CSR rows by sorted doc_id for searchsorted lookup
+        # reorder CSR rows by sorted doc_id for searchsorted lookup —
+        # vectorized row gather: position-within-output + source row start
         starts = np.zeros(len(cids) + 1, dtype=np.int64)
         np.cumsum(lens, out=starts[1:])
+        sel_lens = lens[order]
         sorted_starts = np.zeros(len(cids) + 1, dtype=np.int64)
-        np.cumsum(lens[order], out=sorted_starts[1:])
-        gather = np.concatenate(
-            [np.arange(starts[i], starts[i] + lens[i]) for i in order]
-        ) if len(cids) else np.array([], dtype=np.int64)
+        np.cumsum(sel_lens, out=sorted_starts[1:])
+        total = int(sorted_starts[-1])
+        gather = (np.arange(total, dtype=np.int64)
+                  - np.repeat(sorted_starts[:-1], sel_lens)
+                  + np.repeat(starts[:-1][order], sel_lens))
         ref = ray.put((cids[order], sorted_starts, vals[gather]))
 
         class VerifyEdges:
