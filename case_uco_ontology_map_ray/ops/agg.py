@@ -98,3 +98,32 @@ def topk_ds(ds, by: list[str], ascending: list[bool], k: int) -> pd.DataFrame:
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     return parts.sort_values(by, ascending=ascending).head(k).reset_index(drop=True)
+
+
+def topk_rounded(ds, by: list[str], ascending: list[bool], k: int,
+                 round_col: str, ndigits: int, divisor: float = 1.0,
+                 margin: int = 64) -> pd.DataFrame:
+    """Top-k ranked by the ROUNDED primary column over a Dataset carrying raw
+    values (the oracle ranks by ROUND(x), where raw and rounded order can
+    disagree inside a rounding quantum).
+
+    Fetches ``k + margin`` rows by raw order, rounds, and VERIFIES the margin
+    sufficed: rounding is monotone, so every unfetched row's rounded value is
+    <= the minimum fetched rounded value — if the k-th rounded value is
+    strictly above that minimum, no unfetched row can tie into the top-k.
+    Otherwise the margin widens (x4) and the top-k re-runs. Requires the
+    primary sort key to be ``round_col`` descending.
+    """
+    assert by[0] == round_col and not ascending[0], \
+        "topk_rounded requires a descending primary key on round_col"
+    while True:
+        top = topk_ds(ds, by=by, ascending=ascending, k=k + margin)
+        exhausted = len(top) < k + margin  # the whole Dataset was fetched
+        vals = top[round_col] / divisor if divisor != 1.0 else top[round_col]
+        top = top.assign(**{round_col: round_away(vals, ndigits)})
+        out = top.sort_values(by, ascending=ascending).reset_index(drop=True)
+        if exhausted or len(out) <= k:
+            return out.head(k).reset_index(drop=True)
+        if out[round_col].iloc[k - 1] > out[round_col].min():
+            return out.head(k).reset_index(drop=True)
+        margin *= 4

@@ -279,6 +279,16 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
                 v = t.column(c1).to_numpy(zero_copy_only=False)
                 iu = np.searchsorted(self.ids, u)
                 iv = np.searchsorted(self.ids, v)
+                # membership check: a miss (endpoint absent from the payload)
+                # would otherwise index out of bounds or silently verify
+                # against the wrong document's shingles
+                n_ids = len(self.ids)
+                if (iu >= n_ids).any() or (iv >= n_ids).any() or \
+                        (self.ids[np.minimum(iu, n_ids - 1)] != u).any() or \
+                        (self.ids[np.minimum(iv, n_ids - 1)] != v).any():
+                    raise ValueError(
+                        "verify payload is missing candidate-edge endpoints "
+                        "(duplicate doc_ids upstream or a partial payload)")
                 keep = np.empty(len(u), dtype=bool)
                 jacs = np.empty(len(u), dtype=np.float64)
                 st, vl = self.starts, self.vals
@@ -408,6 +418,14 @@ def _propagate_components(edges, all_ids, out_col: str,
     )
     labels, _rounds, _conv = propagate_labels(incidence, labels,
                                               max_rounds=max_rounds)
+    if not _conv:
+        import warnings
+
+        warnings.warn(
+            f"distributed label propagation hit max_rounds={max_rounds} "
+            "without converging; components wider than ~2*max_rounds hops "
+            "may be split — raise max_rounds for deep duplicate chains",
+            RuntimeWarning, stacklevel=2)
     # labels was initialized from all_ids, so every doc has a label row
     joined = bucket_join(
         all_ids.map_batches(lambda t: t.rename_columns(["pid"]),

@@ -212,6 +212,8 @@ def length_quantiles(ds, qs=(0.5, 0.9, 0.99), col: str = "text") -> dict:
 
     hist = (ds.map_batches(local, batch_format="pyarrow")
               .groupby("len").aggregate(Sum("n", alias_name="n")).to_pandas())
+    if hist.empty:
+        return {q: float("nan") for q in qs}
     hist = hist.sort_values("len").reset_index(drop=True)
     lens = hist["len"].to_numpy(dtype=np.float64)
     counts = hist["n"].to_numpy(dtype=np.int64)

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..ops.agg import grouped_sums, grouped_sums_ds, round_away, topk_ds
+from ..ops.agg import grouped_sums, grouped_sums_ds, round_away, topk_ds, topk_rounded
 from ..ops.joins import broadcast_join, bucket_semi_join, semi_filter
 
 
@@ -122,13 +122,11 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
         li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         open_orders, on="l_orderkey", right_on="o_orderkey")
     rev_ds = grouped_sums_ds(li, keys=["l_orderkey"], sum_cols={"revenue": "rev"})
-    # margin before rounding: the oracle ranks by ROUNDED revenue, so rows
-    # just outside the raw top-k can tie into the rounded top-k
-    top = topk_ds(rev_ds, by=["revenue", "l_orderkey"],
-                  ascending=[False, True], k=k + 64)
-    top["revenue"] = round_away(top["revenue"] / 10000.0, 2)
-    top = top.sort_values(["revenue", "l_orderkey"],
-                          ascending=[False, True]).head(k)
+    # the oracle ranks by ROUNDED revenue; topk_rounded fetches a margin of
+    # raw partials and verifies it covers every potential rounded tie
+    top = topk_rounded(rev_ds, by=["revenue", "l_orderkey"],
+                       ascending=[False, True], k=k,
+                       round_col="revenue", ndigits=2, divisor=10000.0)
     # attach o_orderdate for just the k winners (broadcast of k keys)
     dates = semi_filter(open_orders, top["l_orderkey"].to_numpy(),
                         "o_orderkey").to_pandas()
@@ -227,11 +225,9 @@ def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
     totals_ds = grouped_sums_ds(orders, keys=["o_custkey"],
                                 sum_cols={"total": "o_totalprice"},
                                 count_alias="n_orders")
-    top = topk_ds(totals_ds, by=["total", "o_custkey"],
-                  ascending=[False, True], k=k + 64)
-    top["total"] = round_away(top["total"], 2)
-    top = top.sort_values(["total", "o_custkey"],
-                          ascending=[False, True]).head(k)
+    top = topk_rounded(totals_ds, by=["total", "o_custkey"],
+                       ascending=[False, True], k=k,
+                       round_col="total", ndigits=2)
     cust = semi_filter(
         rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"]),
         top["o_custkey"].to_numpy(), "c_custkey",

@@ -196,7 +196,15 @@ def _labels_vectorized(band: np.ndarray, pid: np.ndarray,
     numpy segment-mins — used when the distinct-path set fits one node
     (labels are 16 bytes/path: 10^8 paths ≈ 1.6 GB, far under a worker
     heap). Returns (unique_pids, final_labels).
+
+    ``max_rounds`` is a soft target: a component whose diameter exceeds
+    ~2*max_rounds hops would silently split into several labels, so when the
+    cap is hit without reaching the fixpoint the loop KEEPS ITERATING (each
+    in-memory round is two reduceats — cheap) up to a hard bound, warning if
+    even that is exceeded.
     """
+    import warnings
+
     order = np.argsort(band, kind="stable")
     b_sorted = band[order]
     seg_starts = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
@@ -205,15 +213,23 @@ def _labels_vectorized(band: np.ndarray, pid: np.ndarray,
     uniq, inv = np.unique(pid, return_inverse=True)
     inv_sorted = inv[order]
     lab = uniq.copy()
-    for _ in range(max_rounds):
+    hard_cap = max(max_rounds, 4 * max_rounds + 64)
+    converged = False
+    for _ in range(hard_cap):
         row_lab = lab[inv_sorted]
         bmin = np.minimum.reduceat(row_lab, seg_starts)
         bmin_rows = np.repeat(bmin, seg_lengths)
         new = lab.copy()
         np.minimum.at(new, inv_sorted, bmin_rows)
         if np.array_equal(new, lab):
+            converged = True
             break
         lab = new
+    if not converged:
+        warnings.warn(
+            f"label propagation did not converge in {hard_cap} rounds; "
+            "some components may be split into multiple labels",
+            RuntimeWarning, stacklevel=2)
     return uniq, lab
 
 
@@ -292,6 +308,13 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
         batch_format="pyarrow",
     )
     labels, rounds, converged = propagate_labels(incidence, labels, max_rounds)
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"entity-linking label propagation hit max_rounds={max_rounds} "
+            "without converging; canonical clusters may be split",
+            RuntimeWarning, stacklevel=2)
 
     canon = bucket_join(
         labels,

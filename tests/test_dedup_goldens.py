@@ -38,6 +38,54 @@ def test_ngram_matches_golden(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_simhash_independent_oracle(ray_session):
+    """The pinned simhash golden was regenerated from the implementation under
+    test (self-pinned), so this is the INDEPENDENT check: a pure-Python
+    brute-force of the same semantics — 16-bit band blocking, hamming via
+    bin(x^y).count('1') on plain ints, union-find components relabelled to
+    the component min — must produce the same (doc_id, group_id) table."""
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.functions.hashing import simhash64, word_shingles
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    sims = {d: simhash64(word_shingles(x, 3)) for d, x in docs.items()}
+
+    buckets: dict = {}
+    for d in sims:
+        for ci, shift in enumerate((0, 16, 32, 48)):
+            buckets.setdefault((ci, (sims[d] >> shift) & 0xFFFF), []).append(d)
+
+    parent = {d: d for d in sims}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        root = min(members)
+        for m in members:
+            if m != root and bin(sims[m] ^ sims[root]).count("1") <= 3:
+                ra, rb = find(m), find(root)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    comp: dict = {}
+    for d in sims:
+        comp.setdefault(find(d), []).append(d)
+    want = {}
+    for members in comp.values():
+        lo = min(members)
+        for d in members:
+            want[d] = lo
+
+    got = corpus.dedup_simhash_documents(SF)
+    assert dict(zip(got.doc_id, got.group_id)) == want
+
+
 def test_minhash_no_driver_text_materialization(ray_session):
     """The dedup operators must never collect the text column to the driver:
     a Dataset whose text accessor explodes still dedups fine."""
