@@ -298,31 +298,53 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_customers": [out.count()]})
 
 
+def _keyed_segments(ds, key: str, num_buckets: int = 64):
+    """Scale-safe per-key processing (the ``_band_groups`` co-grouping
+    pattern from ops/dedup): hash-bucket ``key`` into ``num_buckets``
+    co-groups so each ``map_groups`` call receives MANY complete key groups
+    at once — one Python dispatch per bucket, not the ~1 ms dispatch per key
+    that kills ``groupby(user_id).map_groups`` at 10^8 users. Callers sort
+    the bucket frame by (key, ...) and vectorize across key segments."""
+    from ..ops.joins import _mix_bucket
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", _mix_bucket(t.column(key), num_buckets))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("__bucket")
+
+
 def event_sessions(sf_dir: str, gap_minutes: int = 30, k: int = 15) -> pd.DataFrame:
-    """Gap-based sessionization per user: sort within user group, split on
-    >gap inactivity, count events per session; top-k longest sessions.
-    The streaming-shaped op as groupby(key).map_groups over ts-sorted groups
-    (ray_guide §Streaming). Oracle: SQL window lag + cumulative sum.
+    """Gap-based sessionization per user: split each user's ts-sorted events
+    on >gap inactivity, count events per session; top-k longest sessions.
+    Users are hash-bucketed into co-groups and ALL users in a bucket are
+    sessionized in one vectorized pass (boundaries = user change OR gap);
+    each bucket emits only its local top-k, so the driver merges
+    num_buckets x k rows. Oracle: SQL window lag + cumulative sum.
     """
     import numpy as np
 
     gap_us = gap_minutes * 60 * 1_000_000
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        t = g["ts"].astype("int64").to_numpy()
-        new_session = np.ones(len(t), dtype=np.int64)
-        new_session[1:] = (np.diff(t) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_session)
-        out = g.assign(session_id=sid).groupby("session_id").agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("ts", "size"),
-        )
-        return out.reset_index(drop=True)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        t = ts.astype("int64")
+        if len(t) == 0:
+            return pd.DataFrame({"user_id": uid, "session_start": ts,
+                                 "n_events": np.array([], dtype="int64")})
+        boundary = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(t) > gap_us)]
+        starts = np.flatnonzero(boundary)
+        lens = np.diff(np.r_[starts, len(t)])
+        out = pd.DataFrame({"user_id": uid[starts], "session_start": ts[starts],
+                            "n_events": lens.astype("int64")})
+        # local top-k: any global winner is a winner of its own bucket
+        return out.sort_values(["n_events", "user_id", "session_start"],
+                               ascending=[False, True, True]).head(k)
 
-    sessions = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    sessions = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas")
     out = sessions.to_pandas()
     out = out.sort_values(["n_events", "user_id", "session_start"],
                           ascending=[False, True, True]).head(k)
@@ -363,16 +385,41 @@ def rolling_hour_counts(sf_dir: str, k: int = 25) -> pd.DataFrame:
     hour_us = 3_600_000_000
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        t = g["ts"].astype("int64").to_numpy()
-        lo = np.searchsorted(t, t - hour_us, side="left")
-        # peer-inclusive upper bound: SQL RANGE ... CURRENT ROW counts all
-        # rows sharing the current timestamp, not just earlier positions
-        hi = np.searchsorted(t, t, side="right")
-        return g.assign(n_last_hour=(hi - lo).astype("int64"))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("int64")
+        n = len(t)
+        if n == 0:
+            return g.head(0).assign(n_last_hour=np.array([], dtype="int64"))[
+                ["event_id", "user_id", "ts", "n_last_hour"]]
+        # vectorized windowed count across ALL user segments at once:
+        # shift each segment's (re-based) timestamps into a disjoint int64
+        # block — blocks are separated by > hour_us, so one global
+        # searchsorted answers every per-segment window query. Segments are
+        # chunked so seg_index * block_width never overflows int64.
+        seg = np.cumsum(np.r_[0, (uid[1:] != uid[:-1]).astype(np.int64)])
+        t0 = t - t.min()
+        block = int(t0.max()) + hour_us + 1
+        counts = np.empty(n, dtype=np.int64)
+        segs_per_chunk = max(1, (1 << 62) // block)
+        chunk_of_seg = seg // segs_per_chunk
+        for c in np.unique(chunk_of_seg):
+            rows = np.flatnonzero(chunk_of_seg == c)
+            shifted = t0[rows] + (seg[rows] - seg[rows[0]]) * block
+            lo = np.searchsorted(shifted, shifted - hour_us, side="left")
+            # peer-inclusive upper bound: SQL RANGE ... CURRENT ROW counts
+            # all rows sharing the current timestamp
+            hi = np.searchsorted(shifted, shifted, side="right")
+            counts[rows] = hi - lo
+        out = g.assign(n_last_hour=counts)
+        # local top-k per bucket; the driver merges num_buckets x k rows
+        return out.sort_values(["n_last_hour", "event_id"],
+                               ascending=[False, True]).head(k)[
+            ["event_id", "user_id", "ts", "n_last_hour"]]
 
-    rolled = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    rolled = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas")
     out = rolled.to_pandas()
     out = out.sort_values(["n_last_hour", "event_id"],
                           ascending=[False, True]).head(k)
