@@ -29,6 +29,37 @@ _LANG_PROFILES = {
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 
+# RE2 equivalents of Python's unicode \w / punct classes (Python \w =
+# str.isalnum() + underscore = \p{L}\p{N}_). Divergence is limited to exotic
+# whitespace (RE2 \s is ASCII; Python \s adds \v and unicode spaces).
+_NONWORD_RE2 = r"[^\p{L}\p{N}_]+"
+_PUNCT_RE2 = r"[^\p{L}\p{N}_\s]"
+_UPPER_RE2 = r"\p{Lu}"
+
+
+def _token_segments(text_col: pa.ChunkedArray | pa.Array):
+    """Vectorized tokenization shared by QualityScorer/LangId: one RE2 split
+    kernel per batch -> (flat token values, np segment offsets, per-doc
+    char lengths). Token semantics match Python re \\w+ findall exactly
+    (split on non-word runs; edge splits yield empty strings the callers
+    mask via token length)."""
+    toks = pc.split_pattern_regex(text_col, pattern=_NONWORD_RE2)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values
+    val_len = pc.utf8_length(values).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chars = pc.utf8_length(text_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, offs, val_len, n_chars
+
+
+def _segment_sum(x: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-document sums of a flat token-aligned array (cumsum-diff — safe
+    for empty segments, unlike np.add.reduceat)."""
+    csum = np.zeros(len(x) + 1, dtype=np.int64)
+    np.cumsum(x, out=csum[1:])
+    return csum[offs[1:]] - csum[offs[:-1]]
+
 
 def token_stats(ds) -> "pa.Table":
     """Per-doc vectorized stats: n_tokens (whitespace), n_chars_measured."""
@@ -73,28 +104,28 @@ class QualityScorer:
 
     Features mirror common training-data filters (C4/Gopher-style):
     mean token length, punctuation ratio, stopword ratio, uppercase ratio,
-    and a composite keep/drop score.
+    and a composite keep/drop score. Fully vectorized: one RE2 split kernel
+    + two RE2 count kernels per batch and numpy segment sums — no per-row
+    Python (pinned equal to the per-row reference in tests/test_corpus_ops).
     """
 
     def __init__(self):
-        self.word = _WORD_RE
-        self.punct = _PUNCT_RE
-        self.stop = _LANG_PROFILES["en"]
+        self.stop = pa.array(sorted(_LANG_PROFILES["en"]), pa.string())
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        n = len(texts)
-        mean_tok = np.zeros(n)
-        punct_ratio = np.zeros(n)
-        stop_ratio = np.zeros(n)
-        upper_ratio = np.zeros(n)
-        for i, x in enumerate(texts):
-            toks = self.word.findall(x)
-            nt = len(toks) or 1
-            mean_tok[i] = sum(map(len, toks)) / nt
-            punct_ratio[i] = len(self.punct.findall(x)) / max(1, len(x))
-            stop_ratio[i] = sum(1 for w in toks if w.lower() in self.stop) / nt
-            upper_ratio[i] = sum(1 for c in x if c.isupper()) / max(1, len(x))
+        text = t.column("text")
+        values, offs, val_len, n_chars = _token_segments(text)
+        n_tokens = _segment_sum((val_len > 0).astype(np.int64), offs)
+        nt = np.maximum(n_tokens, 1)
+        mean_tok = _segment_sum(val_len, offs) / nt
+        is_stop = pc.is_in(pc.utf8_lower(values), value_set=self.stop)
+        stop_ratio = _segment_sum(
+            is_stop.to_numpy(zero_copy_only=False).astype(np.int64), offs) / nt
+        denom = np.maximum(n_chars, 1)
+        punct_ratio = pc.count_substring_regex(text, _PUNCT_RE2).to_numpy(
+            zero_copy_only=False).astype(np.int64) / denom
+        upper_ratio = pc.count_substring_regex(text, _UPPER_RE2).to_numpy(
+            zero_copy_only=False).astype(np.int64) / denom
         score = (
             (mean_tok > 2.5) & (mean_tok < 12)
         ).astype(float) * 0.4 + (punct_ratio < 0.2) * 0.3 + (stop_ratio > 0.01) * 0.3
@@ -119,29 +150,38 @@ class LangId:
 
     Scores each language by the fraction of tokens found in its stopword
     profile; predicts argmax with 'und' (undetermined) when all scores are 0.
+    Vectorized: one split kernel, one lowercase pass, one is_in + segment
+    sum per language (5 languages) — no per-row Python.
     """
 
     def __init__(self):
-        self.word = _WORD_RE
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        # insertion order preserved: ties resolve to the FIRST language that
+        # reaches the max score, matching the scalar reference's `s > best`
+        self.profiles = [(lang, pa.array(sorted(prof), pa.string()))
+                         for lang, prof in _LANG_PROFILES.items()]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        preds, scores = [], []
-        for x in texts:
-            toks = [w.lower() for w in self.word.findall(x)]
-            nt = len(toks) or 1
-            best_lang, best = "und", 0.0
-            for lang, prof in self.profiles.items():
-                s = sum(1 for w in toks if w in prof) / nt
-                if s > best:
-                    best_lang, best = lang, s
-            preds.append(best_lang)
-            scores.append(round(best, 4))
+        text = t.column("text")
+        values, offs, val_len, _ = _token_segments(text)
+        n_tokens = _segment_sum((val_len > 0).astype(np.int64), offs)
+        nt = np.maximum(n_tokens, 1)
+        lowered = pc.utf8_lower(values)
+        n_docs = len(offs) - 1
+        best = np.zeros(n_docs, dtype=np.float64)
+        best_idx = np.full(n_docs, -1, dtype=np.int64)
+        for li, (_, prof) in enumerate(self.profiles):
+            hits = pc.is_in(lowered, value_set=prof).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            s = _segment_sum(hits, offs) / nt
+            better = s > best
+            best[better] = s[better]
+            best_idx[better] = li
+        langs = np.array(["und"] + [lang for lang, _ in self.profiles])
+        preds = langs[best_idx + 1]
         return pa.table({
             "doc_id": t.column("doc_id"),
             "pred_lang": pa.array(preds, pa.string()),
-            "lang_score": pa.array(scores),
+            "lang_score": pa.array(np.round(best, 4)),
         })
 
 

@@ -120,6 +120,89 @@ def test_quality_scores_schema_and_range():
     assert out.punct_ratio.between(0, 1).all()
 
 
+def _quality_row_ref(x: str, stop) -> tuple:
+    """Per-row reference (the pre-vectorization round-2 implementation):
+    Python re findall + per-char loops. The vectorized RE2 stage must
+    reproduce these values exactly."""
+    import re
+
+    word = re.compile(r"\w+", re.UNICODE)
+    punct = re.compile(r"[^\w\s]", re.UNICODE)
+    toks = word.findall(x)
+    nt = len(toks) or 1
+    mean_tok = sum(map(len, toks)) / nt
+    punct_ratio = len(punct.findall(x)) / max(1, len(x))
+    stop_ratio = sum(1 for w in toks if w.lower() in stop) / nt
+    upper_ratio = sum(1 for c in x if c.isupper()) / max(1, len(x))
+    return mean_tok, punct_ratio, stop_ratio, upper_ratio
+
+
+TRICKY_TEXTS = [
+    "",  # empty
+    "   ",  # whitespace only
+    "The quick brown fox, it's FAST! (really)",
+    "a a a of of THE that",  # consecutive stopwords
+    "für die straße — und der Bär IST groß",  # unicode words + dash
+    "word_under_score 123 mixed123case",  # underscores and digits
+    "no.stops.here;just,punct!",
+    "ALLUPPER TEXT WITH THE STOPWORD",
+]
+
+
+def test_quality_scorer_matches_per_row_reference(ray_session):
+    """Vectorized QualityScorer == the per-row reference on real sf0.001
+    docs AND on tricky synthetic strings (unicode, empties, punctuation)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import _LANG_PROFILES, quality_scores
+
+    real = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    rows = real + [{"doc_id": 10_000 + i, "text": x}
+                   for i, x in enumerate(TRICKY_TEXTS)]
+    ds = rd.from_items(rows)
+    got = quality_scores(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    stop = _LANG_PROFILES["en"]
+    want = sorted(rows, key=lambda r: r["doc_id"])
+    for i, r in enumerate(want):
+        mt, pr, sr, ur = _quality_row_ref(r["text"], stop)
+        assert got.mean_token_len[i] == np.round(mt, 3), (r, got.iloc[i])
+        assert got.punct_ratio[i] == np.round(pr, 4), (r, got.iloc[i])
+        assert got.stopword_ratio[i] == np.round(sr, 4), (r, got.iloc[i])
+        assert got.upper_ratio[i] == np.round(ur, 4), (r, got.iloc[i])
+
+
+def test_lang_id_matches_per_row_reference(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import _LANG_PROFILES, lang_id
+
+    real = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    rows = real + [{"doc_id": 10_000 + i, "text": x}
+                   for i, x in enumerate(TRICKY_TEXTS)]
+    ds = rd.from_items(rows)
+    got = lang_id(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    import re
+
+    word = re.compile(r"\w+", re.UNICODE)
+    for i, r in enumerate(sorted(rows, key=lambda x: x["doc_id"])):
+        toks = [w.lower() for w in word.findall(r["text"])]
+        nt = len(toks) or 1
+        best_lang, best = "und", 0.0
+        for lang, prof in _LANG_PROFILES.items():
+            s = sum(1 for w in toks if w in prof) / nt
+            if s > best:
+                best_lang, best = lang, s
+        assert got.pred_lang[i] == best_lang, (r, got.iloc[i])
+        assert got.lang_score[i] == np.round(best, 4), (r, got.iloc[i])
+
+
 def test_rolling_fingerprints_deterministic():
     import ray.data as rd
 
