@@ -39,17 +39,116 @@ def char_shingles(text: str, k: int = 4) -> np.ndarray:
     return np.unique(vals)
 
 
+# Polynomial rolling-hash family for word shingles (round 3): shingle hash =
+# avalanche(poly(span bytes)) where poly is a base-B polynomial over the
+# single-spaced normalized text and the span covers the k-token n-gram. All
+# prefix hashes of a BATCH are computed in four numpy passes (cumprod/cumsum
+# with uint64 wraparound), so hashing costs O(bytes) vectorized instead of
+# one blake2b call per shingle (~1.2us each — 60% of round-2 sketch time).
+_POLY_B = np.uint64(1099511628211)  # FNV64 prime (odd -> invertible mod 2^64)
+_POLY_BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _avalanche(v: np.ndarray) -> np.ndarray:
+    """murmur3-style 64-bit finalizer (vectorized, in-place safe)."""
+    v = v.astype(np.uint64, copy=True)
+    v ^= v >> np.uint64(33)
+    v *= _MIX1
+    v ^= v >> np.uint64(33)
+    v *= _MIX2
+    v ^= v >> np.uint64(33)
+    return v
+
+
+def word_shingles_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct k-word shingle hashes for EVERY text in one vectorized pass.
+
+    Returns (values uint64 flat, offsets int64[len(texts)+1]): document i's
+    distinct, sorted shingle hashes are values[offsets[i]:offsets[i+1]].
+    Docs with fewer than k tokens hash their whole normalized text (one
+    shingle); empty/whitespace-only docs get an empty set — the same
+    semantics as the round-2 scalar path, under the polynomial hash family.
+    """
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.array([], dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    norm = [" ".join(t.split()) for t in texts]
+    bufs = [s.encode("utf-8", "surrogatepass") for s in norm]
+    doc_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=doc_offs[1:])
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    L = len(buf)
+
+    # token boundaries: single-spaced, so starts = doc starts + post-space
+    # positions; ends = space positions + doc ends. Zero-length "tokens"
+    # (empty docs) masked out.
+    spaces = np.flatnonzero(buf == 32)
+    starts = np.sort(np.concatenate([doc_offs[:-1], spaces + 1]))
+    ends = np.sort(np.concatenate([spaces, doc_offs[1:]]))
+    nonzero = starts < ends
+    starts, ends = starts[nonzero], ends[nonzero]
+    # doc index of each token
+    tok_doc = np.searchsorted(doc_offs, starts, side="right") - 1
+
+    # prefix hashes: H[n] = poly of first n bytes = cumsum(b[i]*Binv^(i+1))*B^n
+    pw = np.ones(L + 1, dtype=np.uint64)
+    np.cumprod(np.full(L, _POLY_B, dtype=np.uint64), out=pw[1:])
+    pwinv = np.ones(L + 1, dtype=np.uint64)
+    np.cumprod(np.full(L, _POLY_BINV, dtype=np.uint64), out=pwinv[1:])
+    S = np.zeros(L + 1, dtype=np.uint64)
+    np.cumsum(buf.astype(np.uint64) * pwinv[1:], out=S[1:])
+    H = S * pw  # H[n] = hash of bytes [0, n)
+
+    def span_hash(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        return _avalanche(H[hi] - H[lo] * pw[hi - lo])
+
+    # shingle spans: token j .. token j+k-1 within one doc
+    m = len(starts)
+    if m >= k:
+        j = np.arange(m - k + 1)
+        same_doc = tok_doc[j] == tok_doc[j + k - 1]
+        sh_lo, sh_hi = starts[j[same_doc]], ends[j[same_doc] + k - 1]
+        sh_doc = tok_doc[j[same_doc]]
+    else:
+        sh_lo = sh_hi = sh_doc = np.array([], dtype=np.int64)
+    vals = span_hash(sh_lo, sh_hi)
+
+    # fallback docs (0 < n_tokens < k): hash the whole normalized text
+    tokens_per_doc = np.bincount(tok_doc, minlength=n_docs)
+    fb = np.flatnonzero((tokens_per_doc > 0) & (tokens_per_doc < k))
+    if len(fb):
+        vals = np.concatenate([vals, span_hash(doc_offs[fb], doc_offs[fb + 1])])
+        sh_doc = np.concatenate([sh_doc, fb])
+
+    # distinct + sort per doc
+    order = np.lexsort((vals, sh_doc))
+    sd, sv = sh_doc[order], vals[order]
+    if len(sd):
+        keep = np.r_[True, (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])]
+        sd, sv = sd[keep], sv[keep]
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(sd, minlength=n_docs), out=offsets[1:])
+    return sv, offsets
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Distinct k-word shingle hashes (token n-grams) as uint64 array."""
-    toks = text.split()
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return (np.array([stable_hash64(joined)], dtype=np.uint64)
-                if joined else np.array([], dtype=np.uint64))
-    out = np.empty(len(toks) - k + 1, dtype=np.uint64)
-    for i in range(len(toks) - k + 1):
-        out[i] = stable_hash64(" ".join(toks[i:i + k]))
-    return np.unique(out)
+    """Distinct k-word shingle hashes (token n-grams) as uint64 array —
+    scalar view of ``word_shingles_batch`` (identical values)."""
+    vals, _ = word_shingles_batch([text], k)
+    return vals
+
+
+def char_shingles_batch(texts: list[str], k: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """CSR layout of ``char_shingles`` per text (values identical to the
+    scalar kernel; the per-text work is already numpy-vectorized)."""
+    arrs = [char_shingles(t, k) for t in texts]
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(a) for a in arrs], out=offsets[1:])
+    values = (np.concatenate(arrs) if arrs
+              else np.array([], dtype=np.uint64))
+    return values, offsets
 
 
 class MinHasher:
@@ -79,16 +178,43 @@ class MinHasher:
         vals = (self.a * x + self.b)  # uint64 wraparound
         return vals.min(axis=0)
 
+    def signatures_batch(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Signatures for a whole batch of shingle sets in CSR layout:
+        ``num_perm`` vectorized passes over the concatenated values with a
+        segment-min each — identical output to per-doc ``signature``."""
+        n_docs = len(offsets) - 1
+        out = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        lens = np.diff(offsets)
+        nz = np.flatnonzero(lens > 0)
+        if len(values) == 0 or len(nz) == 0:
+            return out
+        seg_starts = offsets[nz]
+        x = values.astype(np.uint64, copy=False)
+        for j in range(self.num_perm):
+            vals = self.a[j] * x + self.b[j]  # uint64 wraparound family
+            out[nz, j] = np.minimum.reduceat(vals, seg_starts)
+        return out
+
+    _BAND_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+    def band_keys_batch(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """int64[n_docs, bands] band keys for a batch signature matrix:
+        polynomial fold of each band's lanes + band-index salt, avalanched —
+        one vectorized pass (replaces one blake2b call per doc per band)."""
+        n, p = sigs.shape
+        r = p // bands
+        lanes = sigs.reshape(n, bands, r).astype(np.uint64, copy=False)
+        w = np.empty(r, dtype=np.uint64)
+        w[0] = _POLY_B
+        np.cumprod(np.full(r, _POLY_B, dtype=np.uint64), out=w)
+        acc = (lanes * w).sum(axis=2, dtype=np.uint64)
+        acc += (np.arange(1, bands + 1, dtype=np.uint64) * self._BAND_SALT)
+        return (_avalanche(acc) >> np.uint64(1)).astype(np.int64)
+
     def band_keys(self, sig: np.ndarray, bands: int) -> list[int]:
-        """Split the signature into ``bands`` bands, hash each to an int key."""
-        r = self.num_perm // bands
-        keys = []
-        for i in range(bands):
-            band = sig[i * r:(i + 1) * r]
-            h = hashlib.blake2b(band.tobytes(), digest_size=8,
-                                salt=i.to_bytes(8, "little"))
-            keys.append(int.from_bytes(h.digest(), "little") >> 1)
-        return keys
+        """Band keys of one signature (scalar view of ``band_keys_batch``)."""
+        return self.band_keys_batch(sig.reshape(1, -1), bands)[0].tolist()
 
 
 def simhash64(shingles: np.ndarray) -> int:
@@ -98,6 +224,26 @@ def simhash64(shingles: np.ndarray) -> int:
     bits = ((shingles[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
     votes = bits.sum(axis=0).astype(np.int64) * 2 - np.int64(len(shingles))
     return int((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def simhash64_batch(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """SimHash fingerprints for a batch of shingle sets in CSR layout —
+    64 vectorized bit-vote segment sums; identical values to ``simhash64``
+    per doc (empty sets fingerprint to 0)."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(values) == 0:
+        return out
+    lens = np.diff(offsets)
+    x = values.astype(np.uint64, copy=False)
+    csum = np.zeros(len(x) + 1, dtype=np.int64)
+    for bit in range(64):
+        b = ((x >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+        np.cumsum(b, out=csum[1:])
+        ones = csum[offsets[1:]] - csum[offsets[:-1]]
+        votes = 2 * ones - lens
+        out |= (votes > 0).astype(np.uint64) << np.uint64(bit)
+    return out
 
 
 def hamming64(a: int, b: int) -> int:

@@ -14,9 +14,9 @@ Scale design (no driver-side corpus state anywhere):
   the sketch table (doc_id, sig, shingles) is materialized once and reused
   for banding AND verification (object-store blocks spill if needed).
 - Candidate edges are a Dataset; exact-Jaccard verification attaches both
-  sides' shingle sets via two ``bucket_join``s and verifies inside
-  ``map_batches`` — the only per-pair work is numpy ``intersect1d`` over
-  the LSH-bounded candidate list.
+  sides' shingle sets (broadcast CSR below a threshold, two ``bucket_join``s
+  above) and computes every edge's exact Jaccard in ONE vectorized pass per
+  batch (``_pair_jaccard``: lexsort + duplicate counting — no per-edge loop).
 - Connected components run as min-label propagation over the star-edge
   incidence, adaptive exactly like ``pipelines.linking``: below
   ``small_threshold`` distinct docs the (int64, int64) edge list is solved
@@ -24,8 +24,11 @@ Scale design (no driver-side corpus state anywhere):
   above it the fully distributed ``propagate_labels`` groupby/bucket_join
   rounds take over. Both compute the same fixpoint (component min-label).
 
-Outputs pinned by regression goldens (tests/goldens/dedup/*, generated from
-the round-1 implementation by scripts/pin_dedup_goldens.py).
+Outputs pinned by regression goldens (tests/goldens/dedup/*, regenerated in
+round 3 when the shingle/band hash family intentionally moved from per-string
+blake2b to the vectorized polynomial family — see functions/hashing.py and
+scripts/pin_dedup_goldens.py; semantics are independently oracled in
+tests/test_dedup_goldens.py and tests/test_hashing_kernels.py).
 """
 
 from __future__ import annotations
@@ -38,9 +41,9 @@ import pyarrow as pa
 
 from ..functions.hashing import (
     MinHasher,
-    char_shingles,
-    simhash64,
-    word_shingles,
+    char_shingles_batch,
+    simhash64_batch,
+    word_shingles_batch,
 )
 
 # Non-singleton label maps are broadcast on the small path; switch to the
@@ -94,23 +97,24 @@ class _Sketcher:
         self.emit_shingles = emit_shingles
         self.emit_simhash = emit_simhash
 
-    def shingles(self, text: str) -> np.ndarray:
-        if self.use_words:
-            return word_shingles(text, self.k)
-        return char_shingles(text, self.k)
-
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
-        sh = [self.shingles(x) for x in texts]
-        sigs = [self.mh.signature(s) for s in sh]
+        # whole-batch CSR shingling + signatures: vectorized polynomial
+        # prefix hashing and num_perm segment-min passes — no per-doc loop
+        if self.use_words:
+            vals, offs = word_shingles_batch(texts, self.k)
+        else:
+            vals, offs = char_shingles_batch(texts, self.k)
+        sigs = self.mh.signatures_batch(vals, offs)
         cols = {
             "doc_id": t.column("doc_id"),
             "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
         }
         if self.emit_simhash:
-            cols["simhash"] = pa.array([simhash64(s) for s in sh], pa.uint64())
+            cols["simhash"] = pa.array(simhash64_batch(vals, offs), pa.uint64())
         if self.emit_shingles:
-            cols["shingles"] = pa.array([s for s in sh], pa.list_(pa.uint64()))
+            cols["shingles"] = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(vals, pa.uint64()))
         return pa.table(cols)
 
 
@@ -125,17 +129,28 @@ def _sketch(ds, num_perm: int, shingle_k: int, use_words: bool,
     )
 
 
+def _sig_matrix(sig_col, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 view of a binary signature column. All rows are
+    fixed-width, so the variable-binary data buffer is one contiguous
+    slice (copied once for 8-byte alignment)."""
+    sigb = sig_col.combine_chunks()
+    n = len(sigb)
+    if n == 0:
+        return np.zeros((0, num_perm), dtype=np.uint64)
+    offs = np.frombuffer(sigb.buffers()[1], dtype=np.int32)[
+        sigb.offset:sigb.offset + n + 1]
+    data = np.frombuffer(sigb.buffers()[2], dtype=np.uint8)
+    flat = data[offs[0]:offs[-1]].copy()  # copy -> aligned for uint64 view
+    return flat.view(np.uint64).reshape(n, num_perm)
+
+
 def _explode_bands(mh: MinHasher, bands: int):
     def explode(t: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for doc_id, sig_bytes in zip(t.column("doc_id").to_pylist(),
-                                     t.column("sig").to_pylist()):
-            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-            for key in mh.band_keys(sig, bands):
-                ids.append(doc_id)
-                keys.append(key)
-        return pa.table({"band": pa.array(keys, pa.int64()),
-                         "doc_id": pa.array(ids, pa.int64())})
+        sigs = _sig_matrix(t.column("sig"), mh.num_perm)
+        keys = mh.band_keys_batch(sigs, bands)  # (n, bands) int64
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"band": pa.array(keys.ravel(), pa.int64()),
+                         "doc_id": pa.array(np.repeat(ids, bands), pa.int64())})
 
     return explode
 
@@ -191,6 +206,50 @@ def _distinct_edges(edges, num_parts: int = 64):
         return g.drop_columns(["__part"]).group_by([c0, c1]).aggregate([])
 
     return pre.groupby("__part").map_groups(finish, batch_format="pyarrow")
+
+
+def _csr_gather(vals: np.ndarray, starts: np.ndarray,
+                rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Gather CSR rows: returns (concatenated values of vals[starts[r]:
+    starts[r+1]] for r in rows, per-row lengths) — fully vectorized."""
+    lens = starts[rows + 1] - starts[rows]
+    out_st = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_st[1:])
+    total = int(out_st[-1])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(out_st[:-1], lens)
+           + np.repeat(starts[rows], lens))
+    return vals[idx], lens
+
+
+def _pair_jaccard(vu: np.ndarray, lu: np.ndarray,
+                  vv: np.ndarray, lv: np.ndarray) -> np.ndarray:
+    """Exact Jaccard per candidate edge, vectorized over the whole batch.
+
+    vu/vv are the concatenated per-edge DISTINCT shingle values of the u/v
+    side, lu/lv the per-edge set sizes. One lexsort over (edge, value);
+    since each side's values are distinct, |A∩B| = duplicate count within
+    the edge's combined run. Replaces the per-edge np.intersect1d loop
+    (~10 us/pair of Python dispatch at scale).
+    """
+    m = len(lu)
+    if m == 0:
+        return np.array([], dtype=np.float64)
+    e = np.concatenate([np.repeat(np.arange(m, dtype=np.int64), lu),
+                        np.repeat(np.arange(m, dtype=np.int64), lv)])
+    v = np.concatenate([vu, vv]) if len(vu) + len(vv) else np.array([], np.uint64)
+    order = np.lexsort((v, e))
+    v, e = v[order], e[order]
+    if len(v):
+        dup = (v[1:] == v[:-1]) & (e[1:] == e[:-1])
+        inter = np.bincount(e[1:][dup], minlength=m)
+    else:
+        inter = np.zeros(m, dtype=np.int64)
+    union = lu + lv - inter
+    jac = np.ones(m, dtype=np.float64)  # both-empty edges: Jaccard = 1
+    nz = union > 0
+    jac[nz] = inter[nz] / union[nz]
+    return jac
 
 
 def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
@@ -289,20 +348,10 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
                     raise ValueError(
                         "verify payload is missing candidate-edge endpoints "
                         "(duplicate doc_ids upstream or a partial payload)")
-                keep = np.empty(len(u), dtype=bool)
-                jacs = np.empty(len(u), dtype=np.float64)
-                st, vl = self.starts, self.vals
-                for i in range(len(u)):
-                    a = vl[st[iu[i]]:st[iu[i] + 1]]
-                    b = vl[st[iv[i]]:st[iv[i] + 1]]
-                    na, nb = len(a), len(b)
-                    if na == 0 and nb == 0:
-                        j = 1.0
-                    else:
-                        inter = len(np.intersect1d(a, b, assume_unique=True))
-                        j = inter / (na + nb - inter)
-                    jacs[i] = j
-                    keep[i] = j >= tau
+                vu, lu = _csr_gather(self.vals, self.starts, iu)
+                vv, lv = _csr_gather(self.vals, self.starts, iv)
+                jacs = _pair_jaccard(vu, lu, vv, lv)
+                keep = jacs >= tau
                 cols = {c0: pa.array(u[keep], pa.int64()),
                         c1: pa.array(v[keep], pa.int64())}
                 if emit_jac:
@@ -323,20 +372,16 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
         if df.empty:
             out = df[[c0, c1]]
             return out.assign(jac=pd.Series(dtype="float64")) if emit_jac else out
-        keep = np.empty(len(df), dtype=bool)
-        jacs = np.empty(len(df), dtype=np.float64)
         su = df["__sh_u"].to_numpy()
         sv = df["__sh_v"].to_numpy()
-        for i in range(len(df)):
-            a, b = su[i], sv[i]
-            na, nb = len(a), len(b)
-            if na == 0 and nb == 0:
-                j = 1.0
-            else:
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                j = inter / (na + nb - inter)
-            jacs[i] = j
-            keep[i] = j >= tau
+        lu = np.fromiter((len(x) for x in su), dtype=np.int64, count=len(su))
+        lv = np.fromiter((len(x) for x in sv), dtype=np.int64, count=len(sv))
+        vu = (np.concatenate([np.asarray(x, dtype=np.uint64) for x in su])
+              if lu.sum() else np.array([], dtype=np.uint64))
+        vv = (np.concatenate([np.asarray(x, dtype=np.uint64) for x in sv])
+              if lv.sum() else np.array([], dtype=np.uint64))
+        jacs = _pair_jaccard(vu, lu, vv, lv)
+        keep = jacs >= tau
         out = df.loc[keep, [c0, c1]].copy()
         if emit_jac:
             out["jac"] = np.round(jacs[keep], 4)

@@ -36,7 +36,7 @@ import ray.data as rd
 
 from ..config import NS_ENTITY
 from ..functions.fingerprint import uuid5_str
-from ..functions.hashing import MinHasher, char_shingles, stable_hash64
+from ..functions.hashing import MinHasher, char_shingles_batch, stable_hash64
 from ..ops.joins import bucket_join
 
 # Triple predicates whose objects are file-path mentions.
@@ -108,7 +108,10 @@ def distinct_paths(mentions: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
 
 
 class _PathSketcher:
-    """Actor stage: (pid, norm_path) -> (band, pid) LSH incidence rows."""
+    """Actor stage: (pid, norm_path) -> (band, pid) LSH incidence rows.
+
+    Whole-batch CSR shingling + vectorized signatures/band keys (see
+    functions/hashing.py) — no per-path Python loop."""
 
     def __init__(self, num_perm: int = 32, bands: int = 8, shingle_k: int = 4):
         self.mh = MinHasher(num_perm=num_perm, seed=7)
@@ -116,15 +119,13 @@ class _PathSketcher:
         self.k = shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        pids, keys = [], []
-        for pid, path in zip(t.column("pid").to_pylist(),
-                             t.column("norm_path").to_pylist()):
-            sig = self.mh.signature(char_shingles(path, self.k))
-            for key in self.mh.band_keys(sig, self.bands):
-                pids.append(pid)
-                keys.append(np.int64(key >> 1))
-        return pa.table({"band": pa.array(keys, pa.int64()),
-                         "pid": pa.array(pids, pa.int64())})
+        paths = t.column("norm_path").to_pylist()
+        vals, offs = char_shingles_batch(paths, self.k)
+        sigs = self.mh.signatures_batch(vals, offs)
+        keys = self.mh.band_keys_batch(sigs, self.bands)  # (n, bands) int64
+        pids = t.column("pid").to_numpy(zero_copy_only=False)
+        return pa.table({"band": pa.array(keys.ravel(), pa.int64()),
+                         "pid": pa.array(np.repeat(pids, self.bands), pa.int64())})
 
 
 def _grouped_min(ds: rd.Dataset, key: str, val: str, out_name: str) -> rd.Dataset:
@@ -147,13 +148,17 @@ def propagate_labels(incidence: rd.Dataset, labels: rd.Dataset,
     Each round: label(pid) <- min over { label(q) : q shares a band with pid }
     expressed as two bucket_joins + two grouped mins — iterative
     groupby-aggregate union-find (north_rule). Converges in O(component
-    diameter) rounds; bounded by ``max_rounds``.
+    diameter) rounds. ``max_rounds`` is a soft target (same semantics as
+    ``_labels_vectorized``): a component with diameter > ~2*max_rounds hops
+    would silently split, so the loop keeps going past it up to a hard cap —
+    each extra round only runs when the checksum shows labels still moving.
 
     Returns (labels Dataset[(pid, label)], rounds_run, converged).
     """
     labels = labels.materialize()
     prev_sum = _label_checksum(labels)
-    for rnd in range(max_rounds):
+    hard_cap = max(max_rounds, 4 * max_rounds + 64)
+    for rnd in range(hard_cap):
         # label(band) = min label of its members (join + grouped min)
         lab_inc = bucket_join(incidence, labels, on="pid", num_buckets=num_buckets)
         bucket_min = _grouped_min(lab_inc, "band", "label", "bmin").materialize()
@@ -173,7 +178,7 @@ def propagate_labels(incidence: rd.Dataset, labels: rd.Dataset,
         if cur == prev_sum:
             return labels, rnd + 1, True
         prev_sum = cur
-    return labels, max_rounds, False
+    return labels, hard_cap, False
 
 
 def _label_checksum(labels: rd.Dataset) -> int:
@@ -276,23 +281,36 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
             f"kb:entity-{uuid5_str(NS_ENTITY, p)}" for p in pdf["canonical_path"]
         ]
         entity = rd.from_pandas(pdf)
-        canon_map = dict(zip(pdf["pid"], pdf["canonical_id"]))
+        # broadcast lookup in sorted-array form: pid -> canonical_id via
+        # np.searchsorted + one Arrow take per batch (no per-row dict.get)
+        pid_arr = pdf["pid"].to_numpy(dtype=np.int64)
+        order = np.argsort(pid_arr, kind="stable")
+        sorted_pids = pid_arr[order]
+        sorted_ids = pa.array(pdf["canonical_id"].to_numpy()[order], pa.string())
 
         import ray
 
-        ref = ray.put(canon_map)
+        ref = ray.put((sorted_pids, sorted_ids))
 
         class LinkJoin:
             def __init__(self):
-                self.canon = ray.get(ref)
+                self.pids, self.ids = ray.get(ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                canon = self.canon
-                ids = [canon.get(p, "") for p in t.column("pid").to_pylist()]
+                p = t.column("pid").to_numpy(zero_copy_only=False)
+                n_ids = len(self.pids)
+                if n_ids == 0:
+                    obj = pa.array([""] * t.num_rows, pa.string())
+                else:
+                    ix = np.minimum(np.searchsorted(self.pids, p), n_ids - 1)
+                    hit = self.pids[ix] == p
+                    obj = pc.if_else(pa.array(hit),
+                                     pc.take(self.ids, pa.array(ix, pa.int64())),
+                                     pa.scalar("", pa.string()))
                 return pa.table({
                     "subj": t.column("subj"),
                     "pred": pa.array(["kb:canonicalEntity"] * t.num_rows, pa.string()),
-                    "obj": pa.array(ids, pa.string()),
+                    "obj": obj,
                     "obj_dt": pa.array(["@id"] * t.num_rows, pa.string()),
                     "conv_id": t.column("conv_id"),
                     "turn_idx": t.column("turn_idx"),

@@ -1,16 +1,19 @@
 """Pin near-dedup operator outputs as regression goldens.
 
-minhash/ngram goldens were pinned from the round-1 implementation (commit
-0c8fdcf) and the distributed round-2 rewrite reproduces them byte-for-byte.
-
-The simhash golden was REGENERATED from the round-2 implementation because
-round 1 had a correctness bug: it ran ``DataFrame.to_numpy()`` over mixed
-dtypes (int64 doc_id + uint64 simhash), silently casting the 64-bit
-fingerprints to float64 and zeroing their low ~11 bits before the hamming
-comparison — e.g. docs 8/12 at sf0.001 have true hamming 4 but were grouped
-at radius 3. Round 2 computes hamming on exact uint64 (vectorized byte-table
-popcount, unit-tested against ``bin(x).count('1')``) and links transitive
-components to convergence.
+History of intentional regenerations:
+- round 2 (simhash only): round 1 ran ``DataFrame.to_numpy()`` over mixed
+  dtypes (int64 doc_id + uint64 simhash), silently casting the 64-bit
+  fingerprints to float64 and zeroing their low ~11 bits before the hamming
+  comparison. Round 2 computes hamming on exact uint64 (vectorized
+  byte-table popcount, unit-tested against ``bin(x).count('1')``).
+- round 3 (all): the shingle/band hash family moved from one blake2b call
+  per shingle/band to the whole-batch vectorized polynomial family
+  (functions/hashing.py) — ~60% of round-2 sketch time was blake2b
+  dispatch. Hash VALUES change, so clusterings at the LSH margin differ;
+  the kernel semantics are pinned independently in
+  tests/test_hashing_kernels.py (pure-Python big-int oracle) and
+  tests/test_dedup_goldens.py (brute-force simhash grouping oracle),
+  so the goldens only guard against unintentional drift.
 
 Regenerate only if the operator *semantics* (hash family, banding, tau)
 intentionally change:  python scripts/pin_dedup_goldens.py
