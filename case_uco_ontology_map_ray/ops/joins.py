@@ -9,13 +9,60 @@
   co-group per bucket, pandas merge inside ``map_groups``. One shuffle per
   side; skew bounded by bucket count (salt hot keys upstream when a single
   key dominates a bucket).
+
+Bucket sizing rule (``auto_num_buckets``): each bucket becomes ONE pandas
+frame processed in ONE ``map_groups`` call, so the binding constraint is the
+per-bucket memory bound, not parallelism: ``num_buckets >= in_memory_bytes /
+_BUCKET_TARGET_BYTES``. A fixed count (the old ``num_buckets=32`` default)
+silently violates that at 100-TB inputs — a 100-TB lineitem needs ~10^5
+buckets to keep each under a worker heap. When callers don't pass an explicit
+count, the joins estimate input size from the datasets' parquet file metadata
+(``ds.input_files()`` — available without executing the plan) times a decoded
+in-memory expansion factor, and round up to the next power of two in
+[_MIN_BUCKETS, _MAX_BUCKETS]. Derived / in-memory datasets (no input files)
+fall back to _MIN_BUCKETS — callers with better knowledge (e.g. dedup's
+candidate-edge joins, bounded by LSH output) pass explicit counts.
 """
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_BUCKET_TARGET_BYTES = 256 << 20  # max decoded bytes of input per bucket
+_PARQUET_EXPANSION = 4            # decoded-in-memory / on-disk-parquet ratio
+_MIN_BUCKETS = 32
+_MAX_BUCKETS = 1 << 16
+
+
+def _files_bytes(ds) -> int:
+    """On-disk bytes of a dataset's backing files (0 when not file-backed).
+    ``input_files()`` reads plan metadata only — no execution is triggered."""
+    try:
+        files = ds.input_files()
+    except Exception:
+        return 0
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            pass
+    return total
+
+
+def auto_num_buckets(*datasets, target_bytes: int = _BUCKET_TARGET_BYTES) -> int:
+    """Bucket count from the per-bucket memory bound (module docstring):
+    smallest power of two >= total estimated in-memory bytes / target_bytes,
+    clamped to [_MIN_BUCKETS, _MAX_BUCKETS]."""
+    est = sum(_files_bytes(d) for d in datasets) * _PARQUET_EXPANSION
+    n = _MIN_BUCKETS
+    while n < _MAX_BUCKETS and n * target_bytes < est:
+        n *= 2
+    return n
 
 
 def _pool_size(frac: float = 0.5) -> int:
@@ -78,7 +125,7 @@ def _mix_bucket(key_col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
 
 
 def bucket_semi_join(left, right, on: str, right_on: str | None = None,
-                     negate: bool = False, num_buckets: int = 32,
+                     negate: bool = False, num_buckets: int | None = None,
                      pre_distinct: bool = True):
     """Distributed semi (or anti) join: keep left rows whose ``on`` key does
     (not) appear in ``right``'s ``right_on`` column — with NO driver-side key
@@ -89,6 +136,8 @@ def bucket_semi_join(left, right, on: str, right_on: str | None = None,
     before the shuffle (the combiner that keeps the exchanged key volume at
     O(distinct keys x blocks), not O(rows)).
     """
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(left, right)
     right_on = right_on or on
     lschema = left.schema()
     left_cols = list(lschema.names)
@@ -134,7 +183,7 @@ def bucket_semi_join(left, right, on: str, right_on: str | None = None,
 
 
 def asof_join(left, right, on: str, ts: str, right_ts_name: str,
-              num_buckets: int = 32, strict: bool = True):
+              num_buckets: int | None = None, strict: bool = True):
     """As-of join: for each left row, the latest right row with
     ``right.ts < left.ts`` (``<=`` when strict=False) per key.
 
@@ -143,6 +192,8 @@ def asof_join(left, right, on: str, ts: str, right_ts_name: str,
     prior right match are dropped (inner as-of). The right ts is emitted as
     ``right_ts_name``.
     """
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(left, right)
     lschema = left.schema()
     left_cols = list(lschema.names)
 
@@ -190,7 +241,10 @@ def asof_join(left, right, on: str, ts: str, right_ts_name: str,
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
-def bucket_join(left, right, on: str, num_buckets: int = 32, how: str = "inner"):
+def bucket_join(left, right, on: str, num_buckets: int | None = None,
+                how: str = "inner"):
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(left, right)
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)
     right_cols = list(rschema.names)

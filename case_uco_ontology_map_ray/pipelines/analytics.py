@@ -265,27 +265,39 @@ def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
 
 
 def nation_order_volume(sf_dir: str) -> pd.DataFrame:
-    """Q5-flavoured multi-join via broadcast dimensions: order value by
-    customer nation (region/nation/customer are small sides — one pandas
-    merge chain broadcast once; orders stream)."""
+    """Q5-flavoured multi-join: order value by customer nation. Only the
+    genuinely-small sides broadcast (nation x region — 25 rows); customer is
+    O(data) at scale, so customer x orders goes through a bucketed
+    hash-partitioned join (auto-sized buckets), with orders locally
+    pre-aggregated per custkey (exact int64 x1e4 sums) before the shuffle so
+    the exchange carries one row per (custkey, block), not per order."""
+    from ..ops.joins import bucket_join
+
     nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
     region = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
-    cust = rd.read_parquet(_t(sf_dir, "customer"),
-                           columns=["c_custkey", "c_nationkey"]).to_pandas()
-    dims = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
-        region, left_on="n_regionkey", right_on="r_regionkey"
-    )[["c_custkey", "n_name", "r_name"]]
+    dims = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]].rename(
+        columns={"n_nationkey": "c_nationkey"})
 
-    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    orders = orders.map_batches(
-        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
-        batch_format="pyarrow",
-    )
-    joined = broadcast_join(orders, dims, on="c_custkey")
-    out = grouped_sums(joined, keys=["r_name", "n_name"],
-                       sum_cols={"total": "o_totalprice"}, count_alias="n_orders")
-    out["total"] = round_away(out["total"], 2)
-    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    def order_partials(t: pa.Table) -> pa.Table:
+        x = pa.table({"c_custkey": t.column("o_custkey"),
+                      "total": _scale_i64(t.column("o_totalprice"))})
+        agg = x.group_by(["c_custkey"]).aggregate(
+            [("total", "sum"), ([], "count_all")])
+        return agg.rename_columns(["c_custkey", "total", "n_orders"])
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(order_partials, batch_format="pyarrow", zero_copy_batch=True)
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    joined = bucket_join(orders, cust, on="c_custkey")
+    named = broadcast_join(joined, dims, on="c_nationkey")
+    out = grouped_sums(named, keys=["r_name", "n_name"],
+                       sum_cols={"total": "total", "n_orders": "n_orders"})
+    out["total"] = round_away(out["total"] / 10000.0, 2)
+    out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return out[["r_name", "n_name", "total", "n_orders"]]
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
@@ -521,7 +533,11 @@ def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
 
 def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Bucketed large-large join demo: lineitem x part on partkey, revenue by
-    brand (the bucket join is the portable hash-partitioned join shape)."""
+    brand (the bucket join is the portable hash-partitioned join shape).
+    lineitem is locally pre-aggregated per partkey (exact int64 revenue sum +
+    row count) before the join, so the shuffle moves one row per (partkey,
+    block) instead of one per lineitem; buckets are auto-sized from the
+    input-file estimate (ops.joins.auto_num_buckets)."""
     from ..ops.joins import bucket_join
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
@@ -530,15 +546,18 @@ def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     def prep(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return t.select(["l_partkey"]).append_column("rev", _scale_i64(rev))
+        x = t.select(["l_partkey"]).append_column("rev", _scale_i64(rev))
+        agg = x.group_by(["l_partkey"]).aggregate(
+            [("rev", "sum"), ([], "count_all")])
+        return agg.rename_columns(["l_partkey", "rev", "n"])
 
     li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"]).map_batches(
         lambda t: t.rename_columns(["l_partkey", "p_brand"]), batch_format="pyarrow"
     )
-    joined = bucket_join(li, part, on="l_partkey", num_buckets=16)
-    out = grouped_sums(joined, keys=["p_brand"], sum_cols={"revenue": "rev"},
-                       count_alias="n")
+    joined = bucket_join(li, part, on="l_partkey")
+    out = grouped_sums(joined, keys=["p_brand"],
+                       sum_cols={"revenue": "rev", "n": "n"})
     out["revenue"] = round_away(out["revenue"] / 10000.0, 2)
     out = out.sort_values(["revenue", "p_brand"], ascending=[False, True]).head(k)
     return out[["p_brand", "n", "revenue"]].reset_index(drop=True)

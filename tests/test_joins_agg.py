@@ -78,3 +78,52 @@ def test_topk_ds_ties_deterministic(ray_session):
     top = topk_ds(_ds(t, blocks=5), by=["total", "g"],
                   ascending=[False, True], k=3)
     assert top.g.tolist() == [1, 2, 3]
+
+
+def test_auto_num_buckets_sizing(tmp_path):
+    """The sizing rule: smallest power of two covering est_bytes/target,
+    clamped to [32, 65536]; non-file-backed datasets fall back to the min."""
+    from case_uco_ontology_map_ray.ops import joins as J
+
+    f = tmp_path / "a.bin"
+    f.write_bytes(b"x" * (1 << 20))  # 1 MiB on disk -> 4 MiB est in memory
+
+    class FakeDS:
+        def __init__(self, files):
+            self._files = files
+
+        def input_files(self):
+            return self._files
+
+    mem = FakeDS([])  # in-memory dataset: no files
+    assert J.auto_num_buckets(mem) == J._MIN_BUCKETS
+    # 4 MiB est / 64 KiB target = 64 buckets
+    assert J.auto_num_buckets(FakeDS([str(f)]), target_bytes=64 << 10) == 64
+    # both sides add up: 8 MiB est / 64 KiB = 128
+    assert J.auto_num_buckets(FakeDS([str(f)]), FakeDS([str(f)]),
+                              target_bytes=64 << 10) == 128
+    # clamp at the ceiling
+    assert J.auto_num_buckets(FakeDS([str(f)]), target_bytes=1) == J._MAX_BUCKETS
+    # missing files are skipped, not fatal
+    assert J.auto_num_buckets(FakeDS(["/nonexistent/zz"])) == J._MIN_BUCKETS
+
+
+def test_bucket_join_invariant_to_bucket_count(ray_session):
+    """Forced tiny/large bucket counts must give identical join results —
+    proves per-bucket processing is sound at any sizing."""
+    import numpy as np
+
+    from case_uco_ontology_map_ray.ops.joins import bucket_join
+
+    rng = np.random.RandomState(5)
+    left = pa.table({"k": pa.array(rng.randint(0, 40, 300), pa.int64()),
+                     "a": pa.array(rng.randint(0, 100, 300), pa.int64())})
+    right = pa.table({"k": pa.array(np.arange(40), pa.int64()),
+                      "b": pa.array(rng.randint(0, 9, 40), pa.int64())})
+    outs = []
+    for nb in (1, 2, 64):
+        got = bucket_join(_ds(left, blocks=4), _ds(right, blocks=2),
+                          on="k", num_buckets=nb).to_pandas()
+        outs.append(got.sort_values(["k", "a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
