@@ -15,6 +15,11 @@ from typing import Any
 
 _SYNTH_ROOT = "/tmp/cuomr_synth"
 
+# Bump when the transcript generator's content changes (it's part of the
+# cache key below) — otherwise a stale /tmp cache from an older generator
+# silently feeds the kg_* queries.
+_GEN_VERSION = "g2"  # g2: + browser_history artifact kind (auto-mapper)
+
 # transcripts scale per testdata sf directory: (num_conversations, mean_turns)
 _SYNTH_SCALE = {
     "sf0.001": (40, 12),
@@ -30,7 +35,7 @@ def _transcripts_for(sf_dir: str) -> str:
     deterministically, keyed by scale)."""
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
     n_convs, mean_turns = _SYNTH_SCALE.get(sf, (400, 12))
-    out = f"{_SYNTH_ROOT}/transcripts_{sf}_{n_convs}x{mean_turns}"
+    out = f"{_SYNTH_ROOT}/transcripts_{_GEN_VERSION}_{sf}_{n_convs}x{mean_turns}"
     marker = f"{out}/_SUCCESS"
     if not os.path.exists(marker):
         from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts

@@ -23,7 +23,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "1200000"))
 MEAN_TURNS = 12
-SYNTH_DIR = f"/tmp/cuomr_synth/bench_{BENCH_CONVS}x{MEAN_TURNS}"
+# g2: transcript generator version (browser_history kind added) — part of
+# the cache key so stale /tmp tables from an older generator are not reused
+GEN_VERSION = "g2"
+SYNTH_DIR = f"/tmp/cuomr_synth/bench_{GEN_VERSION}_{BENCH_CONVS}x{MEAN_TURNS}"
 
 
 def ensure_bench_transcripts():
@@ -66,7 +69,7 @@ def run_bench() -> dict:
 
     # --- untimed warmup: spin up worker processes + actor imports so the
     # timed runs measure steady-state compute, not interpreter startup ---
-    warm_dir = "/tmp/cuomr_synth/bench_warm_500x12"
+    warm_dir = f"/tmp/cuomr_synth/bench_warm_{GEN_VERSION}_500x12"
     if not os.path.exists(f"{warm_dir}/_SUCCESS"):
         from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts
 
@@ -101,7 +104,7 @@ def run_bench() -> dict:
     extras["triples_per_sec"] = round(n_triples / headline, 1)
 
     # --- KG + exact dedup + parquet sink (wide op) on a 10% slice ---
-    slice_dir = f"/tmp/cuomr_synth/bench_slice_{BENCH_CONVS // 10}x{MEAN_TURNS}"
+    slice_dir = f"/tmp/cuomr_synth/bench_slice_{GEN_VERSION}_{BENCH_CONVS // 10}x{MEAN_TURNS}"
     if not os.path.exists(f"{slice_dir}/_SUCCESS"):
         from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts
 

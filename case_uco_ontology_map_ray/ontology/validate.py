@@ -67,6 +67,22 @@ class RuleEngine:
             self._shape_cache[local_type] = s
         return s
 
+    def _entry_flattened(self, facet_type: str, local_prop: str) -> bool:
+        """Entry-level flattening legality (mirrors ontology/automap.py): a
+        property owned by a non-facet class nested under the facet's name
+        stem (URLHistoryEntry under URLHistoryFacet) is legal on the facet —
+        the auto-mapper attaches entry properties there, matching the
+        reference's synthesized maps (its validator checks map-declared
+        properties, not deep SHACL nesting; agents/graph_generator.py:
+        151-156)."""
+        if not facet_type.endswith("Facet"):
+            return False
+        stem = facet_type[:-5]
+        return any(
+            o != stem and o.startswith(stem) and not self.index.is_facet(o)
+            for o in self.index.prop_owners.get(local_prop, ())
+        )
+
     def check_node(
         self,
         node_type: str,
@@ -112,8 +128,10 @@ class RuleEngine:
             if is_facet:
                 shape = shapes.get(local_prop)
                 if shape is None:
-                    if not pred.startswith("dfc-ext:") and not (
-                        declared and local_prop in declared
+                    if (
+                        not pred.startswith("dfc-ext:")
+                        and not (declared and local_prop in declared)
+                        and not self._entry_flattened(local_type, local_prop)
                     ):
                         violations.append(("unknown-property", pred))
                     continue

@@ -292,7 +292,11 @@ def custom_facet_definitions(source: "str | rd.Dataset", concurrency=None):
     only), the deterministic dfc-ext facet definition + TTL stub inferred
     from that type's record schema — a groupby(artifact_type) over
     field-signature rows (reference custom_facet.py:122-222 semantics,
-    computed once per type instead of per payload)."""
+    computed once per type instead of per payload).
+
+    Precedence matches TurnTriples._mapper_for: a type the deterministic
+    auto-mapper (ontology/automap.py) maps to real UCO classes never reaches
+    the dfc-ext path, so it emits no custom facet here either."""
     import json as _json
 
     import pandas as pd
@@ -338,9 +342,16 @@ def custom_facet_definitions(source: "str | rd.Dataset", concurrency=None):
     pre = ds.map_batches(sigs, batch_format="pyarrow")
 
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        from ..ontology.automap import build_ontology_map
+
         g = g.sort_values(["field_sig", "sample"])
         atype = g["artifact_type"].iloc[0]
         record = _json.loads(g["sample"].iloc[0])
+        empty = pd.DataFrame({"artifact_type": [], "facet_name": [],
+                              "properties": [], "ttl": []})
+        auto_map, _ = build_ontology_map(atype or "", sorted(record.keys()))
+        if auto_map is not None:
+            return empty
         base = ArtifactMapper(FALLBACK_ONTOLOGY_MAP)
         unmapped = base.unmapped_fields(record, reserved=RESERVED_RECORD_KEYS)
         details = [{"field": f, "sampleValue": record.get(f)} for f in unmapped]
@@ -348,8 +359,7 @@ def custom_facet_definitions(source: "str | rd.Dataset", concurrency=None):
             details, record, atype, FALLBACK_ONTOLOGY_MAP
         )
         if not custom:
-            return pd.DataFrame({"artifact_type": [], "facet_name": [],
-                                 "properties": [], "ttl": []})
+            return empty
         facet_name = next(iter(custom["facetDefinitions"]))
         props = _json.dumps(custom["facetDefinitions"][facet_name]["properties"],
                             sort_keys=True)

@@ -6,7 +6,9 @@ Schema (BASELINE.json ``input_hint``):
 
 Tool-role turns embed ONE serialized artifact payload (JSON) in ``text``,
 drawn from the reference's fixture shapes (FIXTURES.md §2): Windows Prefetch,
-MFT, and two custom-facet artifact types. Everything is a pure function of
+MFT, two custom-facet artifact types, and (round 3) a browser URL-history
+type that no frozen map covers — it exercises the deterministic auto-mapper
+(ontology/automap.py). Everything is a pure function of
 (seed, conv_index, turn_idx) — no RNG state carried across rows — so any
 shard can be regenerated independently and the table is identical across
 runs and across parallelism levels.
@@ -34,7 +36,7 @@ SCHEMA = pa.schema(
     ]
 )
 
-ARTIFACT_KINDS = ("prefetch", "mft", "custom_mft", "custom_iot")
+ARTIFACT_KINDS = ("prefetch", "mft", "custom_mft", "custom_iot", "browser_history")
 
 _EXE_NAMES = ["MALICIOUS.EXE", "NOTEPAD.EXE", "CALC.EXE", "POWERSHELL.EXE",
               "CHROME.EXE", "SVCHOST.EXE", "EXPLORER.EXE", "WINWORD.EXE"]
@@ -109,6 +111,24 @@ def _payload_for(kind: str, conv_index: int, turn_idx: int) -> dict:
                 "FN_Modified": iso(t0 + 3600),
             },
         }
+    if kind == "browser_history":
+        # unknown-to-the-frozen-maps type: exercised by the deterministic
+        # auto-mapper (ontology/automap.py -> URLHistory/URLHistoryFacet)
+        host = ["intranet.corp", "files.example.com", "update.vendor.net",
+                "mail.example.org"][h % 4]
+        return {
+            "artifact_type": "Browser URL history records",
+            "description": "URL history rows parsed from the browser profile",
+            "source": "browser_history_parser",
+            "record": {
+                "URL": f"https://{host}/path/{h % 10_000:04d}",
+                "PageTitle": f"Page {h % 997}",
+                "VisitCount": 1 + h % 40,
+                "FirstVisitTime": iso(t0),
+                "LastVisitTime": iso(t0 + 7200),
+                "BrowserName": ["Chrome", "Edge", "Firefox"][h % 3],
+            },
+        }
     if kind == "custom_mft":
         return {
             "artifact_type": "MFT Record",
@@ -152,7 +172,8 @@ def generate_conversation(conv_index: int, mean_turns: int = 12) -> dict[str, li
             kind = ARTIFACT_KINDS[(conv_index + t // 3) % len(ARTIFACT_KINDS)]
             role = "tool"
             tool = {"prefetch": "prefetch_parser", "mft": "ntfs_analysis_tool",
-                    "custom_mft": "ntfs_analysis_tool", "custom_iot": "iot_gateway"}[kind]
+                    "custom_mft": "ntfs_analysis_tool", "custom_iot": "iot_gateway",
+                    "browser_history": "browser_history_parser"}[kind]
             text = json.dumps(_payload_for(kind, conv_index, t), sort_keys=True)
         cols["conv_id"].append(conv_id)
         cols["turn_idx"].append(t)

@@ -122,6 +122,22 @@ class TurnTriples:
         m = self._custom_mappers.get(sig)
         if m is not None:
             return m
+        # Unknown artifact type: first try the deterministic researcher/
+        # synthesizer (ontology/automap.py) — when the record's fields score
+        # strongly against one UCO class's property vocabulary, the type is
+        # mapped to real UCO classes/facets instead of dfc-ext extensions
+        # (reference agents/ontology_researcher.py:42-171 +
+        # ontology_synthesizer.py:199-291, distilled deterministic).
+        from ..config import PROPERTY_ALIAS_MAP
+        from ..ontology.automap import build_ontology_map
+
+        auto_map, auto_aliases = build_ontology_map(
+            artifact_type or "", sorted(record.keys()))
+        if auto_map is not None:
+            m = ArtifactMapper(
+                auto_map, alias_map={**PROPERTY_ALIAS_MAP, **auto_aliases})
+            self._custom_mappers[sig] = m
+            return m
         base = ArtifactMapper(FALLBACK_ONTOLOGY_MAP)
         unmapped = base.unmapped_fields(record, reserved=RESERVED_RECORD_KEYS)
         details = [{"field": f, "sampleValue": record.get(f)} for f in unmapped]

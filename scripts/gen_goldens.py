@@ -274,3 +274,48 @@ with open("/root/repo/tests/goldens/relationships_payload_triples.json", "w") as
     json.dump(out_rel2["triples"], f, indent=0)
 print("relationships_payload triples:", len(out_rel2["triples"]))
 for n in out_rel2["graph"]["@graph"]: print(n)
+
+# --- Auto-mapped browser-history golden (round 3) ---------------------------
+# The engine's deterministic researcher/synthesizer (ontology/automap.py)
+# builds the ontology map for an UNKNOWN artifact type from the vendored UCO
+# index. This case checks that the reference's deterministic path
+# (uuid_planner_node + graph_generator_node), given that SAME auto-built map
+# and aliases, produces the same graph the engine composes — i.e. the
+# auto-mapper's output is a valid frozen map, not just engine-internal.
+sys.path.insert(0, "/root/repo")
+from case_uco_ontology_map_ray.ontology.automap import build_ontology_map
+
+browser_payload = {
+    "artifact_type": "Browser URL history records",
+    "description": "URL history rows parsed from the browser profile",
+    "source": "browser_history_parser",
+    "records": [
+        {
+            "URL": "https://intranet.corp/path/0042",
+            "PageTitle": "Page 713",
+            "VisitCount": 9,
+            "FirstVisitTime": "2025-03-01T08:00:00Z",
+            "LastVisitTime": "2025-03-01T10:00:00Z",
+            "BrowserName": "Chrome",
+        },
+        {
+            "URL": "https://files.example.com/path/0007",
+            "PageTitle": "Page 31",
+            "VisitCount": 2,
+            "FirstVisitTime": "2025-03-02T12:30:00Z",
+            "LastVisitTime": "2025-03-02T14:30:00Z",
+            "BrowserName": "Firefox",
+        },
+    ],
+}
+auto_map, auto_aliases = build_ontology_map(
+    "Browser URL history records",
+    sorted(browser_payload["records"][0].keys()))
+assert auto_map is not None and auto_map["classes"] == ["URLHistory"], auto_map
+up.PROPERTY_ALIAS_MAP.update(auto_aliases)
+out_browser = run_case("browser", browser_payload, auto_map)
+with open("/root/repo/tests/goldens/browser_graph.json", "w") as f:
+    json.dump(out_browser["graph"], f, indent=1, sort_keys=True)
+with open("/root/repo/tests/goldens/browser_triples.json", "w") as f:
+    json.dump(out_browser["triples"], f, indent=0)
+print("browser triples:", len(out_browser["triples"]))
