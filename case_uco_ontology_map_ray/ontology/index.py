@@ -68,9 +68,14 @@ class OntologyIndex:
     # Mirrors the reference's ontology query API so new artifact types can be
     # mapped with tooling instead of hand-built frozen maps:
     # list_all_classes (case_uco.py:476), search_classes (case_uco.py:686),
-    # relevant_facets (case_uco.py:1004,1019). The distilled index vendors no
-    # rdfs:comment text, so search matches names only (the reference's
-    # 'description' match_type needs the full TTLs).
+    # relevant_facets (case_uco.py:1004,1019). The distilled index vendors
+    # each class's rdfs:comment, so both of the reference's match types
+    # (name, description) are supported.
+
+    def description(self, name: str) -> str:
+        """The class's rdfs:comment text (reference get_class_summary
+        'description'; empty when the TTL declares none)."""
+        return self.classes.get(name, {}).get("comment", "")
 
     def list_all_classes(self) -> list[dict]:
         """Sorted [{'name', 'uri'}] over every class in the index."""
@@ -82,21 +87,27 @@ class OntologyIndex:
         )
 
     def search_classes(self, keyword: str) -> list[dict]:
-        """Classes whose name contains ``keyword`` (case-insensitive),
-        sorted by name — reference ``search_classes`` name matches."""
+        """Classes matching ``keyword`` (case-insensitive) by name, else by
+        rdfs:comment text — reference ``search_classes`` (case_uco.py:
+        686-720): name matches get match_type 'name', description-only
+        matches get 'description', sorted by name."""
         from ..functions.naming import iri_for
 
         kw = keyword.lower()
-        return sorted(
-            (
-                {"name": name, "uri": iri_for(name), "match_type": "name",
-                 "n_properties": len(self.shapes_for(name)),
-                 "is_facet": self.is_facet(name)}
-                for name in self.classes
-                if kw in name.lower()
-            ),
-            key=lambda x: x["name"],
-        )
+        out = []
+        for name in self.classes:
+            if kw in name.lower():
+                match = "name"
+            elif kw in self.description(name).lower():
+                match = "description"
+            else:
+                continue
+            out.append({"name": name, "uri": iri_for(name),
+                        "match_type": match,
+                        "description": self.description(name),
+                        "n_properties": len(self.shapes_for(name)),
+                        "is_facet": self.is_facet(name)})
+        return sorted(out, key=lambda x: x["name"])
 
     def relevant_facets(self, class_name: str, limit: int = 10) -> list[str]:
         """Facets relevant to a class by bidirectional name containment

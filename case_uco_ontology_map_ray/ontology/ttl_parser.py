@@ -27,6 +27,9 @@ _FIELD_RES = {
     "maxCount": re.compile(r'sh:maxCount\s+"(\d+)"'),
 }
 _SUBCLASS_RE = re.compile(r"rdfs:subClassOf\s+((?:[\w-]+:[\w-]+\s*,?\s*)+);")
+# single-line string literal with \-escapes (the published UCO TTLs keep
+# rdfs:comment on one line)
+_COMMENT_RE = re.compile(r'rdfs:comment\s+"((?:[^"\\]|\\.)*)"')
 
 
 def parse_ttl(text: str) -> dict:
@@ -99,6 +102,12 @@ def extract_ontology(text: str) -> dict:
         entry = classes.setdefault(name, {"parents": [], "shapes": {}})
         entry["parents"] = sorted(set(entry["parents"]) | set(parents))
         entry["shapes"].update(shapes)
+        cm = _COMMENT_RE.search(body)
+        if cm:
+            # rdfs:comment -> the reference's class 'description' field
+            # (case_uco.py get_class_summary / search_classes description
+            # match_type); unescape \" and \\ only
+            entry["comment"] = cm.group(1).replace('\\"', '"').replace("\\\\", "\\")
 
     return {"classes": classes, "prop_kinds": prop_kinds}
 
@@ -112,5 +121,7 @@ def extract_dir(ttl_dir: str) -> dict:
             cur = merged["classes"].setdefault(name, {"parents": [], "shapes": {}})
             cur["parents"] = sorted(set(cur["parents"]) | set(entry["parents"]))
             cur["shapes"].update(entry["shapes"])
+            if entry.get("comment") and not cur.get("comment"):
+                cur["comment"] = entry["comment"]
         merged["prop_kinds"].update(one["prop_kinds"])
     return merged

@@ -217,6 +217,28 @@ def test_ontology_search_api():
                for p in props)
 
 
+def test_search_classes_matches_description_text():
+    """Reference 'description' match_type (case_uco.py:686-720): keyword in
+    rdfs:comment but NOT in the class name still matches — the vendored
+    index carries the TTLs' rdfs:comment text."""
+    from case_uco_ontology_map_ray.ontology.index import load_default_index
+
+    idx = load_default_index()
+    # 'web browser' appears only in comments (no class is named *WebBrowser*)
+    hits = idx.search_classes("web browser")
+    by_name = {h["name"]: h for h in hits}
+    assert "URLHistory" in by_name
+    assert by_name["URLHistory"]["match_type"] == "description"
+    assert "web browser" in by_name["URLHistory"]["description"]
+    # name match still wins over description match and is labeled 'name'
+    hits2 = idx.search_classes("urlhistory")
+    assert {h["match_type"] for h in hits2} == {"name"}
+    # every class row exposes the reference's description field (possibly "")
+    assert isinstance(idx.description("WindowsPrefetch"), str)
+    # sorted by name like the reference
+    assert [h["name"] for h in hits] == sorted(h["name"] for h in hits)
+
+
 def test_suggest_mapping_recovers_frozen_map_choices():
     """The mapping-suggestion tool must rank the frozen-map properties at
     the top for the fields they were hand-mapped from."""
