@@ -119,22 +119,29 @@ class RuleEngine:
                 violations.append(("empty-value", pred))
                 continue
 
-            if not is_facet:
+            shape = shapes.get(local_prop)
+            if not is_facet and shape is None:
+                # facet-owned property on a non-facet node — unless the
+                # node's own (inherited) shapes declare it (e.g.
+                # URLHistoryEntry.visitCount, which a facet also happens
+                # to own)
                 owners = self.index.prop_owners.get(local_prop, [])
                 if any(self.index.is_facet(o) for o in owners):
                     violations.append(("placement", pred))
                     continue
-
-            if is_facet:
-                shape = shapes.get(local_prop)
-                if shape is None:
-                    if (
-                        not pred.startswith("dfc-ext:")
-                        and not (declared and local_prop in declared)
-                        and not self._entry_flattened(local_type, local_prop)
-                    ):
-                        violations.append(("unknown-property", pred))
-                    continue
+            if is_facet and shape is None:
+                if (
+                    not pred.startswith("dfc-ext:")
+                    and not (declared and local_prop in declared)
+                    and not self._entry_flattened(local_type, local_prop)
+                ):
+                    violations.append(("unknown-property", pred))
+                continue
+            # sh:datatype applies to ANY node type with a shape for the
+            # property (SHACL targets classes, not just facets) — the
+            # independent crosscheck (tests/test_shacl_crosscheck.py) caught
+            # entry-class literals going unchecked here
+            if shape is not None:
                 want = shape.get("datatype")
                 if want and obj_dt != "@id":
                     if not _literal_conforms(str(obj), obj_dt, want):
