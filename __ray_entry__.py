@@ -480,6 +480,64 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(length(text), 0.99), 4) AS p99
             FROM documents
         """,
+        # Same RE2 classes as the Arrow kernels in ops/text.py (QualityScorer):
+        # tokens [\p{L}\p{N}_]+ == Python \w+, punct [^\p{L}\p{N}_\s],
+        # upper \p{Lu}; engine rounds with round_away == DuckDB ROUND().
+        "doc_quality": r"""
+            WITH feat AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[\p{L}\p{N}_]+') AS toks,
+                     greatest(length(text), 1) AS denom,
+                     len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '\p{Lu}')) AS n_upper
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, denom, n_punct, n_upper,
+                     greatest(len(toks), 1) AS nt,
+                     coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tok_chars,
+                     len(list_filter(toks, t -> lower(t) IN
+                         ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
+              FROM feat
+            )
+            SELECT doc_id,
+                   round(tok_chars / nt, 3) AS mean_token_len,
+                   round(n_punct / denom, 4) AS punct_ratio,
+                   round(n_stop / nt, 4) AS stopword_ratio,
+                   round(n_upper / denom, 4) AS upper_ratio,
+                   round(0.4 * CASE WHEN tok_chars / nt > 2.5 AND tok_chars / nt < 12 THEN 1 ELSE 0 END
+                       + 0.3 * CASE WHEN n_punct / denom < 0.2 THEN 1 ELSE 0 END
+                       + 0.3 * CASE WHEN n_stop / nt > 0.01 THEN 1 ELSE 0 END, 2) AS quality_score
+            FROM tok ORDER BY doc_id
+        """,
+        # Stopword-profile argmax with first-wins ties in profile order
+        # (en, de, fr, es, zh) — the >= chain picks the first language
+        # attaining the max, matching LangId's strict `s > best` scan.
+        "doc_lang_id": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[\p{L}\p{N}_]+'),
+                                    t -> lower(t)) AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     greatest(len(toks), 1) AS nt,
+                     len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) * 1.0 AS h_en,
+                     len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) * 1.0 AS h_de,
+                     len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','une','pour','dans','que'))) * 1.0 AS h_fr,
+                     len(list_filter(toks, t -> t IN ('el','la','los','y','es','un','una','para','en','que'))) * 1.0 AS h_es,
+                     len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','不','这','他'))) * 1.0 AS h_zh
+              FROM tok
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                        WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+                        WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+                        WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+                        WHEN h_es >= h_zh THEN 'es'
+                        ELSE 'zh' END AS pred_lang,
+                   round(greatest(h_en, h_de, h_fr, h_es, h_zh) / nt, 4) AS lang_score
+            FROM s ORDER BY doc_id
+        """,
         "similarity_topk": """
             SELECT b.vec_id,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)

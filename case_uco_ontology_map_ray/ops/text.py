@@ -129,13 +129,17 @@ class QualityScorer:
         score = (
             (mean_tok > 2.5) & (mean_tok < 12)
         ).astype(float) * 0.4 + (punct_ratio < 0.2) * 0.3 + (stop_ratio > 0.01) * 0.3
+        # round_away (not np.round): the repo-wide convention matching
+        # DuckDB ROUND(), which makes this operator oracle-checkable
+        from .agg import round_away
+
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "mean_token_len": pa.array(np.round(mean_tok, 3)),
-            "punct_ratio": pa.array(np.round(punct_ratio, 4)),
-            "stopword_ratio": pa.array(np.round(stop_ratio, 4)),
-            "upper_ratio": pa.array(np.round(upper_ratio, 4)),
-            "quality_score": pa.array(np.round(score, 2)),
+            "mean_token_len": pa.array(round_away(mean_tok, 3)),
+            "punct_ratio": pa.array(round_away(punct_ratio, 4)),
+            "stopword_ratio": pa.array(round_away(stop_ratio, 4)),
+            "upper_ratio": pa.array(round_away(upper_ratio, 4)),
+            "quality_score": pa.array(round_away(score, 2)),
         })
 
 
@@ -178,10 +182,12 @@ class LangId:
             best_idx[better] = li
         langs = np.array(["und"] + [lang for lang, _ in self.profiles])
         preds = langs[best_idx + 1]
+        from .agg import round_away
+
         return pa.table({
             "doc_id": t.column("doc_id"),
             "pred_lang": pa.array(preds, pa.string()),
-            "lang_score": pa.array(np.round(best, 4)),
+            "lang_score": pa.array(round_away(best, 4)),
         })
 
 

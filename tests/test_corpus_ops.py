@@ -6,6 +6,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+from case_uco_ontology_map_ray.ops.agg import round_away
+
 pytestmark = pytest.mark.usefixtures("ray_session")
 
 SF = "/root/testdata/sf0.001"
@@ -168,10 +170,12 @@ def test_quality_scorer_matches_per_row_reference(ray_session):
     want = sorted(rows, key=lambda r: r["doc_id"])
     for i, r in enumerate(want):
         mt, pr, sr, ur = _quality_row_ref(r["text"], stop)
-        assert got.mean_token_len[i] == np.round(mt, 3), (r, got.iloc[i])
-        assert got.punct_ratio[i] == np.round(pr, 4), (r, got.iloc[i])
-        assert got.stopword_ratio[i] == np.round(sr, 4), (r, got.iloc[i])
-        assert got.upper_ratio[i] == np.round(ur, 4), (r, got.iloc[i])
+        # round_away: repo-wide rounding convention (matches DuckDB ROUND()
+        # so doc_quality is oracle-checkable)
+        assert got.mean_token_len[i] == round_away(mt, 3), (r, got.iloc[i])
+        assert got.punct_ratio[i] == round_away(pr, 4), (r, got.iloc[i])
+        assert got.stopword_ratio[i] == round_away(sr, 4), (r, got.iloc[i])
+        assert got.upper_ratio[i] == round_away(ur, 4), (r, got.iloc[i])
 
 
 def test_lang_id_matches_per_row_reference(ray_session):
@@ -200,7 +204,7 @@ def test_lang_id_matches_per_row_reference(ray_session):
             if s > best:
                 best_lang, best = lang, s
         assert got.pred_lang[i] == best_lang, (r, got.iloc[i])
-        assert got.lang_score[i] == np.round(best, 4), (r, got.iloc[i])
+        assert got.lang_score[i] == round_away(best, 4), (r, got.iloc[i])
 
 
 def test_rolling_fingerprints_deterministic():
