@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": corpus.dedup_minhash_documents,
         "dedup_simhash_documents": corpus.dedup_simhash_documents,
         "ngram_jaccard_pairs": corpus.ngram_jaccard_pairs,
+        "ngram_jaccard_exact": corpus.ngram_jaccard_exact,
         "doc_token_stats": corpus.doc_token_stats,
         "doc_bpe_tokens": corpus.doc_bpe_tokens,
         "doc_length_quantiles": corpus.doc_length_quantiles,
@@ -508,6 +509,34 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * CASE WHEN n_punct / denom < 0.2 THEN 1 ELSE 0 END
                        + 0.3 * CASE WHEN n_stop / nt > 0.01 THEN 1 ELSE 0 END, 2) AS quality_score
             FROM tok ORDER BY doc_id
+        """,
+        # Exact all-pairs word 3-gram Jaccard. Shingling mirrors
+        # functions/hashing.py word_shingles_batch: whitespace tokens,
+        # 3-gram shingles joined by ' ', whole-text fallback for 1-2-token
+        # docs, empty set for empty docs; both-empty pairs score 1.0.
+        "ngram_jaccard_exact": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, list_distinct(CASE
+                  WHEN len(toks) >= 3 THEN
+                      [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                       for i in generate_series(1, len(toks) - 2)]
+                  WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
+                  ELSE [] END) AS s
+              FROM tok
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                          ELSE len(list_intersect(a.s, b.s)) * 1.0
+                               / len(list_distinct(list_concat(a.s, b.s)))
+                     END AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(jac, 4) AS jac
+            FROM pairs WHERE jac >= 0.3
+            ORDER BY id_a, id_b
         """,
         # Stopword-profile argmax with first-wins ties in profile order
         # (en, de, fr, es, zh) — the >= chain picks the first language

@@ -45,6 +45,7 @@ from ..functions.hashing import (
     simhash64_batch,
     word_shingles_batch,
 )
+from .agg import round_away
 
 # Non-singleton label maps are broadcast on the small path; switch to the
 # distributed propagate_labels rounds above this many linked docs.
@@ -355,7 +356,7 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
                 cols = {c0: pa.array(u[keep], pa.int64()),
                         c1: pa.array(v[keep], pa.int64())}
                 if emit_jac:
-                    cols["jac"] = pa.array(np.round(jacs[keep], 4))
+                    cols["jac"] = pa.array(round_away(jacs[keep], 4))
                 return pa.table(cols)
 
         return edges.map_batches(VerifyEdges, batch_format="pyarrow",
@@ -384,7 +385,7 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
         keep = jacs >= tau
         out = df.loc[keep, [c0, c1]].copy()
         if emit_jac:
-            out["jac"] = np.round(jacs[keep], 4)
+            out["jac"] = round_away(jacs[keep], 4)
         return out
 
     return both.map_batches(verify, batch_format="pandas")
@@ -636,6 +637,84 @@ def ngram_jaccard_pairs(ds, shingle_k: int = 3, tau: float = 0.3,
 
     pairs = _band_groups(bands_ds, pair_edges)
     pairs = _distinct_edges(pairs)
+    out = _verify_jaccard(pairs, payload, tau, emit_jac=True).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jac": pd.Series(dtype="float64")})
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_exact(ds, shingle_k: int = 3, tau: float = 0.3,
+                        num_buckets: int = 8) -> pd.DataFrame:
+    """ALL pairs with exact word n-gram Jaccard >= tau (id_a < id_b) — the
+    oracle-checkable variant of ``ngram_jaccard_pairs`` (whose LSH candidate
+    set is seed-defined and so has no SQL twin).
+
+    Candidate generation is a bucket-pair self-join over doc_id ONLY
+    (``embedding_neardup_pairs`` pattern, ops/similarity.py:84): each id
+    lands in bucket mix(id) % B and is replicated to its B pair-groups, so
+    one task emits each unordered pair exactly once with 2n/B ids in memory
+    — no payload replication. The standard distributed `_verify_jaccard`
+    then attaches shingle sets and filters. Total pair count is inherently
+    O(n^2) — that is what "exact all pairs" costs; size ``num_buckets`` so a
+    pair-group's id block and its emitted edges fit a worker.
+    """
+    from .similarity import _mix64
+
+    B = num_buckets
+
+    def shingle_payload(t: pa.Table) -> pa.Table:
+        vals, offs = word_shingles_batch(t.column("text").to_pylist(), shingle_k)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "shingles": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(vals, pa.uint64())),
+        })
+
+    # task-based stage (the hash family is stateless): a second actor pool
+    # here would fully reserve the CPUs together with _verify_jaccard's
+    # internal pools and deadlock the task stages between them
+    payload = ds.map_batches(shingle_payload, batch_format="pyarrow")
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = (_mix64(ids) % B).astype(np.int64)
+        n = len(ids)
+        pair_ids = np.empty(n * B, dtype=np.int64)
+        for o in range(B):
+            lo = np.minimum(bkt, o)
+            hi = np.maximum(bkt, o)
+            pair_ids[o * n:(o + 1) * n] = lo * B + hi
+        return pa.table({"doc_id": pa.array(np.tile(ids, B), pa.int64()),
+                         "__bkt": pa.array(np.tile(bkt, B), pa.int64()),
+                         "__pair": pa.array(pair_ids, pa.int64())})
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
+
+    def pair_edges(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if g.empty:
+            return empty
+        pair = int(g["__pair"].iloc[0])
+        i, j = pair // B, pair % B
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        bkt = g["__bkt"].to_numpy(dtype=np.int64)
+        if i == j:
+            a, b = np.triu_indices(len(ids), k=1)
+            u, v = ids[a], ids[b]
+        else:
+            mi, mj = bkt == i, bkt == j
+            u = np.repeat(ids[mi], int(mj.sum()))
+            v = np.tile(ids[mj], int(mi.sum()))
+        if len(u) == 0:
+            return empty
+        return pd.DataFrame({"id_a": np.minimum(u, v), "id_b": np.maximum(u, v)})
+
+    pairs = rep.groupby("__pair").map_groups(pair_edges, batch_format="pandas")
     out = _verify_jaccard(pairs, payload, tau, emit_jac=True).to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),

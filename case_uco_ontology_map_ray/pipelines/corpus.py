@@ -44,6 +44,13 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     return dd.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def ngram_jaccard_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs word 3-gram Jaccard >= 0.3 — oracle: DuckDB self-join
+    over string shingle sets (the engine compares 64-bit shingle hashes, a
+    collision-free proxy at these corpus sizes)."""
+    return dd.ngram_jaccard_exact(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     out = tx.token_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -301,3 +301,51 @@ def test_top_bigrams_boundaries(tmp_path):
     got = dict(zip(out.bigram, out.n))
     # 'a b': doc0 + doc1(double space collapses); 'b c': doc0 + doc2
     assert got == {"a b": 2, "b c": 2, "c a": 1}
+
+
+def test_ngram_jaccard_exact_matches_bruteforce():
+    """ngram_jaccard_exact == a pure-Python string-shingle brute force on a
+    corpus with planted near-dups, short docs (whole-text fallback), and an
+    empty doc. Independently validates the 64-bit shingle-hash Jaccard
+    (collision-free proxy for string-set Jaccard) and the bucket-pair
+    all-pairs generation."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.dedup import ngram_jaccard_exact
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different content about database query engines",
+        "the quick brown fox jumps over the lazy dog tonight again",
+        "tiny doc",          # < k tokens: whole-text fallback shingle
+        "tiny doc",          # identical fallback -> jac 1.0
+        "",                  # empty set
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = ngram_jaccard_exact(ds, shingle_k=3, tau=0.3, num_buckets=4)
+
+    def shingles(t: str, k: int = 3) -> set:
+        toks = t.split()
+        if len(toks) >= k:
+            return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        if toks:
+            return {" ".join(toks)}
+        return set()
+
+    want = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa and not sb:
+                jac = 1.0
+            else:
+                jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.3:
+                want.append((a, b, float(round_away(jac, 4))))
+    got_tuples = [(int(r.id_a), int(r.id_b), float(r.jac))
+                  for r in got.itertuples()]
+    assert got_tuples == sorted(want)
+    # sanity: the planted near-dups and the identical short docs are found
+    assert (0, 1) in {(a, b) for a, b, _ in got_tuples}
+    assert (4, 5, 1.0) in got_tuples
