@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--canonicalize", action="store_true",
                     help="also write entity table + canonical link triples")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--progress", action="store_true",
+                    help="stream per-stage progress events to stderr while "
+                         "the job runs (the reference's SSE step feed, "
+                         "routes.py:50-128, as a batch-engine poll stream)")
     args = ap.parse_args()
 
     import ray
@@ -53,14 +57,44 @@ def main():
             violation_summary,
         )
 
+        tracker = follower = None
+        if args.progress:
+            import threading
+
+            from case_uco_ontology_map_ray.state.progress import (
+                follow, post_completion, start_tracker, track_stage)
+
+            tracker = start_tracker()
+
+            def _print_feed():
+                for ev in follow(tracker, job="run_pipeline", timeout_s=86400):
+                    print(json.dumps(ev), file=sys.stderr, flush=True)
+
+            follower = threading.Thread(target=_print_feed, daemon=True)
+            follower.start()
+
+        def _tracked(ds, stage):
+            if tracker is None:
+                return ds
+            from case_uco_ontology_map_ray.state.progress import track_stage
+
+            return track_stage(ds, tracker, "run_pipeline", stage)
+
         if args.validate:
-            ds = validated_triples(args.input)
+            ds = _tracked(validated_triples(args.input), "validated_triples")
             ds.filter(expr="violation == ''").write_parquet(f"{args.output}/triples")
             metrics["violations"] = violation_summary(
                 validated_triples(args.input)
             ).to_dict("records")
         else:
-            triples_from_transcripts(args.input).write_parquet(f"{args.output}/triples")
+            _tracked(triples_from_transcripts(args.input), "triples") \
+                .write_parquet(f"{args.output}/triples")
+
+        if tracker is not None:
+            from case_uco_ontology_map_ray.state.progress import post_completion
+
+            post_completion(tracker, "run_pipeline")
+            follower.join(timeout=30)
 
     if args.canonicalize:
         from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
