@@ -156,6 +156,49 @@ def _kg_jsonld_docs(sf_dir: str):
     return jsonld_from_transcripts(_transcripts_for(sf_dir))
 
 
+def _kg_jsonld_merged(sf_dir: str):
+    """M13 LLM-output merge (reference `agents/graph_generator.py:115-131`)
+    over real skeleton docs: a deterministic patch stream (one annotation
+    property per doc's first node) is bucket-merged back by record_fp.
+    Returns (record_fp, patched) — rows-only (merge semantics are
+    golden/unit-tested in tests/test_jsonld.py)."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from case_uco_ontology_map_ray.pipelines.jsonld import (
+        jsonld_from_transcripts, merge_jsonld_patches)
+
+    # two consumers (patch derivation + merge left side): materialize once
+    # so the skeleton lineage doesn't re-execute per consumer
+    skel = jsonld_from_transcripts(_transcripts_for(sf_dir)).materialize()
+
+    def make_patch(t: pa.Table) -> pa.Table:
+        fps, patches = [], []
+        for fp, doc in zip(t.column("record_fp").to_pylist(),
+                           t.column("jsonld").to_pylist()):
+            graph = json.loads(doc).get("@graph", [])
+            if not graph:
+                continue
+            fps.append(fp)
+            patches.append(json.dumps({"@graph": [
+                {"@id": graph[0]["@id"], "dfc-ext:annotatedBy": "merge-demo"}
+            ]}, sort_keys=True))
+        return pa.table({"record_fp": pa.array(fps, pa.string()),
+                         "jsonld": pa.array(patches, pa.string())})
+
+    patches = skel.map_batches(make_patch, batch_format="pyarrow")
+    merged = merge_jsonld_patches(skel, patches)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        patched = df["jsonld"].str.contains("dfc-ext:annotatedBy", regex=False)
+        return pd.DataFrame({"record_fp": df["record_fp"],
+                             "patched": patched.astype("int64")})
+
+    return merged.map_batches(flag, batch_format="pandas")
+
+
 def _kg_custom_facet_defs(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import custom_facet_definitions
 
@@ -209,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_failure_memory": _kg_failure_memory,
         "kg_custom_facet_defs": _kg_custom_facet_defs,
         "kg_jsonld_docs": _kg_jsonld_docs,
+        "kg_jsonld_merged": _kg_jsonld_merged,
         # relational operator surface (DuckDB-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_revenue_orders": analytics.q3_top_revenue_orders,
@@ -245,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": corpus.doc_fingerprints,
         "similarity_topk": corpus.similarity_topk,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
+        "similarity_ivf_index": corpus.similarity_ivf_index,
         "embedding_neardup": corpus.embedding_neardup,
         "embedding_neardup_lsh": corpus.embedding_neardup_lsh,
         # sketch aggregates (approximate by design; rows-only)
@@ -568,6 +613,17 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "similarity_topk": """
+            SELECT b.vec_id,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cos
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id = 0 AND b.vec_id <> 0
+            ORDER BY cos DESC, b.vec_id
+            LIMIT 10
+        """,
+        "similarity_ivf_index": """
+            -- persisted-IVF path with a full probe == exact top-k,
+            -- so the brute-force oracle applies verbatim
             SELECT b.vec_id,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                               AS DOUBLE), 4) AS cos

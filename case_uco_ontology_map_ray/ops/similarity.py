@@ -228,20 +228,13 @@ def embedding_neardup_lsh(ds, tau: float = 0.95, id_col: str = "vec_id",
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16,
-             nprobe: int = 4, id_col: str = "vec_id", seed: int = 42) -> pd.DataFrame:
-    """IVF-style approximate top-k: deterministic sampled centroids, assign
-    each vector to its nearest centroid inside map_batches, search only the
-    ``nprobe`` centroids closest to the query.
+def _sample_centroids(ds, n_centroids: int, id_col: str, seed: int) -> np.ndarray:
+    """Deterministic coarse centroids via seeded hash-rank row sampling.
 
-    The scale path: at 100 TB the assignment pass writes bucket-partitioned
-    parquet once, and each query touches nprobe/n_centroids of the data.
+    Keeps ids whose avalanche hash falls under a rank threshold (unbiased
+    across blocks, unlike ``ds.limit()`` which is first-block-biased), then
+    draws ``n_centroids`` normalized rows with a seeded RNG.
     """
-    import ray
-
-    # Seeded hash-based row sample (unbiased across blocks, deterministic):
-    # keep ids whose avalanche hash falls under a rank threshold, instead of
-    # ds.limit() which is first-block-biased.
     target = max(n_centroids * 8, 256)
 
     def sample_rows(t: pa.Table) -> pa.Table:
@@ -257,7 +250,22 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16,
     sample = sample.nsmallest(target, "__h")  # global bottom-k by hash rank
     sm = _normalize(np.stack(sample["embedding"].map(np.asarray).to_numpy()).astype(np.float64))
     rng = np.random.RandomState(seed)
-    centroids = sm[rng.choice(len(sm), size=min(n_centroids, len(sm)), replace=False)]
+    return sm[rng.choice(len(sm), size=min(n_centroids, len(sm)), replace=False)]
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", seed: int = 42) -> pd.DataFrame:
+    """IVF-style approximate top-k: deterministic sampled centroids, assign
+    each vector to its nearest centroid inside map_batches, search only the
+    ``nprobe`` centroids closest to the query.
+
+    One-shot variant (assignment recomputed per query) — for repeated
+    queries over the same corpus build the persisted layout once with
+    ``build_ivf_index`` and search it with ``ivf_index_topk``.
+    """
+    import ray
+
+    centroids = _sample_centroids(ds, n_centroids, id_col, seed)
 
     q = query.astype(np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -288,3 +296,112 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16,
     partials = ds.map_batches(Probe, batch_format="pyarrow",
                               concurrency=_pool()).to_pandas()
     return partials.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
+
+
+def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", seed: int = 42) -> dict:
+    """Materialize a persisted IVF layout: ONE assignment pass writes
+    centroid-partitioned parquet; every later query reads only its
+    ``nprobe`` partitions (partition pruning at the read — the 100-TB
+    amortization the one-shot ``ivf_topk`` lacks).
+
+    Layout::
+
+        index_dir/centroids.parquet          # n_centroids normalized rows
+        index_dir/vectors/centroid=<c>/*.parquet
+
+    The vectors are stored NORMALIZED (float64) so queries skip the
+    normalization pass. Returns {"n_centroids", "dim", "index_dir"}.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    centroids = _sample_centroids(ds, n_centroids, id_col, seed)
+    ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self.centroids = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(t))
+            assign = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            n, d = m.shape
+            emb = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+                pa.array(m.ravel(), pa.float64()))
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "embedding": emb,
+                "centroid": pa.array(assign, pa.int64()),
+            })
+
+    from .dedup import _pool
+
+    ds.map_batches(Assign, batch_format="pyarrow", concurrency=_pool()) \
+        .write_parquet(os.path.join(index_dir, "vectors"),
+                       partition_cols=["centroid"])
+    pq.write_table(
+        pa.table({"centroid_id": pa.array(range(len(centroids)), pa.int64()),
+                  "vec": pa.array(list(centroids), pa.list_(pa.float64()))}),
+        os.path.join(index_dir, "centroids.parquet"))
+    return {"n_centroids": len(centroids), "dim": centroids.shape[1],
+            "index_dir": index_dir}
+
+
+def ivf_index_topk(index_dir: str, query: np.ndarray, k: int = 10,
+                   nprobe: int = 4, id_col: str = "vec_id") -> pd.DataFrame:
+    """Search a ``build_ivf_index`` layout: rank centroids against the
+    query, then ``read_parquet`` ONLY the ``nprobe`` closest partition
+    directories — at scale each query streams nprobe/n_centroids of the
+    corpus off storage instead of all of it. With nprobe >= n_centroids the
+    result is exactly ``brute_force_topk`` (recall 1.0); smaller nprobe
+    trades recall for a proportional read reduction.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cent = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    centroids = _to_matrix(cent, "vec")
+    q = query.astype(np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(centroids @ q), kind="stable")
+    probe = [int(c) for c in order[:nprobe]]
+    dirs = [os.path.join(index_dir, "vectors", f"centroid={c}")
+            for c in probe]
+    # expand to the parquet files inside each probed partition dir (empty
+    # partitions are simply unwritten)
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
+    qref = ray.put(q)
+
+    class TopK:  # vectors are pre-normalized at build time
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _to_matrix(t)
+            cos = m @ self.q
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            if len(cos) > k:
+                part = np.argpartition(-cos, k)[:k]
+                cos, ids = cos[part], ids[part]
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "cos": pa.array(round_away(cos, 4))})
+
+    from .dedup import _pool
+
+    ds = rd.read_parquet(paths, columns=[id_col, "embedding"])
+    partials = ds.map_batches(TopK, batch_format="pyarrow",
+                              concurrency=_pool()).to_pandas()
+    return partials.sort_values(["cos", id_col],
+                                ascending=[False, True]).head(k).reset_index(drop=True)

@@ -178,6 +178,26 @@ def similarity_topk_ivf(sf_dir: str) -> pd.DataFrame:
     return sim.ivf_topk(_emb(sf_dir), q, k=10, n_centroids=8, nprobe=8)
 
 
+def similarity_ivf_index(sf_dir: str) -> pd.DataFrame:
+    """Persisted-IVF path: build the centroid-partitioned parquet layout
+    once (under /tmp, keyed by sf_dir so repeated calls reuse it), then
+    query with a full probe (nprobe = n_centroids) — exact top-k, so the
+    same DuckDB oracle as ``similarity_topk`` applies. The machinery under
+    oracle here is the build->partition->pruned-read path itself."""
+    import hashlib
+    import os
+
+    q = _query_vector(sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ivf_index_{key}"
+    if not os.path.exists(os.path.join(index_dir, "centroids.parquet")):
+        sim.build_ivf_index(_emb(sf_dir), index_dir, n_centroids=8)
+    # k=11 then drop the query vector itself (id 0): exact top-10 excluding it
+    out = sim.ivf_index_topk(index_dir, q, k=11, nprobe=8)
+    out = out[out["vec_id"] != 0].head(10)
+    return out.reset_index(drop=True)
+
+
 def embedding_neardup(sf_dir: str, tau: float = 0.45) -> pd.DataFrame:
     return sim.embedding_neardup_pairs(_emb(sf_dir), tau=tau)
 

@@ -96,6 +96,34 @@ def test_ivf_topk_high_recall_with_full_probe():
     assert len(exact & approx) >= 9  # nprobe == n_centroids -> near-exhaustive
 
 
+def test_ivf_persisted_index_full_probe_is_exact(tmp_path):
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import (
+        brute_force_topk, build_ivf_index, ivf_index_topk)
+
+    rng = np.random.RandomState(2)
+    m = rng.randn(300, 16).astype(np.float32)
+    ds = rd.from_items([{"vec_id": i, "embedding": m[i].tolist()} for i in range(300)])
+    q = m[7].astype(np.float64)
+
+    meta = build_ivf_index(ds, str(tmp_path / "ivf"), n_centroids=8)
+    assert meta["n_centroids"] == 8 and meta["dim"] == 16
+    # hive layout: one centroid=<c> dir per non-empty partition
+    parts = sorted(p.name for p in (tmp_path / "ivf" / "vectors").iterdir())
+    assert all(p.startswith("centroid=") for p in parts) and len(parts) >= 2
+
+    exact = brute_force_topk(ds, q, k=10)
+    full = ivf_index_topk(str(tmp_path / "ivf"), q, k=10, nprobe=8)
+    # full probe == exact search (same ids, same rounded cosines)
+    assert list(full["vec_id"]) == list(exact["vec_id"])
+    assert np.allclose(full["cos"], exact["cos"])
+
+    # pruned probe reads a strict subset and keeps high recall
+    pruned = ivf_index_topk(str(tmp_path / "ivf"), q, k=10, nprobe=3)
+    assert len(set(pruned["vec_id"]) & set(exact["vec_id"])) >= 7
+
+
 def test_lang_id_prefers_profile_language():
     import ray.data as rd
 

@@ -76,3 +76,78 @@ def test_shacl_spotcheck_clean_on_samples(ray_session):
     probs = spotcheck_doc(broken)
     assert any("dangling" in p for p in probs)
     assert any("non-facet" in p for p in probs)
+
+
+def test_merge_graph_into_skeleton_reference_semantics():
+    from case_uco_ontology_map_ray.pipelines.jsonld import merge_graph_into_skeleton
+
+    skeleton = {
+        "@context": {"uco-core": "https://ontology.unifiedcyberontology.org/uco/core/"},
+        "@graph": [
+            {"@id": "kb:obs-1", "@type": "uco-observable:ObservableObject",
+             "uco-core:hasFacet": [{"@id": "kb:facet-1"}]},
+            {"@id": "kb:facet-1", "@type": "uco-observable:FileFacet",
+             "observable:fileName": "a.exe"},
+        ],
+    }
+    patch = {
+        "@graph": [
+            # adds a property + tries to rewrite @type (must be ignored)
+            {"@id": "kb:facet-1", "@type": "WRONG",
+             "observable:sizeInBytes": 123},
+            # node not in skeleton: dropped
+            {"@id": "kb:ghost", "@type": "X", "p": 1},
+        ]
+    }
+    before = json.dumps(skeleton, sort_keys=True)
+    got = merge_graph_into_skeleton(skeleton, patch)
+    # purity: inputs untouched
+    assert json.dumps(skeleton, sort_keys=True) == before
+    by_id = {n["@id"]: n for n in got["@graph"]}
+    assert set(by_id) == {"kb:obs-1", "kb:facet-1"}          # ghost dropped
+    assert by_id["kb:facet-1"]["@type"] == "uco-observable:FileFacet"
+    assert by_id["kb:facet-1"]["observable:sizeInBytes"] == 123
+    assert by_id["kb:facet-1"]["observable:fileName"] == "a.exe"
+    assert got["@context"] == skeleton["@context"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_jsonld_patches_bucketed_and_broadcast_agree():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.jsonld import (
+        merge_jsonld_patches, merge_jsonld_patches_broadcast)
+
+    def doc(i, extra=None):
+        node = {"@id": f"kb:n{i}", "@type": "T"}
+        if extra:
+            node.update(extra)
+        return json.dumps({"@context": {}, "@graph": [node]}, sort_keys=True)
+
+    skel = rd.from_items([
+        {"record_fp": f"fp{i}", "jsonld": doc(i), "conv_id": f"c{i}",
+         "turn_idx": i} for i in range(20)
+    ])
+    # patches for even fps only, plus one orphan patch (no skeleton)
+    patch_rows = [{"record_fp": f"fp{i}", "jsonld": doc(i, {"x:p": i})}
+                  for i in range(0, 20, 2)]
+    patch_rows.append({"record_fp": "fp-orphan", "jsonld": doc(99, {"x:p": 99})})
+    patches = rd.from_items(patch_rows)
+
+    out_b = merge_jsonld_patches(skel, patches).to_pandas() \
+        .sort_values("record_fp").reset_index(drop=True)
+    out_bc = merge_jsonld_patches_broadcast(
+        skel, pd.DataFrame(patch_rows)).to_pandas() \
+        .sort_values("record_fp").reset_index(drop=True)
+
+    assert len(out_b) == 20 and len(out_bc) == 20       # orphan dropped
+    pd.testing.assert_frame_equal(out_b, out_bc)
+    merged = json.loads(
+        out_b.loc[out_b.record_fp == "fp4", "jsonld"].iloc[0])
+    assert merged["@graph"][0]["x:p"] == 4              # patched
+    untouched = json.loads(
+        out_b.loc[out_b.record_fp == "fp5", "jsonld"].iloc[0])
+    assert "x:p" not in untouched["@graph"][0]          # pass-through
+    # skeleton columns preserved
+    assert list(out_b.columns) == ["record_fp", "jsonld", "conv_id", "turn_idx"]
