@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_delta": analytics.q6_revenue_delta,
         "nation_order_volume": analytics.nation_order_volume,
         "customers_without_orders": analytics.customers_without_orders,
+        "returned_item_loss": analytics.returned_item_loss,
+        "large_customer_orders": analytics.large_customer_orders,
         "event_sessions": analytics.event_sessions,
         "purchase_last_click": analytics.purchase_last_click,
         "rolling_hour_counts": analytics.rolling_hour_counts,
@@ -395,6 +397,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_customers
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "returned_item_loss": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "large_customer_orders": """
+            SELECT o.o_orderkey, c.c_custkey, c.c_name,
+                   round(sum(l.l_quantity), 2) AS total_qty,
+                   round(o.o_totalprice, 2) AS o_totalprice
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+            HAVING sum(l.l_quantity) > 150
+            ORDER BY total_qty DESC, o.o_orderkey
+            LIMIT 100
         """,
         "event_sessions": """
             WITH gaps AS (

@@ -300,6 +300,116 @@ def nation_order_volume(sf_dir: str) -> pd.DataFrame:
     return out[["r_name", "n_name", "total", "n_orders"]]
 
 
+def returned_item_loss(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10-style: top-k customers by revenue lost to returned items —
+    a four-table join chain (lineitem -> orders -> customer -> nation) with
+    partial aggregation BEFORE each shuffle so the exchanges carry one row
+    per (order | customer), never per line item:
+
+    lineitem[R] --partial-sum/order--> bucket_join orders --partial-sum/
+    cust--> bucket_join customer --broadcast nation (25 rows)--> topk.
+    """
+    from ..ops.joins import bucket_join
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), pa.scalar("R")))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        # rev has exactly 4 decimals (2-dec price x 2-dec discount), so the
+        # x1e4 int64 scaling is exact and distributed sums are associative
+        x = pa.table({"o_orderkey": t.column("l_orderkey"),
+                      "rev": _scale_i64(rev)})
+        agg = x.group_by(["o_orderkey"]).aggregate([("rev", "sum")])
+        return agg.rename_columns(["o_orderkey", "rev"])
+
+    per_order = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    per_order = bucket_join(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        per_order, on="o_orderkey")
+
+    def cust_partials(t: pa.Table) -> pa.Table:
+        # project only; grouped_sums_ds runs the local combiner itself
+        return pa.table({"c_custkey": t.column("o_custkey"),
+                         "rev": t.column("rev")})
+
+    per_cust = grouped_sums_ds(
+        per_order.map_batches(cust_partials, batch_format="pyarrow"),
+        keys=["c_custkey"], sum_cols={"revenue": "rev"})
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    named = bucket_join(per_cust, cust, on="c_custkey")
+    nation = rd.read_parquet(_t(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    named = broadcast_join(named, nation, on="c_nationkey")
+
+    top = topk_rounded(named, by=["revenue", "c_custkey"],
+                       ascending=[False, True], k=k,
+                       round_col="revenue", ndigits=2, divisor=10000.0)
+    return top[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
+
+
+def large_customer_orders(sf_dir: str, threshold: float = 150.0,
+                          k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds ``threshold``
+    (groupby-HAVING over lineitem), joined back to orders and customer.
+    The HAVING filter runs distributed right after the per-order aggregate,
+    so only qualifying orders (a tiny fraction) enter the join chain."""
+    from ..ops.joins import bucket_join
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # project + scale only; grouped_sums_ds runs the local combiner
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "qty": _scale_i64(t.column("l_quantity"))})
+
+    per_order = grouped_sums_ds(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderkey"], sum_cols={"qty": "qty"})
+    cut = int(round(threshold * 10000))
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t.column("qty"), pa.scalar(cut, pa.int64()))),
+        batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    big = bucket_join(big, orders, on="o_orderkey")
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+    big = big.map_batches(
+        lambda t: t.rename_columns(
+            ["c_custkey" if c == "o_custkey" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    big = bucket_join(big, cust, on="c_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        qty = pc.divide(t.column("qty").cast(pa.float64()), pa.scalar(10000.0))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "total_qty": qty,
+            "o_totalprice": t.column("o_totalprice"),
+        })
+
+    out_ds = big.map_batches(finish, batch_format="pyarrow")
+    # quantities are whole numbers: raw order == rounded order, plain topk
+    top = topk_ds(out_ds, by=["total_qty", "o_orderkey"],
+                  ascending=[False, True], k=k)
+    top["total_qty"] = round_away(top["total_qty"], 2)
+    top["o_totalprice"] = round_away(top["o_totalprice"], 2)
+    return top.reset_index(drop=True)
+
+
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join: customers that placed no orders — bucketed anti join (no
     driver key-set collection; the driver sees only the final count)."""
