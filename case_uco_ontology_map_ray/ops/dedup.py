@@ -293,16 +293,11 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
             or [np.array([], dtype=np.int64)]))
         idref = ray.put(pa.array(ids, pa.int64()))
 
-        class KeepCandidates:
-            def __init__(self):
-                self.value_set = ray.get(idref)
+        def keep_candidates(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("doc_id"),
+                                     value_set=ray.get(idref)))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(t.column("doc_id"),
-                                         value_set=self.value_set))
-
-        cand = payload.map_batches(KeepCandidates, batch_format="pyarrow",
-                                   concurrency=_pool())
+        cand = payload.map_batches(keep_candidates, batch_format="pyarrow")
         # collect candidate sets into one CSR block (ids, offsets, values)
         cids, offs, vals = [np.array([], dtype=np.int64)], [0], []
         for b in cand.iter_batches(batch_format="pyarrow"):
@@ -330,37 +325,33 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
                   + np.repeat(starts[:-1][order], sel_lens))
         ref = ray.put((cids[order], sorted_starts, vals[gather]))
 
-        class VerifyEdges:
-            def __init__(self):
-                self.ids, self.starts, self.vals = ray.get(ref)
+        def verify_edges(t: pa.Table) -> pa.Table:
+            csr_ids, csr_starts, csr_vals = ray.get(ref)
+            u = t.column(c0).to_numpy(zero_copy_only=False)
+            v = t.column(c1).to_numpy(zero_copy_only=False)
+            iu = np.searchsorted(csr_ids, u)
+            iv = np.searchsorted(csr_ids, v)
+            # membership check: a miss (endpoint absent from the payload)
+            # would otherwise index out of bounds or silently verify
+            # against the wrong document's shingles
+            n_ids = len(csr_ids)
+            if (iu >= n_ids).any() or (iv >= n_ids).any() or \
+                    (csr_ids[np.minimum(iu, n_ids - 1)] != u).any() or \
+                    (csr_ids[np.minimum(iv, n_ids - 1)] != v).any():
+                raise ValueError(
+                    "verify payload is missing candidate-edge endpoints "
+                    "(duplicate doc_ids upstream or a partial payload)")
+            vu, lu = _csr_gather(csr_vals, csr_starts, iu)
+            vv, lv = _csr_gather(csr_vals, csr_starts, iv)
+            jacs = _pair_jaccard(vu, lu, vv, lv)
+            keep = jacs >= tau
+            cols = {c0: pa.array(u[keep], pa.int64()),
+                    c1: pa.array(v[keep], pa.int64())}
+            if emit_jac:
+                cols["jac"] = pa.array(round_away(jacs[keep], 4))
+            return pa.table(cols)
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                u = t.column(c0).to_numpy(zero_copy_only=False)
-                v = t.column(c1).to_numpy(zero_copy_only=False)
-                iu = np.searchsorted(self.ids, u)
-                iv = np.searchsorted(self.ids, v)
-                # membership check: a miss (endpoint absent from the payload)
-                # would otherwise index out of bounds or silently verify
-                # against the wrong document's shingles
-                n_ids = len(self.ids)
-                if (iu >= n_ids).any() or (iv >= n_ids).any() or \
-                        (self.ids[np.minimum(iu, n_ids - 1)] != u).any() or \
-                        (self.ids[np.minimum(iv, n_ids - 1)] != v).any():
-                    raise ValueError(
-                        "verify payload is missing candidate-edge endpoints "
-                        "(duplicate doc_ids upstream or a partial payload)")
-                vu, lu = _csr_gather(self.vals, self.starts, iu)
-                vv, lv = _csr_gather(self.vals, self.starts, iv)
-                jacs = _pair_jaccard(vu, lu, vv, lv)
-                keep = jacs >= tau
-                cols = {c0: pa.array(u[keep], pa.int64()),
-                        c1: pa.array(v[keep], pa.int64())}
-                if emit_jac:
-                    cols["jac"] = pa.array(round_away(jacs[keep], 4))
-                return pa.table(cols)
-
-        return edges.map_batches(VerifyEdges, batch_format="pyarrow",
-                                 concurrency=_pool())
+        return edges.map_batches(verify_edges, batch_format="pyarrow")
 
     payload = bucket_semi_join(payload, eps, on="doc_id")
     pay_u = payload.map_batches(
@@ -435,23 +426,25 @@ def _propagate_components(edges, all_ids, out_col: str,
         uniq, lab = _labels_vectorized(
             inc["band"].to_numpy(dtype=np.int64),
             inc["pid"].to_numpy(dtype=np.int64), max_rounds)
-        nontrivial = {int(p): int(l) for p, l in zip(uniq, lab) if p != l}
-        ref = ray.put(nontrivial)
+        nontrivial = (uniq != lab)
+        keys = uniq[nontrivial].astype(np.int64)
+        labs = lab[nontrivial].astype(np.int64)
+        korder = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[korder], labs[korder]))
 
-        class Assign:
-            def __init__(self):
-                self.lab = ray.get(ref)
+        def assign_labels(t: pa.Table) -> pa.Table:
+            # vectorized sorted-array lookup (no per-row dict.get)
+            k, l = ray.get(ref)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            out = ids.astype(np.int64).copy()
+            if len(k):
+                ix = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+                hit = k[ix] == ids
+                out[hit] = l[ix[hit]]
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             out_col: pa.array(out, pa.int64())})
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                lab = self.lab
-                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-                out = np.array([lab.get(int(d), int(d)) for d in ids],
-                               dtype=np.int64)
-                return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                                 out_col: pa.array(out, pa.int64())})
-
-        return all_ids.map_batches(Assign, batch_format="pyarrow",
-                                   concurrency=_pool())
+        return all_ids.map_batches(assign_labels, batch_format="pyarrow")
 
     # ---- distributed path: label table too large to broadcast ----
     from ..pipelines.linking import propagate_labels

@@ -75,43 +75,70 @@ def _pool_size(frac: float = 0.5) -> int:
 def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str], how: str = "inner"):
     """Map-side join of a Dataset against a small pandas table.
 
-    ``small_df`` is put in the object store once; every actor reads the same
-    shared copy in ``__init__`` (no re-shipping per batch).
+    Task-based (stateless): ``small_df`` is put in the object store once and
+    each task reads the same shared copy via ``ray.get`` (local plasma read,
+    no re-shipping per batch, no actor-pool spin-up).
     """
     import ray
 
     ref = ray.put(small_df)
 
-    class Joiner:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=_pool_size())
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def semi_filter(ds, keys, column: str, negate: bool = False):
-    """Semi (or anti) join: keep rows whose ``column`` is (not) in ``keys``."""
+    """Semi (or anti) join: keep rows whose ``column`` is (not) in ``keys``.
+
+    Task-based (stateless): the key set is ``ray.put`` once and each task
+    fetches it from the local object store (zero-copy plasma read after the
+    first fetch per node) — no actor-pool spin-up for a pure filter.
+    """
     import ray
 
     arr = keys if isinstance(keys, pa.Array) else pa.array(list(keys))
     ref = ray.put(arr)
 
-    class Filter:
-        def __init__(self):
-            self.value_set = ray.get(ref)
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(column), value_set=ray.get(ref))
+        if negate:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(column), value_set=self.value_set)
-            if negate:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
-    return ds.map_batches(
-        Filter, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool_size()
-    )
+
+def adaptive_semi_join(left, right, on: str, right_on: str | None = None,
+                       negate: bool = False,
+                       max_broadcast_keys: int = 2_000_000,
+                       num_buckets: int | None = None):
+    """Semi/anti join with AQE-style strategy selection: when a MEASURED row
+    count proves the right side's key set is bounded (<= max_broadcast_keys,
+    i.e. <= ~16 MB of int64 keys), collect the distinct keys once and run the
+    shuffle-free broadcast ``semi_filter``; otherwise fall back to the fully
+    distributed ``bucket_semi_join``. The driver-side collect is gated by the
+    measured bound — never unbounded — and anti-join semantics stay sound
+    because the broadcast path only fires when the COMPLETE distinct key set
+    fits.
+
+    Cost note: the gate is ``count()`` over the right side's key column,
+    which executes the right lineage once — callers with an expensive right
+    side should ``materialize()`` it first (its count is then free).
+    """
+    right_on = right_on or on
+    keys_ds = right.select_columns([right_on])
+    n = keys_ds.count()  # upper bound on distinct keys
+    if n <= max_broadcast_keys:
+        def local_distinct(t: pa.Table) -> pa.Table:
+            return pa.table({right_on: t.column(right_on).combine_chunks().unique()})
+
+        kdf = keys_ds.map_batches(local_distinct, batch_format="pyarrow").to_pandas()
+        arr = pa.Array.from_pandas(kdf[right_on].drop_duplicates())
+        return semi_filter(left, arr, on, negate=negate)
+    return bucket_semi_join(left, right, on=on, right_on=right_on,
+                            negate=negate, num_buckets=num_buckets)
 
 
 def _mix_bucket(key_col: pa.ChunkedArray, num_buckets: int) -> pa.Array:

@@ -47,27 +47,21 @@ def brute_force_topk(ds, query: np.ndarray, k: int = 10,
     qref = ray.put(q)
     excl = set(int(i) for i in exclude_ids)
 
-    class TopK:
-        def __init__(self):
-            self.q = ray.get(qref)
+    def topk_part(t: pa.Table) -> pa.Table:
+        # task-based: the query vector is a shared plasma read per task
+        m = _normalize(_to_matrix(t))
+        cos = m @ ray.get(qref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if excl:
+            mask = ~np.isin(ids, list(excl))
+            cos, ids = cos[mask], ids[mask]
+        if len(cos) > k:
+            part = np.argpartition(-cos, k)[:k]
+            cos, ids = cos[part], ids[part]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cos": pa.array(round_away(cos, 4))})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(t))
-            cos = m @ self.q
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            if excl:
-                mask = ~np.isin(ids, list(excl))
-                cos, ids = cos[mask], ids[mask]
-            if len(cos) > k:
-                part = np.argpartition(-cos, k)[:k]
-                cos, ids = cos[part], ids[part]
-            return pa.table({id_col: pa.array(ids, pa.int64()),
-                             "cos": pa.array(round_away(cos, 4))})
-
-    from .dedup import _pool
-
-    partials = ds.map_batches(TopK, batch_format="pyarrow",
-                              concurrency=_pool()).to_pandas()
+    partials = ds.map_batches(topk_part, batch_format="pyarrow").to_pandas()
     out = partials.sort_values(["cos", id_col], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
 
@@ -171,33 +165,26 @@ def embedding_neardup_lsh(ds, tau: float = 0.95, id_col: str = "vec_id",
     ref = ray.put(proj)
     r = n_bits // bands
 
-    class BandRows:
-        def __init__(self):
-            self.proj = ray.get(ref)
+    def band_rows(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t))
+        bits = (m @ ray.get(ref)) > 0
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        weights = (np.uint64(1) << np.arange(r, dtype=np.uint64))
+        out_band, out_id = [], []
+        for b in range(bands):
+            chunk = bits[:, b * r:(b + 1) * r].astype(np.uint64)
+            key = (chunk @ weights).astype(np.int64) + np.int64(b << 32)
+            out_band.append(key)
+            out_id.append(ids)
+        emb = pa.concat_arrays(
+            [t.column("embedding").combine_chunks()] * bands)
+        return pa.table({
+            "band": pa.array(np.concatenate(out_band), pa.int64()),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "embedding": emb,
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(t))
-            bits = (m @ self.proj) > 0
-            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            weights = (np.uint64(1) << np.arange(r, dtype=np.uint64))
-            out_band, out_id = [], []
-            for b in range(bands):
-                chunk = bits[:, b * r:(b + 1) * r].astype(np.uint64)
-                key = (chunk @ weights).astype(np.int64) + np.int64(b << 32)
-                out_band.append(key)
-                out_id.append(ids)
-            emb = pa.concat_arrays(
-                [t.column("embedding").combine_chunks()] * bands)
-            return pa.table({
-                "band": pa.array(np.concatenate(out_band), pa.int64()),
-                id_col: pa.array(np.concatenate(out_id), pa.int64()),
-                "embedding": emb,
-            })
-
-    from .dedup import _pool
-
-    banded = ds.map_batches(BandRows, batch_format="pyarrow",
-                            concurrency=_pool())
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -272,29 +259,23 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16,
     probe = set(np.argsort(-(centroids @ q))[:nprobe].tolist())
     ref = ray.put((centroids, q, probe))
 
-    class Probe:
-        def __init__(self):
-            self.centroids, self.q, self.probe = ray.get(ref)
+    def probe_part(t: pa.Table) -> pa.Table:
+        cents, qv, probe_set = ray.get(ref)
+        m = _normalize(_to_matrix(t))
+        assign = np.argmax(m @ cents.T, axis=1)
+        mask = np.isin(assign, list(probe_set))
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        m, ids = m[mask], t.column(id_col).to_numpy(zero_copy_only=False)[mask]
+        cos = m @ qv
+        if len(cos) > k:
+            part = np.argpartition(-cos, k)[:k]
+            cos, ids = cos[part], ids[part]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cos": pa.array(round_away(cos, 4))})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(t))
-            assign = np.argmax(m @ self.centroids.T, axis=1)
-            mask = np.isin(assign, list(self.probe))
-            if not mask.any():
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "cos": pa.array([], pa.float64())})
-            m, ids = m[mask], t.column(id_col).to_numpy(zero_copy_only=False)[mask]
-            cos = m @ self.q
-            if len(cos) > k:
-                part = np.argpartition(-cos, k)[:k]
-                cos, ids = cos[part], ids[part]
-            return pa.table({id_col: pa.array(ids, pa.int64()),
-                             "cos": pa.array(round_away(cos, 4))})
-
-    from .dedup import _pool
-
-    partials = ds.map_batches(Probe, batch_format="pyarrow",
-                              concurrency=_pool()).to_pandas()
+    partials = ds.map_batches(probe_part, batch_format="pyarrow").to_pandas()
     return partials.sort_values(["cos", id_col], ascending=[False, True]).head(k).reset_index(drop=True)
 
 
@@ -321,27 +302,21 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
     centroids = _sample_centroids(ds, n_centroids, id_col, seed)
     ref = ray.put(centroids)
 
-    class Assign:
-        def __init__(self):
-            self.centroids = ray.get(ref)
+    def assign(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t))
+        asg = np.argmax(m @ ray.get(ref).T, axis=1).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n, d = m.shape
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(m.ravel(), pa.float64()))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "embedding": emb,
+            "centroid": pa.array(asg, pa.int64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _normalize(_to_matrix(t))
-            assign = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
-            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            n, d = m.shape
-            emb = pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
-                pa.array(m.ravel(), pa.float64()))
-            return pa.table({
-                id_col: pa.array(ids, pa.int64()),
-                "embedding": emb,
-                "centroid": pa.array(assign, pa.int64()),
-            })
-
-    from .dedup import _pool
-
-    ds.map_batches(Assign, batch_format="pyarrow", concurrency=_pool()) \
+    ds.map_batches(assign, batch_format="pyarrow") \
         .write_parquet(os.path.join(index_dir, "vectors"),
                        partition_cols=["centroid"])
     pq.write_table(
@@ -384,24 +359,17 @@ def ivf_index_topk(index_dir: str, query: np.ndarray, k: int = 10,
                              "cos": pd.Series(dtype="float64")})
     qref = ray.put(q)
 
-    class TopK:  # vectors are pre-normalized at build time
-        def __init__(self):
-            self.q = ray.get(qref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _to_matrix(t)
-            cos = m @ self.q
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            if len(cos) > k:
-                part = np.argpartition(-cos, k)[:k]
-                cos, ids = cos[part], ids[part]
-            return pa.table({id_col: pa.array(ids, pa.int64()),
-                             "cos": pa.array(round_away(cos, 4))})
-
-    from .dedup import _pool
+    def topk_part(t: pa.Table) -> pa.Table:  # vectors pre-normalized at build
+        m = _to_matrix(t)
+        cos = m @ ray.get(qref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(cos) > k:
+            part = np.argpartition(-cos, k)[:k]
+            cos, ids = cos[part], ids[part]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cos": pa.array(round_away(cos, 4))})
 
     ds = rd.read_parquet(paths, columns=[id_col, "embedding"])
-    partials = ds.map_batches(TopK, batch_format="pyarrow",
-                              concurrency=_pool()).to_pandas()
+    partials = ds.map_batches(topk_part, batch_format="pyarrow").to_pandas()
     return partials.sort_values(["cos", id_col],
                                 ascending=[False, True]).head(k).reset_index(drop=True)

@@ -144,9 +144,9 @@ class QualityScorer:
 
 
 def quality_scores(ds):
-    from .dedup import _pool
-
-    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=_pool())
+    # instance (not class): task-based map_batches — the scorer's state is a
+    # tiny stopword array, not worth an actor-pool spin-up
+    return ds.map_batches(QualityScorer(), batch_format="pyarrow")
 
 
 class LangId:
@@ -192,9 +192,7 @@ class LangId:
 
 
 def lang_id(ds):
-    from .dedup import _pool
-
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=_pool())
+    return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
 def doc_fingerprints(ds):

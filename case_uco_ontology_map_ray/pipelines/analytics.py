@@ -19,7 +19,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..ops.agg import grouped_sums, grouped_sums_ds, round_away, topk_ds, topk_rounded
-from ..ops.joins import broadcast_join, bucket_semi_join, semi_filter
+from ..ops.joins import (adaptive_semi_join, broadcast_join, bucket_semi_join,
+                         semi_filter)
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -86,11 +87,13 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
     """TPC-H Q3-style: top-k open orders by revenue for one market segment.
 
-    Join strategy (scale-conscious, no driver key-set collection anywhere):
-    segment customers bucket-semi-filter orders; open orders bucket-semi-
-    filter lineitem; revenue aggregates per order stay a Dataset; the global
-    top-k merges tiny per-block partials; only the k winning orders are
-    pulled to the driver for the o_orderdate attach.
+    Join strategy (adaptive, scale-safe): segment customers semi-filter
+    orders and open orders semi-filter lineitem through
+    ``adaptive_semi_join`` — broadcast key sets while a measured count
+    proves them bounded, bucketed shuffles beyond that; revenue aggregates
+    per order stay a Dataset; the global top-k merges tiny per-block
+    partials; only the k winning orders are pulled to the driver for the
+    o_orderdate attach.
     """
     cutoff = np.datetime64("1995-03-15T00:00:00", "us")
 
@@ -106,8 +109,10 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
         lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cutoff))),
         batch_format="pyarrow",
     )
-    open_orders = bucket_semi_join(open_orders, seg_cust,
-                                   on="o_custkey", right_on="c_custkey").materialize()
+    # adaptive: the segment key set is measured-small at test scale ->
+    # broadcast semi (no shuffle); falls back to bucketed beyond the bound
+    open_orders = adaptive_semi_join(open_orders, seg_cust,
+                                     on="o_custkey", right_on="c_custkey").materialize()
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -118,7 +123,7 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
         return t.select(["l_orderkey"]).append_column("rev", _scale_i64(rev))
 
-    li = bucket_semi_join(
+    li = adaptive_semi_join(
         li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         open_orders, on="l_orderkey", right_on="o_orderkey")
     rev_ds = grouped_sums_ds(li, keys=["l_orderkey"], sum_cols={"revenue": "rev"})
@@ -415,8 +420,8 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     driver key-set collection; the driver sees only the final count)."""
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
     cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
-    out = bucket_semi_join(cust, orders, on="c_custkey", right_on="o_custkey",
-                           negate=True)
+    out = adaptive_semi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                             negate=True)
     return pd.DataFrame({"n_customers": [out.count()]})
 
 

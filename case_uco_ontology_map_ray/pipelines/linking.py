@@ -292,32 +292,28 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
 
         ref = ray.put((sorted_pids, sorted_ids))
 
-        class LinkJoin:
-            def __init__(self):
-                self.pids, self.ids = ray.get(ref)
+        def link_join(t: pa.Table) -> pa.Table:
+            pids, ids = ray.get(ref)
+            p = t.column("pid").to_numpy(zero_copy_only=False)
+            n_ids = len(pids)
+            if n_ids == 0:
+                obj = pa.array([""] * t.num_rows, pa.string())
+            else:
+                ix = np.minimum(np.searchsorted(pids, p), n_ids - 1)
+                hit = pids[ix] == p
+                obj = pc.if_else(pa.array(hit),
+                                 pc.take(ids, pa.array(ix, pa.int64())),
+                                 pa.scalar("", pa.string()))
+            return pa.table({
+                "subj": t.column("subj"),
+                "pred": pa.array(["kb:canonicalEntity"] * t.num_rows, pa.string()),
+                "obj": obj,
+                "obj_dt": pa.array(["@id"] * t.num_rows, pa.string()),
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+            })
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                p = t.column("pid").to_numpy(zero_copy_only=False)
-                n_ids = len(self.pids)
-                if n_ids == 0:
-                    obj = pa.array([""] * t.num_rows, pa.string())
-                else:
-                    ix = np.minimum(np.searchsorted(self.pids, p), n_ids - 1)
-                    hit = self.pids[ix] == p
-                    obj = pc.if_else(pa.array(hit),
-                                     pc.take(self.ids, pa.array(ix, pa.int64())),
-                                     pa.scalar("", pa.string()))
-                return pa.table({
-                    "subj": t.column("subj"),
-                    "pred": pa.array(["kb:canonicalEntity"] * t.num_rows, pa.string()),
-                    "obj": obj,
-                    "obj_dt": pa.array(["@id"] * t.num_rows, pa.string()),
-                    "conv_id": t.column("conv_id"),
-                    "turn_idx": t.column("turn_idx"),
-                })
-
-        link = mentions.map_batches(LinkJoin, batch_format="pyarrow",
-                                    concurrency=_pool())
+        link = mentions.map_batches(link_join, batch_format="pyarrow")
         return entity, link
 
     # ---- distributed path (label table too large to broadcast) ----

@@ -127,3 +127,29 @@ def test_bucket_join_invariant_to_bucket_count(ray_session):
         outs.append(got.sort_values(["k", "a", "b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_adaptive_semi_join_both_strategies_agree(ray_session):
+    from case_uco_ontology_map_ray.ops.joins import adaptive_semi_join
+
+    left = _ds(pa.table({
+        "k": pa.array(range(100), pa.int64()),
+        "x": pa.array([str(i) for i in range(100)]),
+    }))
+    right = _ds(pa.table({"rk": pa.array([i * 2 for i in range(30)], pa.int64())}))
+
+    # broadcast path (count 30 <= bound)
+    b = adaptive_semi_join(left, right, on="k", right_on="rk",
+                           max_broadcast_keys=1000).to_pandas()
+    # forced bucketed path (bound below the count)
+    s = adaptive_semi_join(left, right, on="k", right_on="rk",
+                           max_broadcast_keys=5).to_pandas()
+    assert sorted(b.k) == sorted(s.k) == [i * 2 for i in range(30)]
+
+    # anti: broadcast path only fires with the complete key set, so both
+    # strategies agree on negate too
+    ba = adaptive_semi_join(left, right, on="k", right_on="rk", negate=True,
+                            max_broadcast_keys=1000).to_pandas()
+    sa = adaptive_semi_join(left, right, on="k", right_on="rk", negate=True,
+                            max_broadcast_keys=5).to_pandas()
+    assert sorted(ba.k) == sorted(sa.k) == sorted(set(range(100)) - {i * 2 for i in range(30)})
