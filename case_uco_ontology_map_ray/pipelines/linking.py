@@ -257,6 +257,13 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
     Both paths compute the identical fixpoint (min-label is commutative).
     """
     mentions = triples if "pid" in triples.schema().names else mentions_from_triples(triples)
+    # two consumers read the mention stream (distinct-paths dedup and the
+    # final link pass): materialize the 6-column projection ONCE so the
+    # upstream lineage (triple construction) doesn't re-execute per
+    # consumer. The projection is a fraction of the triple stream's bytes
+    # and the object store spills it under pressure — strictly cheaper than
+    # a second construction pass at any scale.
+    mentions = mentions.materialize()
     paths = distinct_paths(mentions).materialize()  # one row per distinct path
     n_paths = paths.count()
 
