@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": corpus.doc_quality,
         "doc_lang_id": corpus.doc_lang_id,
         "doc_fingerprints": corpus.doc_fingerprints,
+        "doc_repetition": corpus.doc_repetition,
         "similarity_topk": corpus.similarity_topk,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "similarity_ivf_index": corpus.similarity_ivf_index,
@@ -637,6 +638,50 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS pred_lang,
                    round(greatest(h_en, h_de, h_fr, h_es, h_zh) / nt, 4) AS lang_score
             FROM s ORDER BY doc_id
+        """,
+        "doc_repetition": r"""
+            -- Gopher-style repetition signals; token semantics match the
+            -- engine's RE2 split exactly (empty tokens/lines dropped)
+            WITH lists AS (
+                SELECT doc_id,
+                       regexp_split_to_array(text, '[^\p{L}\p{N}_]+') AS words
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, words[i] AS word, i AS ord
+                FROM lists, unnest(generate_series(1, len(words))) AS g(i)
+                WHERE words[i] <> ''
+            ), seq AS (
+                SELECT doc_id, word,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY ord) rn
+                FROM toks
+            ), bg AS (
+                SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+                FROM seq a JOIN seq b
+                  ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            ), bgcnt AS (
+                SELECT doc_id, bigram, count(*) c FROM bg GROUP BY 1, 2
+            ), linelists AS (
+                SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, ls[i] AS line
+                FROM linelists, unnest(generate_series(1, len(ls))) AS g(i)
+                WHERE ls[i] <> ''
+            )
+            SELECT d.doc_id,
+                   coalesce(round(w.f, 4), 0.0) AS dup_word_frac,
+                   coalesce(round(l.f, 4), 0.0) AS dup_line_frac,
+                   coalesce(round(b.f, 4), 0.0) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN (SELECT doc_id,
+                              1.0 - count(DISTINCT word)::DOUBLE / count(*) AS f
+                       FROM toks GROUP BY 1) w USING (doc_id)
+            LEFT JOIN (SELECT doc_id,
+                              1.0 - count(DISTINCT line)::DOUBLE / count(*) AS f
+                       FROM lines GROUP BY 1) l USING (doc_id)
+            LEFT JOIN (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f
+                       FROM bgcnt GROUP BY 1) b USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "similarity_topk": """
             SELECT b.vec_id,

@@ -274,3 +274,95 @@ def length_quantiles(ds, qs=(0.5, 0.9, 0.99), col: str = "text") -> dict:
         vlo, vhi = _value_at(lo), _value_at(hi)
         out[q] = vlo + (h - lo) * (vhi - vlo)
     return out
+
+
+def _hash_str_values(values: pa.Array) -> np.ndarray:
+    """Deterministic vectorized 64-bit string hash (pandas siphash, fixed
+    key) — a collision-free proxy for string equality at per-document
+    cardinalities (same convention as ngram_jaccard_exact)."""
+    return pd.util.hash_pandas_object(values.to_pandas(), index=False).to_numpy()
+
+
+def _seg_distinct(hashes: np.ndarray, seg: np.ndarray, n_seg: int) -> np.ndarray:
+    """Distinct-count per segment via one lexsort + adjacent-diff."""
+    if len(hashes) == 0:
+        return np.zeros(n_seg, dtype=np.int64)
+    order = np.lexsort((hashes, seg))
+    hs, ss = hashes[order], seg[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    return np.bincount(ss[first], minlength=n_seg)
+
+
+def repetition_stats(ds):
+    """Gopher-style repetition signals per document (training-data quality
+    filters): duplicate-word fraction, duplicate-line fraction, and the
+    fraction of word-bigram occurrences taken by the document's most
+    frequent bigram. Fully vectorized (RE2 split kernels + lexsort runs);
+    fractions round_away(4) so the op is DuckDB-oracle-checkable
+    (query ``doc_repetition``)."""
+    from .agg import round_away
+    from ..functions.hashing import _avalanche
+
+    _BGMIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_docs = t.num_rows
+
+        # words (same token semantics as the SQL oracle: RE2 non-word split,
+        # empty tokens dropped, order preserved)
+        values, offs, val_len, _ = _token_segments(text)
+        seg_all = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        keep = val_len > 0
+        wh = _hash_str_values(values)[keep]
+        wseg = seg_all[keep]
+        n_words = np.bincount(wseg, minlength=n_docs)
+        distinct_w = _seg_distinct(wh, wseg, n_docs)
+        dup_word_frac = np.where(
+            n_words > 0, 1.0 - distinct_w / np.maximum(n_words, 1), 0.0)
+
+        # bigrams: adjacent surviving tokens within a document
+        if len(wh) > 1:
+            same = wseg[1:] == wseg[:-1]
+            with np.errstate(over="ignore"):
+                bh = _avalanche(wh[:-1] * _BGMIX + wh[1:])[same]
+            bseg = wseg[1:][same]
+        else:
+            bh = np.array([], dtype=np.uint64)
+            bseg = np.array([], dtype=np.int64)
+        n_bg = np.bincount(bseg, minlength=n_docs)
+        top = np.zeros(n_docs, dtype=np.int64)
+        if len(bh):
+            order = np.lexsort((bh, bseg))
+            hs, ss = bh[order], bseg[order]
+            first = np.ones(len(hs), dtype=bool)
+            first[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+            run_id = np.cumsum(first) - 1
+            run_len = np.bincount(run_id)
+            np.maximum.at(top, ss[first], run_len)
+        top_bigram_frac = np.where(n_bg > 0, top / np.maximum(n_bg, 1), 0.0)
+
+        # lines: exact '\n' split, empty lines dropped
+        ll = pc.split_pattern(text, "\n")
+        if isinstance(ll, pa.ChunkedArray):
+            ll = ll.combine_chunks()
+        loffs = ll.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lvals = ll.values
+        lseg_all = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(loffs))
+        lkeep = pc.utf8_length(lvals).to_numpy(zero_copy_only=False) > 0
+        lh = _hash_str_values(lvals)[lkeep]
+        lseg = lseg_all[lkeep]
+        n_lines = np.bincount(lseg, minlength=n_docs)
+        distinct_l = _seg_distinct(lh, lseg, n_docs)
+        dup_line_frac = np.where(
+            n_lines > 0, 1.0 - distinct_l / np.maximum(n_lines, 1), 0.0)
+
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "dup_word_frac": pa.array(round_away(dup_word_frac, 4)),
+            "dup_line_frac": pa.array(round_away(dup_line_frac, 4)),
+            "top_bigram_frac": pa.array(round_away(top_bigram_frac, 4)),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)

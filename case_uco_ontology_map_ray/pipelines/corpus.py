@@ -210,3 +210,10 @@ def embedding_neardup_lsh(sf_dir: str, tau: float = 0.45) -> pd.DataFrame:
     ~0.99 recall. At the op's native tau~0.95 regime, longer bands (4x4)
     keep buckets sublinear."""
     return sim.embedding_neardup_lsh(_emb(sf_dir), tau=tau, n_bits=16, bands=8)
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals (dup word/line fractions, top-bigram
+    fraction) — DuckDB-oracled."""
+    out = tx.repetition_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

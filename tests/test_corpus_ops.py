@@ -377,3 +377,35 @@ def test_ngram_jaccard_exact_matches_bruteforce():
     # sanity: the planted near-dups and the identical short docs are found
     assert (0, 1) in {(a, b) for a, b, _ in got_tuples}
     assert (4, 5, 1.0) in got_tuples
+
+
+def test_repetition_stats_against_python_oracle():
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.agg import round_away
+    from case_uco_ontology_map_ray.ops.text import repetition_stats
+
+    docs = [
+        "the cat the cat the cat",           # heavy word + bigram repetition
+        "one two three four five",           # no repetition
+        "a\nb\na\nb\nc",                     # duplicate lines
+        "",                                  # empty
+        "word",                              # single token, no bigrams
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    got = repetition_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    for i, text in enumerate(docs):
+        words = [w for w in re.split(r"[^\w]+", text, flags=re.UNICODE) if w]
+        lines = [l for l in text.split("\n") if l]
+        bgs = Counter(zip(words, words[1:]))
+        dw = 1 - len(set(words)) / len(words) if words else 0.0
+        dl = 1 - len(set(lines)) / len(lines) if lines else 0.0
+        tb = max(bgs.values()) / sum(bgs.values()) if bgs else 0.0
+        row = got.iloc[i]
+        assert row.dup_word_frac == float(round_away(dw, 4)), (i, row.dup_word_frac, dw)
+        assert row.dup_line_frac == float(round_away(dl, 4)), (i, row.dup_line_frac, dl)
+        assert row.top_bigram_frac == float(round_away(tb, 4)), (i, row.top_bigram_frac, tb)
