@@ -625,24 +625,43 @@ def props_k_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact per-group quantile_cont over event values: groupby(event_type)
-    .map_groups with an in-group sort — exact because one event type fits a
-    worker (documented partitioning assumption; the unbounded-cardinality
-    path is the mergeable histogram sketch in ops/sketches). Oracle: DuckDB
-    quantile_cont(...) GROUP BY."""
+    """Exact per-group quantile_cont over event values, fully distributed:
+    a local (event_type, value) count combiner runs inside every batch, the
+    shuffle carries one row per distinct (type, value), and the per-type
+    finisher interpolates on the weighted CDF — so a worker holds a type's
+    DISTINCT values + counts, never its raw rows (the old version sorted
+    raw rows per type and needed one type to fit a worker). Exactness is
+    unconditional; the sketch path in ops/sketches remains the
+    approximate alternative. Oracle: DuckDB quantile_cont(...) GROUP BY."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
 
+    def local_counts(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["event_type", "value"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "value", "n"])
+
+    counts = grouped_sums_ds(
+        ds.map_batches(local_counts, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "value"], sum_cols={"n": "n"})
+
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        order = np.argsort(g["value"].to_numpy(dtype=np.float64), kind="stable")
+        vals = g["value"].to_numpy(dtype=np.float64)[order]
+        cnt = g["n"].to_numpy(dtype=np.int64)[order]
+        cum = np.cumsum(cnt)
+        n_total = int(cum[-1])
         out = {"event_type": [g["event_type"].iloc[0]]}
         for name, q in (("p50", 0.5), ("p90", 0.9)):
-            h = (len(v) - 1) * q
+            h = (n_total - 1) * q
             lo = int(np.floor(h))
             hi = int(np.ceil(h))
-            out[name] = [round_away(v[lo] + (h - lo) * (v[hi] - v[lo]), 4)]
+            # value at 0-based rank r in the expanded multiset = first
+            # distinct value whose cumulative count exceeds r
+            lo_val = vals[np.searchsorted(cum, lo + 1)]
+            hi_val = vals[np.searchsorted(cum, hi + 1)]
+            out[name] = [round_away(lo_val + (h - lo) * (hi_val - lo_val), 4)]
         return pd.DataFrame(out)
 
-    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+    out = counts.groupby("event_type").map_groups(per_type, batch_format="pandas")
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
