@@ -222,6 +222,25 @@ def _approx_stats(sf_dir: str):
                          "value_p99": [round(q99, 2)]})
 
 
+def _media_frames(sf_dir: str):
+    """Video frame-sampling plumbing (deterministic fake codec; rows-only):
+    sample 4 uniformly-spaced frames per synthetic video, then run the
+    image feature stage over the exploded frames."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.multimodal import (
+        frame_sample,
+        media_features,
+        synth_video_table,
+    )
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = {"sf0.001": 30, "sf0.01": 150, "sf0.1": 600}.get(sf, 150)
+    frames = frame_sample(rd.from_arrow(synth_video_table(n)), n_out=4,
+                          batch_size=32)
+    return media_features(frames, batch_size=64)
+
+
 def _media_features(sf_dir: str):
     import ray.data as rd
 
@@ -299,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_stats": _approx_stats,
         # multimodal plumbing (deterministic fake codec; rows-only)
         "media_features": _media_features,
+        "media_frames": _media_frames,
     }
 
 

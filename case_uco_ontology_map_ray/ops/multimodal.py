@@ -150,6 +150,92 @@ class MediaResize:
         })
 
 
+VMAGIC = b"XMV1"
+
+
+def encode_fake_video(media_id: int, n_frames: int = 8) -> tuple[bytes, str]:
+    """Deterministic fake video payload: XMV1 header (magic + w + h + ch +
+    frame count) followed by ``n_frames`` contiguous raw frames."""
+    h = int(hashlib.md5(f"video:{media_id}".encode()).hexdigest()[:8], 16)
+    w, hgt, ch = 8 + h % 24, 8 + (h >> 8) % 24, 3
+    rng = np.random.RandomState(h % (2**31))
+    body = rng.randint(0, 256, size=n_frames * w * hgt * ch,
+                       dtype=np.uint8).tobytes()
+    payload = VMAGIC + struct.pack("<HHBB", w, hgt, ch, n_frames) + body
+    meta = json.dumps({"kind": "video", "width": w, "height": hgt,
+                       "channels": ch, "n_frames": n_frames}, sort_keys=True)
+    return payload, meta
+
+
+def synth_video_table(n: int, n_frames: int = 8) -> pa.Table:
+    ids, payloads, metas = [], [], []
+    for i in range(n):
+        p, m = encode_fake_video(i, n_frames)
+        ids.append(i)
+        payloads.append(p)
+        metas.append(m)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["video"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, pa.string()),
+    })
+
+
+def _decode_fake_video(payload: bytes) -> np.ndarray:
+    """XMV1 -> FxHxWxC uint8 array (fake-codec demux; a real build swaps
+    this for libav frame iteration — clearly-marked stub boundary)."""
+    if payload[:4] != VMAGIC:
+        raise ValueError("not an XMV1 payload")
+    w, h, ch, f = struct.unpack("<HHBB", payload[4:10])
+    body = np.frombuffer(payload[10:10 + f * w * h * ch], dtype=np.uint8)
+    return body.reshape(f, h, w, ch)
+
+
+class FrameSampler:
+    """Actor stage: video payload -> uniformly sampled frames, EXPLODED one
+    row per sampled frame (flat-map shape: wide binary in, several narrower
+    binary rows out). Output frames use the image codec so every downstream
+    image stage (features, resize) composes directly.
+
+    Scale notes: video rows are the widest payloads in the schema — keep
+    ``batch_size`` small (16-64) so batch x concurrency stays inside the
+    worker heap; the explosion factor is bounded by ``n_out``.
+    """
+
+    def __init__(self, n_out: int = 4):
+        self.n_out = n_out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, p in zip(t.column("media_id").to_pylist(),
+                          t.column("payload").to_pylist()):
+            vid = _decode_fake_video(p)
+            f, h, w, ch = vid.shape
+            take = np.unique(np.linspace(0, f - 1, min(self.n_out, f),
+                                         dtype=np.int64))
+            for fi in take:
+                ids.append(mid)
+                fidx.append(int(fi))
+                frames.append(MAGIC + struct.pack("<HHB", w, h, ch)
+                              + vid[fi].tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "kind": pa.array(["image"] * len(ids), pa.string()),
+            "payload": pa.array(frames, pa.binary()),
+            "meta": pa.array([""] * len(ids), pa.string()),
+        })
+
+
+def frame_sample(ds, n_out: int = 4, batch_size: int = 32, concurrency=None):
+    from .dedup import _pool
+
+    return ds.map_batches(FrameSampler, fn_constructor_args=(n_out,),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency or _pool())
+
+
 def media_features(ds, batch_size: int = 128, concurrency=None):
     from .dedup import _pool
 
