@@ -186,26 +186,51 @@ def embedding_neardup_lsh(ds, tau: float = 0.95, id_col: str = "vec_id",
 
     banded = ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+    # co-group whole band buckets into 64 hash groups (the _band_groups
+    # pattern from ops/dedup): one map_groups dispatch per CO-GROUP, then a
+    # cheap in-process loop over band segments — not one ~1 ms Ray dispatch
+    # per bucket, which dominates when most buckets are tiny
+    n_cogroups = 64
+
+    def add_cogroup(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        cg = (_mix64(band) % n_cogroups).astype(np.int64)
+        return t.append_column("__cg", pa.array(cg, pa.int64()))
+
+    def verify_cogroup(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                               "id_b": pd.Series(dtype="int64"),
                               "cos": pd.Series(dtype="float64")})
         if len(g) < 2:
             return empty
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) > max_bucket:  # degenerate-bucket skew guard
-            g = g.head(max_bucket)
-        m = _normalize(np.stack(g["embedding"].map(np.asarray).to_numpy())
-                       .astype(np.float64))
-        ids = g[id_col].to_numpy(dtype=np.int64)
-        cos = m @ m.T
-        ai, bj = np.where(cos >= tau)
-        keep = ids[ai] < ids[bj]
-        return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bj][keep],
-                             "cos": round_away(cos[ai, bj][keep], 4)})
+        g = g.sort_values(["band", id_col], kind="mergesort")
+        band = g["band"].to_numpy(dtype=np.int64)
+        ids_all = g[id_col].to_numpy(dtype=np.int64)
+        m_all = _normalize(np.stack(g["embedding"].map(np.asarray).to_numpy())
+                           .astype(np.float64))
+        bounds = np.flatnonzero(np.r_[True, band[1:] != band[:-1], True])
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            ids, m = ids_all[s:e], m_all[s:e]
+            uniq = np.r_[True, ids[1:] != ids[:-1]]  # ids sorted per band
+            ids, m = ids[uniq], m[uniq]
+            if len(ids) > max_bucket:  # degenerate-bucket skew guard
+                ids, m = ids[:max_bucket], m[:max_bucket]
+            if len(ids) < 2:
+                continue
+            cos = m @ m.T
+            ai, bj = np.where(cos >= tau)
+            keep = ids[ai] < ids[bj]
+            outs.append(pd.DataFrame({
+                "id_a": ids[ai][keep], "id_b": ids[bj][keep],
+                "cos": round_away(cos[ai, bj][keep], 4)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    out = banded.groupby("band").map_groups(bucket_verify,
-                                            batch_format="pandas").to_pandas()
+    out = banded.map_batches(add_cogroup, batch_format="pyarrow") \
+        .groupby("__cg").map_groups(verify_cogroup,
+                                    batch_format="pandas").to_pandas()
     if out.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
