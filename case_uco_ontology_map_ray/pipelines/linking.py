@@ -379,31 +379,39 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
 
 
 def conversation_entity_stats(triples: rd.Dataset, salt_k: int = 8) -> pd.DataFrame:
-    """Distinct entities referenced per conversation — the salted
-    groupby(conv_id) pattern for hot conversations (SURVEY.md §4):
-    phase 1 groups by (conv_id, salt=pid % salt_k) and counts distinct pids
-    inside each salted group; phase 2 sums the partial counts per conv_id.
-    Distinctness is preserved because salting partitions pid space.
+    """Distinct entities referenced per conversation.
+
+    Scale shape (pid-hash co-grouping — replaces the round-2 salted
+    per-(conv_id, salt) ``map_groups``, which paid one Ray dispatch per
+    salted group ≈ millions of dispatches at 10^6 conversations):
+    phase 1 dedups (conv_id, pid) inside each block; phase 2 co-groups rows
+    into ``max(64, salt_k * 8)`` hash partitions OF PID — equal (conv, pid)
+    pairs always co-locate, so a per-partition Arrow distinct + count is
+    globally sound, one dispatch per partition; phase 3 sums the partial
+    counts per conv_id. Hot conversations are split across partitions by
+    pid, so no partition holds a whole hot conversation (same skew
+    guarantee the salt provided).
     """
     from ray.data.aggregate import Sum
 
+    from ..ops.joins import _mix_bucket
+
+    num_parts = max(64, salt_k * 8)
     mentions = mentions_from_triples(triples)
 
     def local(t: pa.Table) -> pa.Table:
-        salt = pc.bit_wise_and(t.column("pid"), pa.scalar(salt_k - 1, pa.int64()))
-        x = t.select(["conv_id", "pid"]).append_column("salt", salt)
-        agg = x.group_by(["conv_id", "salt", "pid"]).aggregate([])
-        return agg
+        x = t.select(["conv_id", "pid"])
+        agg = x.group_by(["conv_id", "pid"]).aggregate([])  # per-block dedup
+        return agg.append_column(
+            "__part", _mix_bucket(agg.column("pid"), num_parts))
 
     pre = mentions.map_batches(local, batch_format="pyarrow")
 
-    def per_salted_group(g: pa.Table) -> pa.Table:
-        # one group = one (conv_id, salt): count distinct pids
-        agg = g.group_by(["conv_id", "salt"]).aggregate([("pid", "count_distinct")])
-        return agg.rename_columns(["conv_id", "salt", "n"])
+    def count_part(g: pa.Table) -> pa.Table:
+        d = g.group_by(["conv_id", "pid"]).aggregate([])  # global dedup/part
+        agg = d.group_by(["conv_id"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["conv_id", "n"])
 
-    counts = pre.groupby(["conv_id", "salt"]).map_groups(
-        per_salted_group, batch_format="pyarrow"
-    )
+    counts = pre.groupby("__part").map_groups(count_part, batch_format="pyarrow")
     out = counts.groupby("conv_id").aggregate(Sum("n", alias_name="n_entities")).to_pandas()
     return out.sort_values("conv_id").reset_index(drop=True)
