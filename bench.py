@@ -147,9 +147,14 @@ def run_bench() -> dict:
         ("supplier_part_join", analytics.supplier_part_join),
         ("event_sessions", analytics.event_sessions),
         ("purchase_last_click", analytics.purchase_last_click),
+        ("returned_item_loss", analytics.returned_item_loss),
+        ("large_customer_orders", analytics.large_customer_orders),
+        ("event_value_quantiles", analytics.event_value_quantiles),
         ("dedup_minhash_documents", corpus.dedup_minhash_documents),
         ("similarity_topk", corpus.similarity_topk),
         ("doc_quality", corpus.doc_quality),
+        ("doc_repetition", corpus.doc_repetition),
+        ("similarity_ivf_index", corpus.similarity_ivf_index),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -141,6 +141,22 @@ def adaptive_semi_join(left, right, on: str, right_on: str | None = None,
                             negate=negate, num_buckets=num_buckets)
 
 
+def adaptive_join(left, right, on: str, how: str = "inner",
+                  max_broadcast_rows: int = 2_000_000,
+                  num_buckets: int | None = None):
+    """Inner/left join with AQE-style strategy selection: when a MEASURED
+    row count proves the right side bounded, collect it once and run the
+    shuffle-free ``broadcast_join``; otherwise ``bucket_join``. Same
+    contract as ``adaptive_semi_join``: the driver-side collect is gated by
+    the measured bound, and callers with an expensive right lineage should
+    ``materialize()`` it first so the gate's ``count()`` is free.
+    """
+    n = right.count()
+    if n <= max_broadcast_rows:
+        return broadcast_join(left, right.to_pandas(), on=on, how=how)
+    return bucket_join(left, right, on=on, how=how, num_buckets=num_buckets)
+
+
 def _mix_bucket(key_col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     """Deterministic int64 mix -> [0, num_buckets) (xorshift avalanche)."""
     x = key_col.cast(pa.int64())

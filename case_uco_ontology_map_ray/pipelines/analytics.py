@@ -311,10 +311,12 @@ def returned_item_loss(sf_dir: str, k: int = 20) -> pd.DataFrame:
     partial aggregation BEFORE each shuffle so the exchanges carry one row
     per (order | customer), never per line item:
 
-    lineitem[R] --partial-sum/order--> bucket_join orders --partial-sum/
-    cust--> bucket_join customer --broadcast nation (25 rows)--> topk.
+    lineitem[R] --partial-sum/order--> adaptive_join orders --partial-sum/
+    cust--> adaptive_join customer --broadcast nation (25 rows)--> topk.
+    The adaptive joins broadcast the dimension side while a measured count
+    bounds it and fall back to the bucketed shuffle beyond.
     """
-    from ..ops.joins import bucket_join
+    from ..ops.joins import adaptive_join
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice",
@@ -333,7 +335,7 @@ def returned_item_loss(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     per_order = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    per_order = bucket_join(
+    per_order = adaptive_join(
         li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         per_order, on="o_orderkey")
 
@@ -348,7 +350,7 @@ def returned_item_loss(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_name", "c_nationkey"])
-    named = bucket_join(per_cust, cust, on="c_custkey")
+    named = adaptive_join(per_cust, cust, on="c_custkey")
     nation = rd.read_parquet(_t(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"]).to_pandas()
     nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
@@ -364,9 +366,12 @@ def large_customer_orders(sf_dir: str, threshold: float = 150.0,
                           k: int = 100) -> pd.DataFrame:
     """TPC-H Q18-style: orders whose total quantity exceeds ``threshold``
     (groupby-HAVING over lineitem), joined back to orders and customer.
-    The HAVING filter runs distributed right after the per-order aggregate,
-    so only qualifying orders (a tiny fraction) enter the join chain."""
-    from ..ops.joins import bucket_join
+    The HAVING filter runs distributed right after the per-order aggregate;
+    orders is SEMI-REDUCED to the qualifying keys before the join (a
+    measured-small set -> broadcast semi; bucketed beyond), so neither the
+    full orders nor the full customer table is ever shuffled against the
+    tiny qualifying side."""
+    from ..ops.joins import adaptive_join, adaptive_semi_join
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_quantity"])
@@ -380,21 +385,24 @@ def large_customer_orders(sf_dir: str, threshold: float = 150.0,
         li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         keys=["o_orderkey"], sum_cols={"qty": "qty"})
     cut = int(round(threshold * 10000))
+    # materialize the qualifying set: three consumers (semi gate, semi
+    # collect, join) must not re-run the lineitem aggregate
     big = per_order.map_batches(
         lambda t: t.filter(pc.greater(t.column("qty"), pa.scalar(cut, pa.int64()))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     orders = rd.read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    big = bucket_join(big, orders, on="o_orderkey")
+    orders_red = adaptive_semi_join(orders, big, on="o_orderkey")
+    big = adaptive_join(big, orders_red, on="o_orderkey")
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_name"])
     big = big.map_batches(
         lambda t: t.rename_columns(
             ["c_custkey" if c == "o_custkey" else c for c in t.column_names]),
         batch_format="pyarrow")
-    big = bucket_join(big, cust, on="c_custkey")
+    big = adaptive_join(big, cust, on="c_custkey")
 
     def finish(t: pa.Table) -> pa.Table:
         qty = pc.divide(t.column("qty").cast(pa.float64()), pa.scalar(10000.0))
