@@ -1,6 +1,7 @@
 """Malformed-input robustness: the stage must skip garbage without dying."""
 
 import pyarrow as pa
+import pytest
 
 from case_uco_ontology_map_ray.stages.kg_stage import TurnTriples
 from case_uco_ontology_map_ray.stages.validate_stage import ValidatingTurnTriples
@@ -45,3 +46,27 @@ def test_empty_batch():
     empty = _batch([])
     assert TurnTriples()(empty).num_rows == 0
     assert ValidatingTurnTriples()(empty).num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_new_ops_handle_empty_inputs():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.multimodal import (
+        frame_sample, synth_video_table)
+    from case_uco_ontology_map_ray.ops.text import repetition_stats
+    from case_uco_ontology_map_ray.pipelines.jsonld import merge_jsonld_patches
+
+    empty_docs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                         "text": pa.array([], pa.string())}))
+    assert repetition_stats(empty_docs).count() == 0
+
+    assert frame_sample(rd.from_arrow(synth_video_table(0)),
+                        concurrency=1).count() == 0
+
+    skel = rd.from_items([{"record_fp": "a", "jsonld": '{"@graph": []}'}])
+    no_patches = rd.from_arrow(pa.table({"record_fp": pa.array([], pa.string()),
+                                         "jsonld": pa.array([], pa.string())}))
+    out = merge_jsonld_patches(skel, no_patches).to_pandas()
+    assert len(out) == 1 and out.jsonld.iloc[0] == '{"@graph": []}'
