@@ -2,10 +2,16 @@
 
 - brute_force_topk: exact cosine top-k against a broadcast query matrix —
   numpy matmul per batch (the baseline; linear scan, fully streaming).
-- ivf_topk: IVF-style scale path — k-means-lite coarse centroids (sampled,
-  deterministic), probe the closest ``nprobe`` partitions only.
-- embedding_neardup_pairs: all pairs with cosine >= tau (near-dup detection)
-  via block x block matmul.
+- ivf_topk: IVF-style one-shot path — k-means-lite coarse centroids
+  (sampled, deterministic), probe the closest ``nprobe`` partitions only,
+  assignment recomputed per query.
+- build_ivf_index / ivf_index_topk: the persisted scale path — ONE
+  assignment pass writes centroid-partitioned parquet; each query reads
+  only its nprobe partition directories (partition pruning at the read).
+- embedding_neardup_pairs: all pairs with cosine >= tau (near-dup
+  detection) via bucket-pair self-join; embedding_neardup_lsh is the
+  sublinear hyperplane-LSH variant (band buckets co-grouped, one dispatch
+  per hash co-group).
 """
 
 from __future__ import annotations
