@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": analytics.user_event_pivot,
         "props_k_by_type": analytics.props_k_by_type,
         "event_value_quantiles": analytics.event_value_quantiles,
+        "monthly_cumulative_revenue": analytics.monthly_cumulative_revenue,
         "top_tokens": corpus.top_tokens,
         "top_bigrams": corpus.top_bigrams,
         # training-data corpus ops: dedup / text analysis / similarity
@@ -472,6 +473,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "monthly_cumulative_revenue": """
+            WITH monthly AS (
+                SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                       round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT month, revenue,
+                   round(sum(revenue) OVER (ORDER BY month), 2) AS cum_revenue
+            FROM monthly ORDER BY month
         """,
         "event_value_quantiles": """
             SELECT event_type,

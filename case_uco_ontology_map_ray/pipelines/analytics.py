@@ -673,6 +673,32 @@ def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
+def monthly_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
+    """Running-total window shape: monthly order revenue plus its cumulative
+    sum. The heavy part (per-month sums over all orders) is the distributed
+    partial-agg groupby on exact scaled int64; the window itself runs on the
+    RESULT (one row per month — result-sized, not data-sized), in exact
+    integer cents so the cumulative matches DuckDB's
+    SUM(...) OVER (ORDER BY month) bit-for-bit."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t.column("o_orderdate"), format="%Y-%m")
+        return pa.table({"month": month,
+                         "rev": _scale_i64(t.column("o_totalprice"))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(prepped, keys=["month"], sum_cols={"rev": "rev"})
+    out = out.sort_values("month").reset_index(drop=True)
+    # exact 2-decimal rounding of the scaled sum, held as integer cents so
+    # the running total has no fp accumulation at all
+    cents = round_away(out["rev"].to_numpy() / 100.0, 0).astype(np.int64)
+    out["revenue"] = cents / 100.0
+    out["cum_revenue"] = np.cumsum(cents) / 100.0
+    return out[["month", "revenue", "cum_revenue"]]
+
+
 def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Bucketed large-large join demo: lineitem x part on partkey, revenue by
     brand (the bucket join is the portable hash-partitioned join shape).
