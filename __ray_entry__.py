@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type": analytics.props_k_by_type,
         "event_value_quantiles": analytics.event_value_quantiles,
         "monthly_cumulative_revenue": analytics.monthly_cumulative_revenue,
+        "orders_per_customer_histogram": analytics.orders_per_customer_histogram,
         "top_tokens": corpus.top_tokens,
         "top_bigrams": corpus.top_bigrams,
         # training-data corpus ops: dedup / text analysis / similarity
@@ -473,6 +474,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "orders_per_customer_histogram": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY 1
+            )
+            SELECT n_orders, count(*) AS n_customers
+            FROM per_cust GROUP BY n_orders ORDER BY n_orders
         """,
         "monthly_cumulative_revenue": """
             WITH monthly AS (

@@ -673,6 +673,38 @@ def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_type").reset_index(drop=True)
 
 
+def orders_per_customer_histogram(sf_dir: str) -> pd.DataFrame:
+    """LEFT-join shape: order count per customer INCLUDING zero-order
+    customers, rolled into a histogram (n_orders -> n_customers).
+    Decomposed shuffle-light: per-custkey counts from orders (partial-agg
+    groupby), histogram over those counts (second tiny groupby), and the
+    zero bucket from a distributed anti join — the driver only ever sees
+    the histogram."""
+    from ..ops.joins import adaptive_semi_join
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["c_custkey", "n"])
+
+    per_cust = grouped_sums_ds(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["c_custkey"], sum_cols={"n_orders": "n"})
+    hist = grouped_sums(per_cust, keys=["n_orders"], sum_cols={},
+                        count_alias="n_customers")
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    n_zero = adaptive_semi_join(cust, orders, on="c_custkey",
+                                right_on="o_custkey", negate=True).count()
+    if n_zero:
+        hist = pd.concat([pd.DataFrame({"n_orders": [0],
+                                        "n_customers": [n_zero]}), hist],
+                         ignore_index=True)
+    hist = hist.astype({"n_orders": "int64", "n_customers": "int64"})
+    return hist.sort_values("n_orders").reset_index(drop=True)
+
+
 def monthly_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
     """Running-total window shape: monthly order revenue plus its cumulative
     sum. The heavy part (per-month sums over all orders) is the distributed
