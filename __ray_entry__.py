@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": corpus.doc_lang_id,
         "doc_fingerprints": corpus.doc_fingerprints,
         "doc_repetition": corpus.doc_repetition,
+        "doc_sample": corpus.doc_sample,
+        "doc_stratified_sample": corpus.doc_stratified_sample,
         "similarity_topk": corpus.similarity_topk,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "similarity_ivf_index": corpus.similarity_ivf_index,
@@ -679,6 +681,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS pred_lang,
                    round(greatest(h_en, h_de, h_fr, h_es, h_zh) / nt, 4) AS lang_score
             FROM s ORDER BY doc_id
+        """,
+        "doc_sample": """
+            -- deterministic Bernoulli sample: same md5 keep rule as the
+            -- engine (first 8 hex digits of md5('{doc_id}:42') mod 100)
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                       AS BIGINT) % 100 < 10
+            ORDER BY doc_id
+        """,
+        "doc_stratified_sample": """
+            SELECT lang, count(*) AS n_sampled FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                       AS BIGINT) % 100
+                  < (CASE WHEN lang = 'en' THEN 20 ELSE 5 END)
+            GROUP BY lang ORDER BY lang
         """,
         "doc_repetition": r"""
             -- Gopher-style repetition signals; token semantics match the

@@ -217,3 +217,26 @@ def doc_repetition(sf_dir: str) -> pd.DataFrame:
     fraction) — DuckDB-oracled."""
     out = tx.repetition_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_sample(sf_dir: str, pct: float = 10) -> pd.DataFrame:
+    """Deterministic 10% Bernoulli sample of documents (md5 keep rule,
+    DuckDB-oracled row-for-row)."""
+    from ..ops.sample import bernoulli_sample
+
+    out = bernoulli_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                           "doc_id", pct).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Stratified sampling (training-mix rebalancing): keep 20% of English
+    docs, 5% of the rest; report sampled count per language — oracled."""
+    from ..ops.agg import grouped_sums
+    from ..ops.sample import stratified_sample
+
+    sampled = stratified_sample(_docs(sf_dir, ["doc_id", "lang"]),
+                                "doc_id", "lang", {"en": 20}, default_pct=5)
+    out = grouped_sums(sampled, keys=["lang"], sum_cols={},
+                       count_alias="n_sampled")
+    return out.sort_values("lang").reset_index(drop=True)

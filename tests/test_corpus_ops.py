@@ -409,3 +409,33 @@ def test_repetition_stats_against_python_oracle():
         assert row.dup_word_frac == float(round_away(dw, 4)), (i, row.dup_word_frac, dw)
         assert row.dup_line_frac == float(round_away(dl, 4)), (i, row.dup_line_frac, dl)
         assert row.top_bigram_frac == float(round_away(tb, 4)), (i, row.top_bigram_frac, tb)
+
+
+def test_deterministic_sampling_matches_reference_rule():
+    import hashlib
+
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sample import (
+        bernoulli_sample, stratified_sample)
+
+    rows = [{"doc_id": i, "lang": ("en" if i % 3 == 0 else "de")}
+            for i in range(400)]
+    ds = rd.from_items(rows)
+
+    got = sorted(bernoulli_sample(ds, "doc_id", 10).to_pandas().doc_id)
+    want = [i for i in range(400)
+            if int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 100 < 10]
+    assert got == want
+    # deterministic across runs / partitionings
+    got2 = sorted(bernoulli_sample(ds.repartition(7), "doc_id", 10).to_pandas().doc_id)
+    assert got2 == want
+
+    strat = stratified_sample(ds, "doc_id", "lang", {"en": 50}, default_pct=5)
+    df = strat.to_pandas()
+    en = df[df.lang == "en"]; de = df[df.lang == "de"]
+    # en sampled at ~50%, de at ~5% of their strata
+    assert len(en) > 3 * len(de)
+    for i in df.doc_id:
+        h = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 100
+        assert h < (50 if i % 3 == 0 else 5)
