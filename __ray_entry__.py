@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": corpus.doc_fingerprints,
         "doc_repetition": corpus.doc_repetition,
         "doc_sample": corpus.doc_sample,
+        "doc_chunks": corpus.doc_chunks,
         "doc_stratified_sample": corpus.doc_stratified_sample,
         "similarity_topk": corpus.similarity_topk,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
@@ -681,6 +682,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'zh' END AS pred_lang,
                    round(greatest(h_en, h_de, h_fr, h_es, h_zh) / nt, 4) AS lang_score
             FROM s ORDER BY doc_id
+        """,
+        "doc_chunks": """
+            SELECT doc_id, g.i AS chunk_idx,
+                   substring(text, g.i * 90 + 1, 120) AS chunk
+            FROM documents,
+                 unnest(generate_series(0,
+                     CAST(ceil(greatest(length(text) - 30, 1) / 90.0) AS BIGINT) - 1
+                 )) AS g(i)
+            ORDER BY doc_id, chunk_idx
         """,
         "doc_sample": """
             -- deterministic Bernoulli sample: same md5 keep rule as the

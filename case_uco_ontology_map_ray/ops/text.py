@@ -366,3 +366,47 @@ def repetition_stats(ds):
         })
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(ds, size: int = 120, stride: int = 90):
+    """Overlapping context-window chunking (RAG / training-window prep):
+    one output row per (doc, chunk_idx), chunk = codepoints
+    [chunk_idx*stride, chunk_idx*stride + size). Chunk count =
+    ceil(max(len - (size - stride), 1) / stride) — every doc emits at least
+    one chunk and every tail is covered. Vectorized: one
+    ``utf8_slice_codeunits`` kernel per chunk index across the whole batch
+    (few indexes; rows vectorized), flat-map shape. DuckDB-oracle-checkable:
+    ``substring`` is codepoint-based like the Arrow kernel."""
+    overlap = size - stride
+    assert 0 <= overlap < size, "need 0 < stride <= size"
+
+    def chunks(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.ceil(np.maximum(lens - overlap, 1) / stride).astype(np.int64)
+        out_ids, out_idx, out_chunks = [], [], []
+        doc_ids = t.column("doc_id")
+        for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = n_chunks > j
+            sel = pa.array(mask)
+            sliced = pc.utf8_slice_codeunits(
+                text.filter(sel) if isinstance(text, pa.ChunkedArray)
+                else text.filter(sel),
+                start=j * stride, stop=j * stride + size)
+            out_ids.append(doc_ids.filter(sel))
+            out_chunks.append(sliced)
+            out_idx.append(pa.array(np.full(int(mask.sum()), j, dtype=np.int64)))
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        def _cat(arrs):
+            parts = []
+            for a in arrs:
+                parts.extend(a.chunks if isinstance(a, pa.ChunkedArray) else [a])
+            return pa.concat_arrays(parts)
+        return pa.table({"doc_id": _cat(out_ids).cast(pa.int64()),
+                         "chunk_idx": _cat(out_idx),
+                         "chunk": _cat(out_chunks)})
+
+    return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)

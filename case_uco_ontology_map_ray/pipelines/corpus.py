@@ -240,3 +240,11 @@ def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
     out = grouped_sums(sampled, keys=["lang"], sum_cols={},
                        count_alias="n_sampled")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Overlapping 120/90 context-window chunks per document — oracled
+    (DuckDB substring + generate_series reproduce the chunk grid)."""
+    out = tx.chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                             size=120, stride=90).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
