@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": corpus.doc_repetition,
         "doc_sample": corpus.doc_sample,
         "doc_chunks": corpus.doc_chunks,
+        "doc_packing": corpus.doc_packing,
         "doc_stratified_sample": corpus.doc_stratified_sample,
         "similarity_topk": corpus.similarity_topk,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,

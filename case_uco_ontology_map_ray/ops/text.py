@@ -410,3 +410,49 @@ def chunk_documents(ds, size: int = 120, stride: int = 90):
                          "chunk": _cat(out_chunks)})
 
     return ds.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences(ds, max_tokens: int = 512, num_buckets: int = 64):
+    """Greedy sequence packing (training-batch prep): assign documents to
+    packs of at most ``max_tokens`` whitespace tokens. Docs are
+    hash-bucketed by doc_id and packed greedily in doc_id order WITHIN each
+    bucket, so the assignment is deterministic under any partitioning /
+    parallelism (bucket membership and order depend only on doc_id), and
+    pack ids never collide across buckets (pack_id = bucket << 32 | seq).
+    Docs longer than ``max_tokens`` get a singleton pack (truncation is the
+    tokenizer's job, not the packer's).
+
+    Output: (doc_id, pack_id, n_tokens). Greedy fill is inherently
+    sequential per bucket — the per-doc work is a bounded counter update,
+    and co-grouping bounds Ray dispatch to one call per bucket.
+    """
+    from .joins import _mix_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.utf8_split_whitespace(t.column("text"))).cast(pa.int64())
+        out = pa.table({"doc_id": t.column("doc_id"), "n_tokens": toks})
+        return out.append_column(
+            "__bucket", _mix_bucket(out.column("doc_id"), num_buckets))
+
+    pre = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pack_bucket(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(order)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        bucket = int(g.column("__bucket")[0].as_py()) if g.num_rows else 0
+        pack = np.empty(len(ids), dtype=np.int64)
+        seq, fill = 0, 0
+        for i, n in enumerate(toks):
+            if fill and fill + n > max_tokens:
+                seq += 1
+                fill = 0
+            fill += int(n)
+            pack[i] = (bucket << 32) | seq
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pack_id": pa.array(pack, pa.int64()),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    return pre.groupby("__bucket").map_groups(pack_bucket, batch_format="pyarrow")

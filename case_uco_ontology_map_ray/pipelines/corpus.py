@@ -248,3 +248,19 @@ def doc_chunks(sf_dir: str) -> pd.DataFrame:
     out = tx.chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
                              size=120, stride=90).to_pandas()
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def doc_packing(sf_dir: str, max_tokens: int = 256) -> pd.DataFrame:
+    """Greedy sequence packing summary (rows-only: greedy fill is
+    order-defined, invariants pinned in tests): per-pack doc count and
+    token fill."""
+    from ..ops.agg import grouped_sums
+
+    packed = tx.pack_sequences(_docs(sf_dir, ["doc_id", "text"]),
+                               max_tokens=max_tokens)
+    out = grouped_sums(packed, keys=["pack_id"],
+                       sum_cols={"pack_tokens": "n_tokens"},
+                       count_alias="n_docs")
+    out = out.astype({"pack_id": "int64", "pack_tokens": "int64",
+                      "n_docs": "int64"})
+    return out.sort_values("pack_id").reset_index(drop=True)

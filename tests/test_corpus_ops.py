@@ -439,3 +439,29 @@ def test_deterministic_sampling_matches_reference_rule():
     for i in df.doc_id:
         h = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 100
         assert h < (50 if i % 3 == 0 else 5)
+
+
+def test_pack_sequences_invariants():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import pack_sequences
+
+    rng = np.random.RandomState(5)
+    rows = [{"doc_id": i, "text": " ".join(["tok"] * int(rng.randint(1, 80)))}
+            for i in range(300)]
+    ds = rd.from_items(rows)
+    out = pack_sequences(ds, max_tokens=128).to_pandas()
+
+    assert sorted(out.doc_id) == list(range(300))        # no doc lost
+    fills = out.groupby("pack_id").n_tokens.sum()
+    assert (fills <= 128).all()                           # capacity respected
+    # packing is dense: no two consecutive packs in a bucket could merge
+    # (greedy guarantee); cheap proxy: mean fill is a decent fraction
+    assert fills.mean() > 64
+
+    # deterministic under different partitionings
+    out2 = pack_sequences(rd.from_items(rows).repartition(7),
+                          max_tokens=128).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
