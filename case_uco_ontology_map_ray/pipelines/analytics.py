@@ -638,9 +638,13 @@ def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     shuffle carries one row per distinct (type, value), and the per-type
     finisher interpolates on the weighted CDF — so a worker holds a type's
     DISTINCT values + counts, never its raw rows (the old version sorted
-    raw rows per type and needed one type to fit a worker). Exactness is
-    unconditional; the sketch path in ops/sketches remains the
-    approximate alternative. Oracle: DuckDB quantile_cont(...) GROUP BY."""
+    raw rows per type and needed one type to fit a worker). For
+    fixed-precision values (these events carry 2-decimal doubles in a
+    bounded range) the distinct count is bounded by the value DOMAIN, so
+    the per-type frame stays constant-size at any data scale; for truly
+    continuous float64 values distinct ~ rows and the mergeable histogram
+    sketch in ops/sketches is the unbounded-cardinality path. Exactness is
+    unconditional. Oracle: DuckDB quantile_cont(...) GROUP BY."""
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
 
     def local_counts(t: pa.Table) -> pa.Table:

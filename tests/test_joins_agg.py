@@ -153,3 +153,26 @@ def test_adaptive_semi_join_both_strategies_agree(ray_session):
     sa = adaptive_semi_join(left, right, on="k", right_on="rk", negate=True,
                             max_broadcast_keys=5).to_pandas()
     assert sorted(ba.k) == sorted(sa.k) == sorted(set(range(100)) - {i * 2 for i in range(30)})
+
+
+def test_adaptive_join_both_strategies_agree(ray_session):
+    from case_uco_ontology_map_ray.ops.joins import adaptive_join
+
+    left = _ds(pa.table({
+        "k": pa.array([1, 2, 2, 3, 9], pa.int64()),
+        "x": pa.array(list("abcde")),
+    }))
+    right = _ds(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "y": pa.array([20, 30, 40], pa.int64()),
+    }))
+
+    b = adaptive_join(left, right, on="k",
+                      max_broadcast_rows=100).to_pandas()
+    s = adaptive_join(left, right, on="k",
+                      max_broadcast_rows=1).to_pandas()  # forced bucketed
+    key = ["k", "x", "y"]
+    b = b.sort_values(key).reset_index(drop=True).astype({"y": "int64"})
+    s = s.sort_values(key).reset_index(drop=True).astype({"y": "int64"})
+    pd.testing.assert_frame_equal(b[key], s[key])
+    assert list(b.k) == [2, 2, 3]  # inner-join semantics, dup keys kept
