@@ -312,6 +312,13 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
         vals = (np.concatenate(vals) if vals
                 else np.array([], dtype=np.uint64))
         order = np.argsort(cids, kind="stable")
+        # a duplicated doc_id in the payload would make searchsorted verify
+        # every edge against the FIRST copy's shingles silently — detect it
+        # here, where the sorted id array is cheap to scan
+        if len(cids) > 1 and (cids[order][1:] == cids[order][:-1]).any():
+            raise ValueError(
+                "verify payload contains duplicate doc_ids; shingle sets "
+                "must be unique per document")
         # reorder CSR rows by sorted doc_id for searchsorted lookup —
         # vectorized row gather: position-within-output + source row start
         starts = np.zeros(len(cids) + 1, dtype=np.int64)
@@ -340,7 +347,7 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
                     (csr_ids[np.minimum(iv, n_ids - 1)] != v).any():
                 raise ValueError(
                     "verify payload is missing candidate-edge endpoints "
-                    "(duplicate doc_ids upstream or a partial payload)")
+                    "(partial payload; duplicates are rejected at CSR build)")
             vu, lu = _csr_gather(csr_vals, csr_starts, iu)
             vv, lv = _csr_gather(csr_vals, csr_starts, iv)
             jacs = _pair_jaccard(vu, lu, vv, lv)

@@ -54,11 +54,31 @@ def _files_bytes(ds) -> int:
     return total
 
 
+def _est_memory_bytes(ds) -> int:
+    """Best-available in-memory size estimate WITHOUT triggering execution.
+
+    Materialized datasets know their exact in-memory bytes (``size_bytes()``
+    on executed blocks) — preferred, because a heavily filtered or
+    pre-aggregated derived dataset reports its *source* parquet files through
+    ``input_files()`` and would be grossly over-bucketed from lineage bytes.
+    Lazy datasets fall back to the parquet file estimate."""
+    from ray.data.dataset import MaterializedDataset
+
+    if isinstance(ds, MaterializedDataset):
+        try:
+            sz = ds.size_bytes()
+            if sz is not None:
+                return int(sz)
+        except Exception:
+            pass
+    return _files_bytes(ds) * _PARQUET_EXPANSION
+
+
 def auto_num_buckets(*datasets, target_bytes: int = _BUCKET_TARGET_BYTES) -> int:
     """Bucket count from the per-bucket memory bound (module docstring):
     smallest power of two >= total estimated in-memory bytes / target_bytes,
     clamped to [_MIN_BUCKETS, _MAX_BUCKETS]."""
-    est = sum(_files_bytes(d) for d in datasets) * _PARQUET_EXPANSION
+    est = sum(_est_memory_bytes(d) for d in datasets)
     n = _MIN_BUCKETS
     while n < _MAX_BUCKETS and n * target_bytes < est:
         n *= 2
@@ -123,13 +143,16 @@ def adaptive_semi_join(left, right, on: str, right_on: str | None = None,
     because the broadcast path only fires when the COMPLETE distinct key set
     fits.
 
-    Cost note: the gate is ``count()`` over the right side's key column,
-    which executes the right lineage once — callers with an expensive right
-    side should ``materialize()`` it first (its count is then free).
+    The right side is materialized here before the gating ``count()`` so its
+    lineage executes exactly ONCE regardless of which strategy fires (the
+    count and the subsequent key collection / bucket shuffle then read the
+    same executed blocks; the object store spills if the right side is
+    large). Without this, an un-materialized right lineage would run twice:
+    once for the count, once for the join.
     """
     right_on = right_on or on
-    keys_ds = right.select_columns([right_on])
-    n = keys_ds.count()  # upper bound on distinct keys
+    keys_ds = right.select_columns([right_on]).materialize()
+    n = keys_ds.count()  # upper bound on distinct keys (free post-materialize)
     if n <= max_broadcast_keys:
         def local_distinct(t: pa.Table) -> pa.Table:
             return pa.table({right_on: t.column(right_on).combine_chunks().unique()})
@@ -137,7 +160,8 @@ def adaptive_semi_join(left, right, on: str, right_on: str | None = None,
         kdf = keys_ds.map_batches(local_distinct, batch_format="pyarrow").to_pandas()
         arr = pa.Array.from_pandas(kdf[right_on].drop_duplicates())
         return semi_filter(left, arr, on, negate=negate)
-    return bucket_semi_join(left, right, on=on, right_on=right_on,
+    # reuse the materialized key projection — the right lineage never re-runs
+    return bucket_semi_join(left, keys_ds, on=on, right_on=right_on,
                             negate=negate, num_buckets=num_buckets)
 
 
@@ -147,11 +171,12 @@ def adaptive_join(left, right, on: str, how: str = "inner",
     """Inner/left join with AQE-style strategy selection: when a MEASURED
     row count proves the right side bounded, collect it once and run the
     shuffle-free ``broadcast_join``; otherwise ``bucket_join``. Same
-    contract as ``adaptive_semi_join``: the driver-side collect is gated by
-    the measured bound, and callers with an expensive right lineage should
-    ``materialize()`` it first so the gate's ``count()`` is free.
+    contract as ``adaptive_semi_join``: the right side is materialized
+    before the gating ``count()`` so its lineage executes exactly once
+    whichever strategy fires.
     """
-    n = right.count()
+    right = right.materialize()
+    n = right.count()  # free post-materialize
     if n <= max_broadcast_rows:
         return broadcast_join(left, right.to_pandas(), on=on, how=how)
     return bucket_join(left, right, on=on, how=how, num_buckets=num_buckets)

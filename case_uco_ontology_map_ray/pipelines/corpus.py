@@ -184,11 +184,27 @@ def similarity_ivf_index(sf_dir: str) -> pd.DataFrame:
     query with a full probe (nprobe = n_centroids) — exact top-k, so the
     same DuckDB oracle as ``similarity_topk`` applies. The machinery under
     oracle here is the build->partition->pruned-read path itself."""
+    import glob
     import hashlib
     import os
 
     q = _query_vector(sf_dir)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes a fingerprint of the embeddings files (path + size
+    # + mtime), not just the directory path — regenerated embeddings under
+    # the same path must invalidate the index (same stale-cache class as the
+    # transcripts _GEN_VERSION bump)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = sorted(glob.glob(os.path.join(src, "**", "*.parquet"),
+                             recursive=True)) or [src]
+    fp = hashlib.md5()
+    fp.update(sf_dir.encode())
+    for p in parts:
+        try:
+            st = os.stat(p)
+            fp.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            pass
+    key = fp.hexdigest()[:10]
     index_dir = f"/tmp/ivf_index_{key}"
     if not os.path.exists(os.path.join(index_dir, "centroids.parquet")):
         sim.build_ivf_index(_emb(sf_dir), index_dir, n_centroids=8)
@@ -225,7 +241,7 @@ def doc_sample(sf_dir: str, pct: float = 10) -> pd.DataFrame:
     from ..ops.sample import bernoulli_sample
 
     out = bernoulli_sample(_docs(sf_dir, ["doc_id", "lang"]),
-                           "doc_id", pct).to_pandas()
+                           "doc_id", pct, method="md5").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -236,7 +252,8 @@ def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
     from ..ops.sample import stratified_sample
 
     sampled = stratified_sample(_docs(sf_dir, ["doc_id", "lang"]),
-                                "doc_id", "lang", {"en": 20}, default_pct=5)
+                                "doc_id", "lang", {"en": 20}, default_pct=5,
+                                method="md5")
     out = grouped_sums(sampled, keys=["lang"], sum_cols={},
                        count_alias="n_sampled")
     return out.sort_values("lang").reset_index(drop=True)

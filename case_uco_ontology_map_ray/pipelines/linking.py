@@ -240,7 +240,7 @@ def _labels_vectorized(band: np.ndarray, pid: np.ndarray,
 
 def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
                        max_rounds: int = 5,
-                       small_threshold: int = 5_000_000) -> tuple[rd.Dataset, rd.Dataset]:
+                       small_threshold: int = 20_000_000) -> tuple[rd.Dataset, rd.Dataset]:
     """Full canonicalization. Returns (entity_table, link_triples).
 
     entity_table: (pid, norm_path, label, canonical_path, canonical_id)
@@ -248,10 +248,16 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
                    obj_dt=@id, conv_id, turn_idx)
 
     Adaptive strategy on the DISTINCT-PATH set (always orders of magnitude
-    smaller than the mention stream):
-    - <= small_threshold paths: vectorized numpy label propagation + a
-      broadcast pid->canonical_id map for the link join (no shuffles beyond
-      the distinct-paths dedup);
+    smaller than the mention stream). The small-path gate bounds what the
+    driver actually pulls: the INCIDENCE table has ``n_paths * bands`` rows
+    of two int64s, so the gate is ``n_paths * bands <= small_threshold``
+    (default 20M rows ≈ 320 MB of numpy on the driver, plus the distinct
+    paths frame itself) — NOT a bound on n_paths alone, which understated
+    driver memory by the band factor.
+    - small: vectorized numpy label propagation + a broadcast
+      pid->canonical_id map for the link join (no shuffles beyond the
+      distinct-paths dedup); all lookups are sorted-array searchsorted —
+      no per-row Python dicts;
     - larger: the fully distributed groupby-aggregate rounds
       (``propagate_labels``) + bucketed joins.
     Both paths compute the identical fixpoint (min-label is commutative).
@@ -274,25 +280,34 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
         batch_format="pyarrow", concurrency=_pool(),
     ).materialize()
 
-    if n_paths <= small_threshold:
+    if n_paths * bands <= small_threshold:
         inc = incidence.to_pandas()
         uniq, lab = _labels_vectorized(
             inc["band"].to_numpy(), inc["pid"].to_numpy(), max_rounds
         )
         pdf = paths.to_pandas()
-        pid_to_path = dict(zip(pdf["pid"], pdf["norm_path"]))
-        lab_map = dict(zip(uniq.tolist(), lab.tolist()))
-        pdf["label"] = pdf["pid"].map(lab_map).fillna(pdf["pid"]).astype("int64")
-        pdf["canonical_path"] = pdf["label"].map(pid_to_path)
+        pid_arr = pdf["pid"].to_numpy(dtype=np.int64)
+        # label lookup: uniq is sorted (np.unique) — searchsorted, own pid
+        # when the path never appeared in any band (no per-row dict.get)
+        if len(uniq):
+            ix = np.minimum(np.searchsorted(uniq, pid_arr), len(uniq) - 1)
+            hit = uniq[ix] == pid_arr
+            label = np.where(hit, lab[ix], pid_arr)
+        else:
+            label = pid_arr
+        pdf["label"] = label
+        # canonical path lookup: every label is a pid present in pdf (min
+        # over component members), so a sorted-pid searchsorted resolves it
+        order = np.argsort(pid_arr, kind="stable")
+        sorted_pids = pid_arr[order]
+        paths_sorted = pdf["norm_path"].to_numpy()[order]
+        pdf["canonical_path"] = paths_sorted[np.searchsorted(sorted_pids, label)]
         pdf["canonical_id"] = [
             f"kb:entity-{uuid5_str(NS_ENTITY, p)}" for p in pdf["canonical_path"]
         ]
         entity = rd.from_pandas(pdf)
         # broadcast lookup in sorted-array form: pid -> canonical_id via
         # np.searchsorted + one Arrow take per batch (no per-row dict.get)
-        pid_arr = pdf["pid"].to_numpy(dtype=np.int64)
-        order = np.argsort(pid_arr, kind="stable")
-        sorted_pids = pid_arr[order]
         sorted_ids = pa.array(pdf["canonical_id"].to_numpy()[order], pa.string())
 
         import ray

@@ -38,21 +38,63 @@ class ProgressActor:
     CPU slot (a 1-CPU actor would deadlock fully-subscribed actor pools).
     """
 
+    # Bound on retained raw events: long-lived drivers (many jobs, millions
+    # of batches) must not grow the actor heap without limit. When exceeded,
+    # the OLDEST progress events are folded into the per-(job, stage) rollup
+    # that snapshot() reports anyway; terminal events are never compacted
+    # (follow() depends on them). Followers more than _MAX_EVENTS behind
+    # miss compacted progress events — the documented trade for a bounded
+    # actor.
+    _MAX_EVENTS = 100_000
+
     def __init__(self):
         self._events: list[dict] = []
+        self._next_seq = 0
+        self._rollup: dict[tuple, dict] = {}
+        self._n_compacted = 0
+
+    def _fold(self, e: dict) -> None:
+        key = (e["job"], e["stage"])
+        s = self._rollup.setdefault(key, {"job": e["job"], "stage": e["stage"],
+                                          "rows": 0, "batches": 0,
+                                          "first_ts": e["ts"], "last_ts": e["ts"]})
+        s["rows"] += e["rows"]
+        s["batches"] += 1
+        s["last_ts"] = max(s["last_ts"], e["ts"])
+        s["first_ts"] = min(s["first_ts"], e["ts"])
 
     def post(self, event: dict) -> None:
-        event["seq"] = len(self._events)
+        event["seq"] = self._next_seq
+        self._next_seq += 1
         event.setdefault("ts", time.time())
         self._events.append(event)
+        if len(self._events) > self._MAX_EVENTS:
+            keep, fold = [], []
+            cut = len(self._events) // 2
+            for i, e in enumerate(self._events):
+                (fold if i < cut and e["type"] == "progress" else keep).append(e)
+            for e in fold:
+                self._fold(e)
+            self._n_compacted += len(fold)
+            self._events = keep
 
     def events_since(self, seq: int) -> list[dict]:
-        return self._events[seq:]
+        # seq is the global monotone index; binary search over retained
+        # events (compaction keeps them seq-sorted)
+        lo, hi = 0, len(self._events)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._events[mid]["seq"] < seq:
+                lo = mid + 1
+            else:
+                hi = mid
+        return self._events[lo:]
 
     def snapshot(self) -> dict:
         """Rolled-up view: per (job, stage) row counts + batch counts +
-        last-event timestamps, plus terminal events."""
-        stages: dict[tuple, dict] = {}
+        last-event timestamps (including compacted events), plus terminal
+        events."""
+        stages: dict[tuple, dict] = {k: dict(v) for k, v in self._rollup.items()}
         terminal: list[dict] = []
         for e in self._events:
             if e["type"] == "progress":
@@ -62,12 +104,13 @@ class ProgressActor:
                                             "first_ts": e["ts"], "last_ts": e["ts"]})
                 s["rows"] += e["rows"]
                 s["batches"] += 1
-                s["last_ts"] = e["ts"]
+                s["last_ts"] = max(s["last_ts"], e["ts"])
+                s["first_ts"] = min(s["first_ts"], e["ts"])
             elif e["type"] in ("completion", "error"):
                 terminal.append(e)
         return {"stages": sorted(stages.values(),
                                  key=lambda s: (s["job"], s["stage"])),
-                "terminal": terminal, "n_events": len(self._events)}
+                "terminal": terminal, "n_events": self._next_seq}
 
 
 def start_tracker() -> "ray.actor.ActorHandle":
@@ -116,16 +159,20 @@ def follow(tracker, job: str | None = None, poll_s: float = 0.2,
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         new = ray.get(tracker.events_since.remote(seq))
+        relevant = False  # did this poll deliver events for the FOLLOWED job?
         for e in new:
             seq = e["seq"] + 1
             if job is not None and e.get("job") != job:
                 continue
+            relevant = True
             if e["type"] in ("completion", "error"):
                 terminal = terminal or e
             else:
                 yield e
         if terminal is not None:
-            if new:
+            # quiet = no new events FOR THIS JOB — unrelated jobs' traffic
+            # on a busy multi-job tracker must not starve the drain
+            if relevant:
                 quiet_since = None
             elif quiet_since is None:
                 quiet_since = time.time()

@@ -423,15 +423,17 @@ def test_deterministic_sampling_matches_reference_rule():
             for i in range(400)]
     ds = rd.from_items(rows)
 
-    got = sorted(bernoulli_sample(ds, "doc_id", 10).to_pandas().doc_id)
+    got = sorted(bernoulli_sample(ds, "doc_id", 10, method="md5").to_pandas().doc_id)
     want = [i for i in range(400)
             if int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 100 < 10]
     assert got == want
     # deterministic across runs / partitionings
-    got2 = sorted(bernoulli_sample(ds.repartition(7), "doc_id", 10).to_pandas().doc_id)
+    got2 = sorted(bernoulli_sample(ds.repartition(7), "doc_id", 10,
+                                   method="md5").to_pandas().doc_id)
     assert got2 == want
 
-    strat = stratified_sample(ds, "doc_id", "lang", {"en": 50}, default_pct=5)
+    strat = stratified_sample(ds, "doc_id", "lang", {"en": 50}, default_pct=5,
+                              method="md5")
     df = strat.to_pandas()
     en = df[df.lang == "en"]; de = df[df.lang == "de"]
     # en sampled at ~50%, de at ~5% of their strata
@@ -439,6 +441,39 @@ def test_deterministic_sampling_matches_reference_rule():
     for i in df.doc_id:
         h = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 100
         assert h < (50 if i % 3 == 0 else 5)
+
+
+def test_mix64_sampling_vectorized_default():
+    """Default (production) sampling path: vectorized, fractional rates,
+    deterministic across partitionings, rate within statistical bounds."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sample import (
+        bernoulli_sample, stratified_sample)
+
+    rows = [{"doc_id": i, "lang": ("en" if i % 3 == 0 else "de")}
+            for i in range(4000)]
+    ds = rd.from_items(rows)
+
+    got = sorted(bernoulli_sample(ds, "doc_id", 10).to_pandas().doc_id)
+    # deterministic across partitionings
+    got2 = sorted(bernoulli_sample(ds.repartition(7), "doc_id", 10)
+                  .to_pandas().doc_id)
+    assert got == got2
+    assert 4000 * 0.06 < len(got) < 4000 * 0.14     # ~10%
+
+    # fractional rate actually samples fractionally (the md5 rule can't)
+    frac = bernoulli_sample(ds, "doc_id", 0.5).to_pandas()
+    assert 0 < len(frac) < 4000 * 0.02               # ~0.5%
+
+    strat = stratified_sample(ds, "doc_id", "lang", {"en": 50}, default_pct=5)
+    df = strat.to_pandas()
+    en = df[df.lang == "en"]; de = df[df.lang == "de"]
+    assert len(en) > 3 * len(de)
+    # per-stratum membership is consistent with the bernoulli rule at the
+    # same rate (same key hash, rate only selects the threshold)
+    en_only = set(bernoulli_sample(ds, "doc_id", 50).to_pandas().doc_id)
+    assert set(en.doc_id) == {i for i in en_only if i % 3 == 0}
 
 
 def test_pack_sequences_invariants():
