@@ -70,9 +70,35 @@ PREFETCH_ALIAS_MAP: dict[str, list[str]] = {
     "volumeserialnumber": ["volume"],
 }
 
+# Round-4 artifact-type breadth (VERDICT r3 'What's missing' #3): aliases for
+# the registry / event-log / browser-cookie frozen maps below. Aliases are
+# inert for types whose map doesn't declare the target property (the matcher
+# only routes onto map-declared properties), so one global dict is safe.
+EXTENDED_ALIAS_MAP: dict[str, list[str]] = {
+    # Windows Registry run keys -> WindowsRegistryKeyFacet
+    "keypath": ["key"],
+    "lastwritetime": ["modifiedTime"],
+    "subkeycount": ["numberOfSubkeys"],
+    # EVTX event records -> EventRecordFacet
+    "eventid": ["eventID"],
+    "recordnumber": ["eventRecordID"],
+    "channel": ["eventRecordServiceName"],
+    "message": ["eventRecordText"],
+    "level": ["eventType"],
+    "timecreated": ["startTime"],
+    # Browser cookies -> BrowserCookieFacet
+    "cookiename": ["cookieName"],
+    "cookiepath": ["cookiePath"],
+    "creationtime": ["observableCreatedTime"],
+    "lastaccesstime": ["accessedTime"],
+    "expirationtime": ["expirationTime"],
+    "issecure": ["isSecure"],
+}
+
 PROPERTY_ALIAS_MAP: dict[str, list[str]] = {
     **BASE_PROPERTY_ALIAS_MAP,
     **PREFETCH_ALIAS_MAP,
+    **EXTENDED_ALIAS_MAP,
 }
 
 # --- Frozen ontology maps per artifact type (FIXTURES.md §3) ----------------
@@ -125,6 +151,58 @@ ONTOLOGY_MAPS: dict[str, dict] = {
                 "mftFileID", "entryID", "sequenceNumber", "entrySequence",
                 "mftParentID", "mftFileNameCreatedTime",
                 "mftFileNameModifiedTime", "mftFileNameAccessedTime",
+            ],
+        },
+        "relationships": [],
+        "analysis": "frozen fixture",
+        "additional_details": {},
+    },
+    # --- Round-4 breadth: registry / event log / browser cookies ----------
+    # Property vocabularies follow the vendored UCO SHACL shapes
+    # (ontology/index.py shapes_for): WindowsRegistryKeyFacet declares
+    # key/modifiedTime/numberOfSubkeys; EventRecordFacet declares
+    # eventID/eventRecordID/eventRecordServiceName/eventRecordText/
+    # eventType/startTime; BrowserCookieFacet declares cookieName/
+    # cookiePath/observableCreatedTime/accessedTime/expirationTime/
+    # isSecure. Unmapped fields (ValueName/ValueData, Provider, HostKey)
+    # are intentionally left unmapped — object-property targets (IRIs)
+    # can't carry literals, the same gap the reference's researcher leaves.
+    "Windows Registry run key entries": {
+        "artifacts": ["Windows Registry run key entries"],
+        "classes": ["WindowsRegistryKey"],
+        "facets": ["WindowsRegistryKeyFacet"],
+        "properties": {
+            "WindowsRegistryKey": [],
+            "WindowsRegistryKeyFacet": ["key", "modifiedTime", "numberOfSubkeys"],
+        },
+        "relationships": [],
+        "analysis": "frozen fixture",
+        "additional_details": {},
+    },
+    "Windows Event Log records": {
+        "artifacts": ["Windows Event Log records"],
+        "classes": ["EventRecord"],
+        "facets": ["EventRecordFacet"],
+        "properties": {
+            "EventRecord": [],
+            "EventRecordFacet": [
+                "eventID", "eventRecordID", "eventRecordServiceName",
+                "eventRecordText", "eventType", "startTime",
+            ],
+        },
+        "relationships": [],
+        "analysis": "frozen fixture",
+        "additional_details": {},
+    },
+    "Browser cookie records": {
+        "artifacts": ["Browser cookie records"],
+        "classes": ["BrowserCookie"],
+        "facets": ["BrowserCookieFacet"],
+        "properties": {
+            "BrowserCookie": [],
+            "BrowserCookieFacet": [
+                "cookieName", "cookiePath", "observableCreatedTime",
+                "accessedTime", "expirationTime", "isSecure",
             ],
         },
         "relationships": [],

@@ -268,9 +268,10 @@ def doc_chunks(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_packing(sf_dir: str, max_tokens: int = 256) -> pd.DataFrame:
-    """Greedy sequence packing summary (rows-only: greedy fill is
-    order-defined, invariants pinned in tests): per-pack doc count and
-    token fill."""
+    """Greedy sequence packing summary: per-pack doc count and token fill.
+    DuckDB-oracled — the greedy fill is deterministic per hash bucket in
+    doc_id order, so a recursive CTE reproduces the pack assignment exactly
+    (invariants additionally pinned in tests)."""
     from ..ops.agg import grouped_sums
 
     packed = tx.pack_sequences(_docs(sf_dir, ["doc_id", "text"]),

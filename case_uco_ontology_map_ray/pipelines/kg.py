@@ -166,7 +166,12 @@ def distinct_triples_by_record(source: "str | rd.Dataset",
                 fp = record_fingerprint(record)
                 fps.append(fp)
                 fp_ints.append(int(fp[:15], 16))  # 60-bit head, plenty for routing
-                recs.append(_json.dumps(record, sort_keys=True))
+                # INSERTION order, not sort_keys: property routing is
+                # key-order-sensitive (last field matching a property wins,
+                # ref uuid_planner.py:136-191) — e.g. EVTX's Level vs the
+                # flattened artifact_type both match eventType. The
+                # fingerprint above is canonical (sorted) regardless.
+                recs.append(_json.dumps(record))
                 lins.append(f"{conv}#{turn:010d}")
         t2 = pa.table({
             "fp": pa.array(fps, pa.string()),

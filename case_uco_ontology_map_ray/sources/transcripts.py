@@ -6,9 +6,11 @@ Schema (BASELINE.json ``input_hint``):
 
 Tool-role turns embed ONE serialized artifact payload (JSON) in ``text``,
 drawn from the reference's fixture shapes (FIXTURES.md §2): Windows Prefetch,
-MFT, two custom-facet artifact types, and (round 3) a browser URL-history
-type that no frozen map covers — it exercises the deterministic auto-mapper
-(ontology/automap.py). Everything is a pure function of
+MFT, two custom-facet artifact types, (round 3) a browser URL-history type
+that exercises the deterministic auto-mapper (ontology/automap.py), and
+(round 4) registry run keys / EVTX event records / browser cookies (frozen
+UCO maps) plus USN journal records (dfc-ext custom-facet fallback).
+Everything is a pure function of
 (seed, conv_index, turn_idx) — no RNG state carried across rows — so any
 shard can be regenerated independently and the table is identical across
 runs and across parallelism levels.
@@ -36,7 +38,8 @@ SCHEMA = pa.schema(
     ]
 )
 
-ARTIFACT_KINDS = ("prefetch", "mft", "custom_mft", "custom_iot", "browser_history")
+ARTIFACT_KINDS = ("prefetch", "mft", "custom_mft", "custom_iot", "browser_history",
+                  "registry_run_key", "evtx_event", "browser_cookie", "usn_journal")
 
 _EXE_NAMES = ["MALICIOUS.EXE", "NOTEPAD.EXE", "CALC.EXE", "POWERSHELL.EXE",
               "CHROME.EXE", "SVCHOST.EXE", "EXPLORER.EXE", "WINWORD.EXE"]
@@ -129,6 +132,70 @@ def _payload_for(kind: str, conv_index: int, turn_idx: int) -> dict:
                 "BrowserName": ["Chrome", "Edge", "Firefox"][h % 3],
             },
         }
+    if kind == "registry_run_key":
+        # frozen-map type (config.ONTOLOGY_MAPS): WindowsRegistryKey +
+        # WindowsRegistryKeyFacet; ValueName/ValueData intentionally unmapped
+        hive = ["HKLM\\Software\\Microsoft\\Windows\\CurrentVersion\\Run",
+                "HKLM\\Software\\Microsoft\\Windows\\CurrentVersion\\RunOnce",
+                "HKCU\\Software\\Microsoft\\Windows\\CurrentVersion\\Run"][h % 3]
+        return {
+            "artifact_type": "Windows Registry run key entries",
+            "description": "Run/RunOnce key values parsed from the registry hives",
+            "source": "registry_parser",
+            "record": {
+                "KeyPath": hive,
+                "ValueName": f"Updater{h % 97}",
+                "ValueData": f"C:\\ProgramData\\{exe.lower()}",
+                "LastWriteTime": iso(t0 + 1800),
+                "SubkeyCount": h % 32,
+            },
+        }
+    if kind == "evtx_event":
+        return {
+            "artifact_type": "Windows Event Log records",
+            "description": "EVTX records parsed from the Security channel",
+            "source": "evtx_parser",
+            "record": {
+                "EventID": str(4624 + h % 5),
+                "RecordNumber": str(100_000 + h % 1_000_000),
+                "Channel": ["Security", "System", "Application"][h % 3],
+                "Provider": "Microsoft-Windows-Security-Auditing",
+                "TimeCreated": iso(t0 + 60),
+                "Message": f"Logon event for {exe} session {h % 1000}",
+                "Level": ["Information", "Warning", "Error"][h % 3],
+            },
+        }
+    if kind == "browser_cookie":
+        host = [".example.com", ".intranet.corp", ".vendor.net"][h % 3]
+        return {
+            "artifact_type": "Browser cookie records",
+            "description": "Cookie rows parsed from the browser profile",
+            "source": "cookie_parser",
+            "record": {
+                "CookieName": ["session_id", "auth_token", "tracker"][h % 3],
+                "CookiePath": "/",
+                "HostKey": host,
+                "CreationTime": iso(t0),
+                "LastAccessTime": iso(t0 + 3600),
+                "ExpirationTime": iso(t0 + 86_400),
+                "IsSecure": (h % 2) == 0,
+            },
+        }
+    if kind == "usn_journal":
+        # no UCO facet models USN change-journal entries: exercises the
+        # dfc-ext custom-facet fallback with a realistic type
+        return {
+            "artifact_type": "NTFS USN journal records",
+            "description": "USN change-journal entries from the NTFS volume",
+            "source": "usn_parser",
+            "record": {
+                "Usn": 100_000 + h % 10_000_000,
+                "FileName": exe.lower(),
+                "Reason": ["FILE_CREATE", "DATA_EXTEND", "FILE_DELETE",
+                           "RENAME_NEW_NAME"][h % 4],
+                "Timestamp": iso(t0 + 120),
+            },
+        }
     if kind == "custom_mft":
         return {
             "artifact_type": "MFT Record",
@@ -173,7 +240,11 @@ def generate_conversation(conv_index: int, mean_turns: int = 12) -> dict[str, li
             role = "tool"
             tool = {"prefetch": "prefetch_parser", "mft": "ntfs_analysis_tool",
                     "custom_mft": "ntfs_analysis_tool", "custom_iot": "iot_gateway",
-                    "browser_history": "browser_history_parser"}[kind]
+                    "browser_history": "browser_history_parser",
+                    "registry_run_key": "registry_parser",
+                    "evtx_event": "evtx_parser",
+                    "browser_cookie": "cookie_parser",
+                    "usn_journal": "usn_parser"}[kind]
             text = json.dumps(_payload_for(kind, conv_index, t), sort_keys=True)
         cols["conv_id"].append(conv_id)
         cols["turn_idx"].append(t)

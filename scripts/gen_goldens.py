@@ -319,3 +319,73 @@ with open("/root/repo/tests/goldens/browser_graph.json", "w") as f:
 with open("/root/repo/tests/goldens/browser_triples.json", "w") as f:
     json.dump(out_browser["triples"], f, indent=0)
 print("browser triples:", len(out_browser["triples"]))
+
+# --- Round-4 breadth goldens: registry run keys, EVTX, browser cookies ------
+# Same instrument as prefetch/MFT: run the REFERENCE's deterministic path
+# with the engine's frozen maps + aliases and pin the flattened triples.
+from case_uco_ontology_map_ray.config import EXTENDED_ALIAS_MAP, ONTOLOGY_MAPS
+
+up.PROPERTY_ALIAS_MAP.update(EXTENDED_ALIAS_MAP)
+
+registry_payload = {
+    "artifact_type": "Windows Registry run key entries",
+    "description": "Run/RunOnce key values parsed from the registry hives",
+    "source": "registry_parser",
+    "records": [
+        {"KeyPath": "HKLM\\Software\\Microsoft\\Windows\\CurrentVersion\\Run",
+         "ValueName": "Updater12", "ValueData": "C:\\ProgramData\\evil.exe",
+         "LastWriteTime": "2025-01-02T03:04:05Z", "SubkeyCount": 4},
+        {"KeyPath": "HKCU\\Software\\Microsoft\\Windows\\CurrentVersion\\Run",
+         "ValueName": "Sync", "ValueData": "C:\\Users\\u\\sync.exe",
+         "LastWriteTime": "2025-02-03T04:05:06Z", "SubkeyCount": 0},
+    ],
+}
+evtx_payload = {
+    "artifact_type": "Windows Event Log records",
+    "description": "EVTX records parsed from the Security channel",
+    "source": "evtx_parser",
+    "records": [
+        {"EventID": "4624", "RecordNumber": "112233", "Channel": "Security",
+         "Provider": "Microsoft-Windows-Security-Auditing",
+         "TimeCreated": "2025-01-02T03:04:05Z",
+         "Message": "An account was successfully logged on",
+         "Level": "Information"},
+        {"EventID": "4625", "RecordNumber": "112234", "Channel": "Security",
+         "Provider": "Microsoft-Windows-Security-Auditing",
+         "TimeCreated": "2025-01-02T03:05:06Z",
+         "Message": "An account failed to log on", "Level": "Warning"},
+    ],
+}
+cookie_payload = {
+    "artifact_type": "Browser cookie records",
+    "description": "Cookie rows parsed from the browser profile",
+    "source": "cookie_parser",
+    "records": [
+        {"CookieName": "session_id", "CookiePath": "/", "HostKey": ".example.com",
+         "CreationTime": "2025-01-02T03:04:05Z",
+         "LastAccessTime": "2025-01-03T03:04:05Z",
+         "ExpirationTime": "2025-02-02T03:04:05Z", "IsSecure": True},
+        {"CookieName": "tracker", "CookiePath": "/app", "HostKey": ".vendor.net",
+         "CreationTime": "2025-03-02T03:04:05Z",
+         "LastAccessTime": "2025-03-03T03:04:05Z",
+         "ExpirationTime": "2025-04-02T03:04:05Z", "IsSecure": False},
+    ],
+}
+for name, payload in [("registry", registry_payload), ("evtx", evtx_payload),
+                      ("cookie", cookie_payload)]:
+    res = run_case(name, payload, ONTOLOGY_MAPS[payload["artifact_type"]])
+    with open(f"/root/repo/tests/goldens/{name}_graph.json", "w") as f:
+        json.dump(res["graph"], f, indent=1, sort_keys=True)
+    with open(f"/root/repo/tests/goldens/{name}_triples.json", "w") as f:
+        json.dump(res["triples"], f, indent=0)
+    print(name, "triples:", len(res["triples"]))
+
+usn_payload = {
+    "artifact_type": "NTFS USN journal records",
+    "description": "USN change-journal entries from the NTFS volume",
+    "source": "usn_parser",
+    "record": {"Usn": 120034, "FileName": "evil.exe", "Reason": "FILE_CREATE",
+               "Timestamp": "2025-01-02T03:04:05Z"},
+}
+run_custom_case("custom_usn", usn_payload, MINIMAL_MAP,
+                ["Usn", "FileName", "Reason", "Timestamp"])

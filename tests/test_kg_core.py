@@ -127,6 +127,65 @@ def test_mft_matches_reference_golden():
     assert got == want
 
 
+# Round-4 breadth types (registry run keys / EVTX / cookies): goldens pinned
+# from the reference deterministic path given the same frozen maps + aliases
+# (scripts/gen_goldens.py round-4 section).
+REGISTRY_PAYLOAD = {
+    "artifact_type": "Windows Registry run key entries",
+    "description": "Run/RunOnce key values parsed from the registry hives",
+    "source": "registry_parser",
+    "records": [
+        {"KeyPath": "HKLM\\Software\\Microsoft\\Windows\\CurrentVersion\\Run",
+         "ValueName": "Updater12", "ValueData": "C:\\ProgramData\\evil.exe",
+         "LastWriteTime": "2025-01-02T03:04:05Z", "SubkeyCount": 4},
+        {"KeyPath": "HKCU\\Software\\Microsoft\\Windows\\CurrentVersion\\Run",
+         "ValueName": "Sync", "ValueData": "C:\\Users\\u\\sync.exe",
+         "LastWriteTime": "2025-02-03T04:05:06Z", "SubkeyCount": 0},
+    ],
+}
+EVTX_PAYLOAD = {
+    "artifact_type": "Windows Event Log records",
+    "description": "EVTX records parsed from the Security channel",
+    "source": "evtx_parser",
+    "records": [
+        {"EventID": "4624", "RecordNumber": "112233", "Channel": "Security",
+         "Provider": "Microsoft-Windows-Security-Auditing",
+         "TimeCreated": "2025-01-02T03:04:05Z",
+         "Message": "An account was successfully logged on",
+         "Level": "Information"},
+        {"EventID": "4625", "RecordNumber": "112234", "Channel": "Security",
+         "Provider": "Microsoft-Windows-Security-Auditing",
+         "TimeCreated": "2025-01-02T03:05:06Z",
+         "Message": "An account failed to log on", "Level": "Warning"},
+    ],
+}
+COOKIE_PAYLOAD = {
+    "artifact_type": "Browser cookie records",
+    "description": "Cookie rows parsed from the browser profile",
+    "source": "cookie_parser",
+    "records": [
+        {"CookieName": "session_id", "CookiePath": "/", "HostKey": ".example.com",
+         "CreationTime": "2025-01-02T03:04:05Z",
+         "LastAccessTime": "2025-01-03T03:04:05Z",
+         "ExpirationTime": "2025-02-02T03:04:05Z", "IsSecure": True},
+        {"CookieName": "tracker", "CookiePath": "/app", "HostKey": ".vendor.net",
+         "CreationTime": "2025-03-02T03:04:05Z",
+         "LastAccessTime": "2025-03-03T03:04:05Z",
+         "ExpirationTime": "2025-04-02T03:04:05Z", "IsSecure": False},
+    ],
+}
+
+
+@pytest.mark.parametrize(
+    "golden,payload",
+    [("registry", REGISTRY_PAYLOAD), ("evtx", EVTX_PAYLOAD),
+     ("cookie", COOKIE_PAYLOAD)],
+)
+def test_round4_frozen_types_match_reference_golden(golden, payload):
+    got = run_payload(payload, ONTOLOGY_MAPS[payload["artifact_type"]])
+    assert got == load_golden(golden)
+
+
 @pytest.mark.parametrize(
     "name,payload",
     [
@@ -141,6 +200,20 @@ def test_mft_matches_reference_golden():
                     "SecurityId": "S-1-5-21-1004",
                     "ObjectIdFileDroid": "droid-0001",
                     "ZoneIdContents": "[ZoneTransfer] ZoneId=3",
+                },
+            },
+        ),
+        (
+            "custom_usn",
+            {
+                "artifact_type": "NTFS USN journal records",
+                "description": "USN change-journal entries from the NTFS volume",
+                "source": "usn_parser",
+                "record": {
+                    "Usn": 120034,
+                    "FileName": "evil.exe",
+                    "Reason": "FILE_CREATE",
+                    "Timestamp": "2025-01-02T03:04:05Z",
                 },
             },
         ),
