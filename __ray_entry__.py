@@ -306,12 +306,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_join": analytics.supplier_part_join,
         "q6_revenue_delta": analytics.q6_revenue_delta,
         "nation_order_volume": analytics.nation_order_volume,
+        "region_nation_rollup": analytics.region_nation_rollup,
         "customers_without_orders": analytics.customers_without_orders,
         "returned_item_loss": analytics.returned_item_loss,
         "large_customer_orders": analytics.large_customer_orders,
         "event_sessions": analytics.event_sessions,
         "purchase_last_click": analytics.purchase_last_click,
         "rolling_hour_counts": analytics.rolling_hour_counts,
+        "user_event_gaps": analytics.user_event_gaps,
         "top_events_per_type": analytics.top_events_per_type,
         "user_event_pivot": analytics.user_event_pivot,
         "props_k_by_type": analytics.props_k_by_type,
@@ -320,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer_histogram": analytics.orders_per_customer_histogram,
         "top_tokens": corpus.top_tokens,
         "top_bigrams": corpus.top_bigrams,
+        "tfidf_top_terms": corpus.tfidf_top_terms,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_minhash_documents": corpus.dedup_minhash_documents,
@@ -343,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf_index": corpus.similarity_ivf_index,
         "embedding_neardup": corpus.embedding_neardup,
         "embedding_neardup_lsh": corpus.embedding_neardup_lsh,
+        "kmeans_embeddings": corpus.kmeans_embeddings,
         # sketch aggregates (approximate by design; rows-only)
         "approx_stats": _approx_stats,
         # multimodal plumbing (deterministic fake codec; rows-only)
@@ -585,6 +589,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, n_name
             ORDER BY r_name, n_name
         """,
+        "region_nation_rollup": """
+            SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS r_name,
+                   CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS n_name,
+                   round(sum(o_totalprice), 2) AS total,
+                   count(*) AS n_orders
+            FROM orders
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY 1, 2
+        """,
         "customers_without_orders": """
             SELECT count(*) AS n_customers
             FROM customer
@@ -708,6 +724,39 @@ def oracle_sql() -> dict[str, str]:
                        WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts > b.ts
             ORDER BY a.event_id
+        """,
+        "user_event_gaps": """
+            SELECT event_id, user_id, ts, gap_us FROM (
+                SELECT event_id, user_id, ts,
+                       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id))
+                            AS BIGINT) AS gap_us
+                FROM events
+            )
+            WHERE gap_us IS NOT NULL
+            ORDER BY gap_us DESC, event_id
+            LIMIT 25
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS c
+                FROM toks WHERE tok <> '' GROUP BY 1, 2
+            ), agg AS (
+                SELECT tok, CAST(sum(c) AS BIGINT) AS sum_tf,
+                       count(*) AS df
+                FROM tf GROUP BY 1
+            )
+            SELECT tok,
+                   round(sum_tf * ln((SELECT count(*) FROM documents) * 1.0
+                                     / df), 4) AS tfidf,
+                   sum_tf, df
+            FROM agg
+            ORDER BY tfidf DESC, tok
+            LIMIT 20
         """,
         "top_tokens": """
             SELECT tok, count(*) AS n

@@ -404,3 +404,80 @@ def ivf_index_topk(index_dir: str, query: np.ndarray, k: int = 10,
     partials = ds.map_batches(topk_part, batch_format="pyarrow").to_pandas()
     return partials.sort_values(["cos", id_col],
                                 ascending=[False, True]).head(k).reset_index(drop=True)
+
+
+def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
+               id_col: str = "vec_id", seed: int = 42):
+    """Distributed spherical k-means (Lloyd's) over the embedding column —
+    the iterative-algorithm shape: per iteration the current centroids are
+    broadcast ONCE (``ray.put``), every batch computes its partial
+    per-cluster (vector sum, count, inertia) with one matmul + ``np.add.at``
+    (no per-row Python), and the driver reduces k x d floats and
+    renormalizes. Assignment is by max cosine; inertia = sum(1 - cos).
+
+    Deterministic given a fixed batch partitioning (float reduce order);
+    init = the seeded hash-rank sample ``_sample_centroids`` (same as IVF).
+    Empty clusters keep their previous centroid.
+
+    Returns (centroids ndarray [k, d], history list of per-iteration
+    {"inertia", "moved"}). The per-iteration driver state is k x d floats —
+    independent of corpus size; each pass streams the dataset once.
+    """
+    import ray
+
+    cents = _sample_centroids(ds, n_clusters, id_col, seed)
+    k = len(cents)
+    history = []
+
+    # materialize the normalized projection once: n_iter consumers
+    def norm_only(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t))
+        return pa.table({"vec": pa.array(list(m), pa.list_(pa.float64()))})
+
+    normed = ds.map_batches(norm_only, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        def partials(t: pa.Table, _r=ref) -> pa.Table:
+            c = ray.get(_r)
+            vecs = t.column("vec").combine_chunks()
+            m = vecs.values.to_numpy(zero_copy_only=False).reshape(
+                t.num_rows, -1)
+            cos = m @ c.T
+            assign = np.argmax(cos, axis=1)
+            best = cos[np.arange(len(m)), assign]
+            sums = np.zeros((len(c), m.shape[1]))
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            inert = np.zeros(len(c))
+            np.add.at(inert, assign, 1.0 - best)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+                "inertia": pa.array(inert, pa.float64()),
+            })
+
+        part = normed.map_batches(partials, batch_format="pyarrow").to_pandas()
+        # driver reduce: k rows per batch -> k rows total (sort for a
+        # deterministic float-summation order)
+        part = part.sort_values("cluster", kind="mergesort")
+        agg_sums = np.zeros_like(cents)
+        agg_n = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for cl, grp in part.groupby("cluster"):
+            agg_sums[cl] = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+            agg_n[cl] = grp["n"].sum()
+            inertia += grp["inertia"].sum()
+        new = cents.copy()
+        nz = agg_n > 0
+        new[nz] = agg_sums[nz] / agg_n[nz, None]
+        norms = np.linalg.norm(new, axis=1)
+        new[norms > 0] /= norms[norms > 0, None]
+        moved = float(np.abs(new - cents).max())
+        cents = new
+        history.append({"inertia": float(inertia), "moved": moved,
+                        "sizes": agg_n.tolist()})
+
+    return cents, history

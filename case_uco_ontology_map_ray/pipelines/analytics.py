@@ -269,13 +269,15 @@ def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"revenue": [float(round_away(total / 10000.0, 2))]})
 
 
-def nation_order_volume(sf_dir: str) -> pd.DataFrame:
-    """Q5-flavoured multi-join: order value by customer nation. Only the
-    genuinely-small sides broadcast (nation x region — 25 rows); customer is
-    O(data) at scale, so customer x orders goes through a bucketed
-    hash-partitioned join (auto-sized buckets), with orders locally
-    pre-aggregated per custkey (exact int64 x1e4 sums) before the shuffle so
-    the exchange carries one row per (custkey, block), not per order."""
+def _nation_order_fine(sf_dir: str) -> pd.DataFrame:
+    """Exact (r_name, n_name, total x1e4 int64, n_orders) fine aggregate —
+    the distributed chain shared by nation_order_volume and
+    region_nation_rollup. Only the genuinely-small sides broadcast
+    (nation x region — 25 rows); customer is O(data) at scale, so
+    customer x orders goes through a bucketed hash-partitioned join
+    (auto-sized buckets), with orders locally pre-aggregated per custkey
+    (exact int64 x1e4 sums) before the shuffle so the exchange carries one
+    row per (custkey, block), not per order."""
     from ..ops.joins import bucket_join
 
     nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
@@ -300,7 +302,34 @@ def nation_order_volume(sf_dir: str) -> pd.DataFrame:
     named = broadcast_join(joined, dims, on="c_nationkey")
     out = grouped_sums(named, keys=["r_name", "n_name"],
                        sum_cols={"total": "total", "n_orders": "n_orders"})
+    return out.astype({"total": "int64", "n_orders": "int64"})
+
+
+def nation_order_volume(sf_dir: str) -> pd.DataFrame:
+    """Q5-flavoured multi-join: order value by customer nation (see
+    _nation_order_fine for the distributed shape)."""
+    out = _nation_order_fine(sf_dir)
     out["total"] = round_away(out["total"] / 10000.0, 2)
+    out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return out[["r_name", "n_name", "total", "n_orders"]]
+
+
+def region_nation_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregate: order count + value by (region, nation) with
+    per-region subtotals and a grand total ('ALL' sentinel rows, no real
+    region/nation uses that name). Subtotals are derived from the EXACT
+    int64 x1e4 fine aggregate (25 rows, driver-side), so they are bit-equal
+    to SQL's GROUP BY ROLLUP over the raw rows — no re-rounding drift.
+    Oracle: DuckDB GROUP BY ROLLUP + GROUPING()."""
+    fine = _nation_order_fine(sf_dir)
+    lvl1 = (fine.groupby("r_name", as_index=False)[["total", "n_orders"]]
+            .sum().assign(n_name="ALL"))
+    lvl2 = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                         "total": [fine["total"].sum()],
+                         "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([fine, lvl1, lvl2], ignore_index=True)
+    out["total"] = round_away(out["total"] / 10000.0, 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
     out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
     return out[["r_name", "n_name", "total", "n_orders"]]
 
@@ -484,6 +513,47 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30, k: int = 15) -> pd.DataFr
     out = out.sort_values(["n_events", "user_id", "session_start"],
                           ascending=[False, True, True]).head(k)
     return out[["user_id", "session_start", "n_events"]].reset_index(drop=True)
+
+
+def user_event_gaps(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Lag-window primitive: for each event, microseconds since the SAME
+    user's previous event; top-k largest gaps. Same co-group shape as
+    sessionization — users hash-bucketed into 64 complete-key groups, one
+    vectorized diff over (user, ts, event_id)-sorted segments per bucket,
+    local top-k per bucket, tiny driver merge. Oracle: SQL lag() window
+    with the identical (ts, event_id) tie order."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        t = ts.astype("int64")
+        if len(t) < 2:
+            return pd.DataFrame({"event_id": eid[:0], "user_id": uid[:0],
+                                 "ts": ts[:0],
+                                 "gap_us": np.array([], dtype="int64")})
+        same_user = uid[1:] == uid[:-1]
+        gap = np.diff(t)
+        out = pd.DataFrame({"event_id": eid[1:][same_user],
+                            "user_id": uid[1:][same_user],
+                            "ts": ts[1:][same_user],
+                            "gap_us": gap[same_user].astype("int64")})
+        # local top-k: a global winner wins its own bucket
+        return out.sort_values(["gap_us", "event_id"],
+                               ascending=[False, True]).head(k)
+
+    gaps = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas")
+    out = gaps.to_pandas()
+    out = out.sort_values(["gap_us", "event_id"],
+                          ascending=[False, True]).head(k)
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return out[["event_id", "user_id", "ts", "gap_us"]].reset_index(drop=True)
 
 
 def purchase_last_click(sf_dir: str) -> pd.DataFrame:

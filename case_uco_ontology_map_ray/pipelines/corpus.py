@@ -113,6 +113,48 @@ def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
             .head(k)[["tok", "n"]].reset_index(drop=True))
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-level TF-IDF: top-k terms by ``sum_tf * ln(N / df)``.
+
+    Classically two passes (term frequencies, then document frequencies);
+    here ONE explode computes both partials per batch — documents never
+    span batches, so the batch-local (doc, token) rollup yields exact tf
+    rows, and a second in-batch rollup over them yields per-token
+    (sum_tf, df) partials. One global groupby(token) finishes both sums;
+    the driver sees only the per-token aggregate. Oracle: DuckDB unnest +
+    ln (same whitespace split as doc_token_stats)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # metadata count, no execution
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                           np.diff(offs))
+        pairs = pa.table({"d": pa.array(doc_ix, pa.int64()),
+                          "tok": pc.list_flatten(toks)})
+        pairs = pairs.filter(pc.not_equal(pairs.column("tok"), ""))
+        tf = pairs.group_by(["d", "tok"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns(["d", "tok", "tf"])
+        agg = tf.group_by(["tok"]).aggregate([("tf", "sum"), ([], "count_all")])
+        return agg.rename_columns(["tok", "sum_tf_part", "df_part"])
+
+    parts = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(parts, keys=["tok"],
+                       sum_cols={"sum_tf": "sum_tf_part", "df": "df_part"})
+    out = out.astype({"sum_tf": "int64", "df": "int64"})
+    out["tfidf"] = round_away(
+        out.sum_tf.to_numpy() * np.log(n_docs / out.df.to_numpy()), 4)
+    out = out.sort_values(["tfidf", "tok"], ascending=[False, True]).head(k)
+    return out[["tok", "tfidf", "sum_tf", "df"]].reset_index(drop=True)
+
+
 def top_bigrams(sf_dir: str, k: int = 15) -> pd.DataFrame:
     """Top word bigrams: whitespace tokens -> adjacent pairs, vectorized on
     the Arrow list layout (values array sliced by one + element-wise join,
@@ -282,3 +324,19 @@ def doc_packing(sf_dir: str, max_tokens: int = 256) -> pd.DataFrame:
     out = out.astype({"pack_id": "int64", "pack_tokens": "int64",
                       "n_docs": "int64"})
     return out.sort_values("pack_id").reset_index(drop=True)
+
+
+def kmeans_embeddings(sf_dir: str, n_clusters: int = 8,
+                      n_iter: int = 5) -> pd.DataFrame:
+    """Distributed spherical k-means over the embeddings table (Lloyd's,
+    5 iterations): per-cluster sizes + final inertia share. Rows-only by
+    nature (centroid floats depend on reduce order at the 1e-15 level);
+    convergence/determinism invariants are pinned in tests."""
+    import numpy as np
+
+    _, history = sim.kmeans_fit(_emb(sf_dir), n_clusters=n_clusters,
+                                n_iter=n_iter)
+    last = history[-1]
+    sizes = np.asarray(last["sizes"], dtype=np.int64)
+    return pd.DataFrame({"cluster": np.arange(len(sizes), dtype=np.int64),
+                         "size": sizes})

@@ -500,3 +500,32 @@ def test_pack_sequences_invariants():
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_kmeans_fit_invariants(ray_session):
+    """Distributed spherical k-means: inertia non-increasing, every vector
+    assigned, deterministic at a fixed partitioning."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import kmeans_fit
+
+    rng = np.random.RandomState(7)
+    # three well-separated direction clusters
+    base = np.eye(3)[[0, 1, 2]].repeat(60, axis=0)
+    m = base + rng.normal(scale=0.05, size=(180, 3))
+    t = pa.table({"vec_id": pa.array(range(180), pa.int64()),
+                  "embedding": pa.array([list(r) for r in m],
+                                        pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(4)
+
+    cents, hist = kmeans_fit(ds, n_clusters=3, n_iter=5)
+    assert cents.shape == (3, 3)
+    inertias = [h["inertia"] for h in hist]
+    assert all(a >= b - 1e-9 for a, b in zip(inertias, inertias[1:]))
+    assert sum(hist[-1]["sizes"]) == 180
+    # well-separated clusters -> balanced sizes and near-zero final inertia
+    assert sorted(hist[-1]["sizes"]) == [60, 60, 60]
+    assert inertias[-1] < 1.0
+
+    cents2, hist2 = kmeans_fit(ds, n_clusters=3, n_iter=5)
+    assert np.allclose(cents, cents2) and hist == hist2
