@@ -23,9 +23,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "1200000"))
 MEAN_TURNS = 12
-# g2: transcript generator version (browser_history kind added) — part of
-# the cache key so stale /tmp tables from an older generator are not reused
-GEN_VERSION = "g2"
+# g3: transcript generator version (registry/evtx/cookie/usn kinds added) —
+# part of the cache key so stale /tmp tables from an older generator are not
+# reused. NOTE: triple counts are not comparable across generator versions;
+# triples_per_sec is the cross-round comparable number.
+GEN_VERSION = "g3"
 SYNTH_DIR = f"/tmp/cuomr_synth/bench_{GEN_VERSION}_{BENCH_CONVS}x{MEAN_TURNS}"
 
 
@@ -150,11 +152,15 @@ def run_bench() -> dict:
         ("returned_item_loss", analytics.returned_item_loss),
         ("large_customer_orders", analytics.large_customer_orders),
         ("event_value_quantiles", analytics.event_value_quantiles),
+        ("user_event_gaps", analytics.user_event_gaps),
+        ("region_nation_rollup", analytics.region_nation_rollup),
         ("dedup_minhash_documents", corpus.dedup_minhash_documents),
         ("similarity_topk", corpus.similarity_topk),
         ("doc_quality", corpus.doc_quality),
         ("doc_repetition", corpus.doc_repetition),
         ("similarity_ivf_index", corpus.similarity_ivf_index),
+        ("tfidf_top_terms", corpus.tfidf_top_terms),
+        ("kmeans_embeddings", corpus.kmeans_embeddings),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -108,6 +108,28 @@ def test_small_and_distributed_paths_agree():
     )
 
 
+def test_small_path_gate_is_incidence_rows():
+    """The small-path gate bounds n_paths * bands (what the driver actually
+    pulls), not n_paths: at exactly the boundary the small path fires; one
+    row under it the distributed path fires — and both produce the same
+    assignment (VERDICT r3 'What's wrong' #3)."""
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        canonical_entities, distinct_paths, mentions_from_triples)
+
+    triples = _triples_ds(4)
+    bands = 8
+    n_paths = distinct_paths(mentions_from_triples(triples)).count()
+    at_boundary = canonical_entities(
+        triples, bands=bands, max_rounds=5,
+        small_threshold=n_paths * bands)[0].to_pandas()
+    under_boundary = canonical_entities(
+        triples, bands=bands, max_rounds=5,
+        small_threshold=n_paths * bands - 1)[0].to_pandas()
+    key = ["pid", "label", "canonical_id"]
+    assert set(map(tuple, at_boundary[key].values.tolist())) == set(
+        map(tuple, under_boundary[key].values.tolist()))
+
+
 def test_conversation_entity_stats_salted():
     from case_uco_ontology_map_ray.pipelines.linking import (
         conversation_entity_stats,
