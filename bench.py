@@ -48,7 +48,40 @@ def ensure_bench_transcripts():
         f.write("ok")
 
 
+def _spin(n: int) -> int:
+    x = 1
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+    return x
+
+
+def host_probe(n: int = 10_000_000) -> dict:
+    """Untimed host-speed calibration recorded alongside every bench run.
+
+    This box is a shared/virtualized host whose delivered CPU speed swings
+    ~2x between windows (BASELINE.md); identical code+data measured 2-3x
+    apart across runs in round 4. The probe is a register-only integer LCG
+    (no memory traffic, no allocation) run single-process and NUM_CPUS-wide,
+    so any cross-round bench comparison can be normalized by the host's
+    actual delivered cycles in that window.
+    """
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _spin(n)
+    single = n / (time.perf_counter() - t0) / 1e6
+    with mp.Pool(NUM_CPUS) as pool:
+        t0 = time.perf_counter()
+        pool.map(_spin, [n] * NUM_CPUS)
+        agg = NUM_CPUS * n / (time.perf_counter() - t0) / 1e6
+    return {"host_spin_single_mips": round(single, 2),
+            "host_spin_agg_mips": round(agg, 1),
+            "host_spin_parallel_eff": round(agg / single / NUM_CPUS, 3)}
+
+
 def run_bench() -> dict:
+    probe = host_probe()
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -174,6 +207,7 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_convs": BENCH_CONVS,
+        **probe,
         **extras,
     }
     ray.shutdown()
@@ -207,6 +241,8 @@ def run_scaling():
         f"sec_{lo}": results[lo]["value"], f"sec_{hi}": results[hi]["value"],
         f"triples_per_sec_{lo}": r_lo, f"triples_per_sec_{hi}": r_hi,
         "scaling_efficiency": round(eff, 3),
+        f"host_spin_single_mips_{lo}": results[lo].get("host_spin_single_mips"),
+        f"host_spin_single_mips_{hi}": results[hi].get("host_spin_single_mips"),
         f"queries_{lo}": results[lo]["queries"],
         f"queries_{hi}": results[hi]["queries"],
     }))
