@@ -320,6 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": analytics.event_value_quantiles,
         "monthly_cumulative_revenue": analytics.monthly_cumulative_revenue,
         "orders_per_customer_histogram": analytics.orders_per_customer_histogram,
+        "user_funnel": analytics.user_funnel,
+        "brand_price_band_pairs": analytics.brand_price_band_pairs,
+        "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
         "top_tokens": corpus.top_tokens,
         "top_bigrams": corpus.top_bigrams,
         "tfidf_top_terms": corpus.tfidf_top_terms,
@@ -736,6 +739,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE gap_us IS NOT NULL
             ORDER BY gap_us DESC, event_id
             LIMIT 25
+        """,
+        "user_funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT stage, stage_idx, n_users FROM (
+                SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+                       count(*) AS n_users FROM v
+                UNION ALL
+                SELECT 'click', 2, count(*) FROM c
+                UNION ALL
+                SELECT 'purchase', 3, count(*) FROM p
+            ) ORDER BY stage_idx
+        """,
+        "brand_price_band_pairs": """
+            WITH cents AS (
+                SELECT p_partkey, p_brand,
+                       CAST(round(p_retailprice * 100) AS BIGINT) AS c
+                FROM part
+            )
+            SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+                   abs(a.c - b.c) AS dprice_cents
+            FROM cents a JOIN cents b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             AND abs(a.c - b.c) < 100
+            ORDER BY a.p_brand, k1, k2
+        """,
+        "cheapest_supplier_per_part": """
+            WITH c AS (
+                SELECT l_partkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                       l_suppkey
+                FROM lineitem
+            ), m AS (
+                SELECT l_partkey, min(cents) AS min_price_cents
+                FROM c GROUP BY l_partkey
+            ), pick AS (
+                SELECT c.l_partkey, m.min_price_cents,
+                       min(c.l_suppkey) AS s_suppkey
+                FROM c JOIN m ON c.l_partkey = m.l_partkey
+                            AND c.cents = m.min_price_cents
+                GROUP BY c.l_partkey, m.min_price_cents
+            )
+            SELECT p.p_partkey, p.p_name, pick.s_suppkey, s.s_name,
+                   pick.min_price_cents
+            FROM pick
+            JOIN part p ON p.p_partkey = pick.l_partkey
+            JOIN supplier s ON s.s_suppkey = pick.s_suppkey
+            ORDER BY p.p_partkey
+            LIMIT 500
         """,
         "tfidf_top_terms": r"""
             WITH toks AS (

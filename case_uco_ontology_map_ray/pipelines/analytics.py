@@ -835,3 +835,109 @@ def supplier_part_join(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out["revenue"] = round_away(out["revenue"] / 10000.0, 2)
     out = out.sort_values(["revenue", "p_brand"], ascending=[False, True]).head(k)
     return out[["p_brand", "n", "revenue"]].reset_index(drop=True)
+
+
+def user_funnel(sf_dir: str, stages=("view", "click", "purchase")) -> pd.DataFrame:
+    """Sequential funnel: users reaching each stage with STRICTLY increasing
+    timestamps (first 'view', then a 'click' after it, then a 'purchase'
+    after that click). A classic sequence-match that SQL needs chained
+    self-joins for; here each hash co-group of complete user histories is
+    reduced in one vectorized pandas pass (groupby-min + merge per stage),
+    emitting ONE partial-count row per bucket — the driver sums 64 tiny
+    rows. Oracle: chained min-ts CTEs with the same strict-> semantics."""
+    stage_set = list(stages)
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("event_type"),
+                                    value_set=pa.array(stage_set))),
+        batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        prev = None  # Series: user_id -> ts of reaching the previous stage
+        for s in stage_set:
+            ev = g[g.event_type == s][["user_id", "ts"]]
+            if prev is not None:
+                ev = ev.merge(prev.rename("prev_ts"), on="user_id")
+                ev = ev[ev.ts > ev.prev_ts]
+            reached = ev.groupby("user_id").ts.min()
+            counts.append(len(reached))
+            prev = reached
+        return pd.DataFrame({f"n{i}": [c] for i, c in enumerate(counts)})
+
+    partials = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "stage": stage_set,
+        "stage_idx": np.arange(1, len(stage_set) + 1, dtype=np.int64),
+        "n_users": [int(partials[f"n{i}"].sum()) for i in range(len(stage_set))],
+    })
+
+
+def brand_price_band_pairs(sf_dir: str, band_cents: int = 100) -> pd.DataFrame:
+    """Banded non-equi self-join: pairs of same-brand parts whose retail
+    prices differ by under ``band_cents`` (ops.joins.banded_self_join —
+    value-bucketing with single ghost replication, no all-pairs shuffle).
+    Prices are integer cents so the band predicate is exact on both sides.
+    Oracle: self-join with abs(cents difference) < band."""
+    from ..ops.joins import banded_self_join
+
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_retailprice"])
+    ds = ds.map_batches(
+        lambda t: t.append_column("price_cents", _scale_i64(t.column("p_retailprice"), 100.0))
+                   .drop_columns(["p_retailprice"]),
+        batch_format="pyarrow")
+    out = banded_self_join(ds, group_col="p_brand", value_col="price_cents",
+                           band=band_cents, id_col="p_partkey").to_pandas()
+    out = out.rename(columns={"id_lo": "k1", "id_hi": "k2", "dvalue": "dprice_cents"})
+    out = out.sort_values(["p_brand", "k1", "k2"]).reset_index(drop=True)
+    return out[["p_brand", "k1", "k2", "dprice_cents"]]
+
+
+def cheapest_supplier_per_part(sf_dir: str, k: int = 500) -> pd.DataFrame:
+    """Argmin join (TPC-H Q2 shape): for each part, the supplier of its
+    cheapest lineitem (ties -> smallest suppkey), with part/supplier names
+    joined on. Per-batch combiner shrinks each batch to one candidate per
+    partkey (sort + drop_duplicates, vectorized); hash co-groups finish the
+    argmin; only the k smallest partkeys ship to the driver, and the name
+    joins read the dimension tables pruned + filtered to those k keys.
+    Oracle: min-cents per part joined back with min-suppkey tiebreak."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.append_column("min_price_cents",
+                            _scale_i64(t.column("l_extendedprice"), 100.0))
+        df = t.drop_columns(["l_extendedprice"]).to_pandas()
+        df = df.sort_values(["l_partkey", "min_price_cents", "l_suppkey"],
+                            kind="mergesort")
+        return pa.Table.from_pandas(df.drop_duplicates("l_partkey"),
+                                    preserve_index=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "min_price_cents", "l_suppkey"],
+                          kind="mergesort").drop_duplicates("l_partkey")
+        # local head-k by partkey: a global k-smallest partkey wins its bucket
+        return g.nsmallest(k, "l_partkey")[["l_partkey", "l_suppkey", "min_price_cents"]]
+
+    cand = ds.map_batches(combine, batch_format="pyarrow")
+    picked = _keyed_segments(cand, "l_partkey").map_groups(
+        finish, batch_format="pandas").to_pandas()
+    picked = picked.nsmallest(k, "l_partkey").reset_index(drop=True)
+
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    keys = pa.array(picked["l_partkey"].to_numpy())
+    pnames = part.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("p_partkey"), value_set=keys)),
+        batch_format="pyarrow").to_pandas()
+    sup = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    skeys = pa.array(picked["l_suppkey"].unique())
+    snames = sup.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_suppkey"), value_set=skeys)),
+        batch_format="pyarrow").to_pandas()
+    out = (picked.rename(columns={"l_partkey": "p_partkey", "l_suppkey": "s_suppkey"})
+           .merge(pnames, on="p_partkey").merge(snames, on="s_suppkey"))
+    out = out.sort_values("p_partkey").reset_index(drop=True)
+    return out[["p_partkey", "p_name", "s_suppkey", "s_name", "min_price_cents"]]

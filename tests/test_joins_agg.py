@@ -238,3 +238,68 @@ def test_auto_num_buckets_prefers_materialized_size(ray_session, tmp_path):
     # tiny target bytes so lineage-based sizing WOULD over-bucket
     n = auto_num_buckets(filtered, target_bytes=4096)
     assert n == _MIN_BUCKETS
+
+
+def test_banded_self_join_matches_brute_force(ray_session):
+    """Pairs from the bucketed banded join equal the O(n^2) definition —
+    including cross-value-bucket pairs, ties (dvalue == 0), and the strict
+    < band boundary."""
+    from case_uco_ontology_map_ray.ops.joins import banded_self_join
+
+    rng = np.random.default_rng(7)
+    n, band = 400, 10
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], n),
+        # values clustered so plenty of pairs land exactly on bucket edges
+        "v": rng.integers(0, 80, n).astype(np.int64),
+    })
+    got = banded_self_join(rd.from_pandas(df), group_col="g", value_col="v",
+                           band=band, id_col="id", num_buckets=8).to_pandas()
+    got = set(map(tuple, got[["g", "id_lo", "id_hi", "dvalue"]].values.tolist()))
+
+    want = set()
+    rows = df.to_dict("records")
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = rows[i], rows[j]
+            if a["g"] == b["g"] and abs(a["v"] - b["v"]) < band:
+                want.add((a["g"], min(a["id"], b["id"]), max(a["id"], b["id"]),
+                          abs(a["v"] - b["v"])))
+    assert got == want
+
+
+def test_user_funnel_requires_strictly_increasing_stages(ray_session, tmp_path):
+    """A click at or before the first view does not advance the funnel; a
+    later click does, and only purchases after that click count."""
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.analytics import user_funnel
+
+    def ts(s):
+        return np.datetime64(f"2024-01-01T00:00:{s:02d}", "us")
+
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", ts(1)), (1, "click", ts(2)), (1, "purchase", ts(3)),
+        # user 2: click BEFORE view and purchase SIMULTANEOUS with view
+        (2, "click", ts(1)), (2, "view", ts(2)), (2, "purchase", ts(2)),
+        # user 3: view then click at the SAME ts (strict > excludes it)
+        (3, "view", ts(5)), (3, "click", ts(5)),
+        # user 4: view only
+        (4, "view", ts(1)),
+        # user 5: purchase before click (click counts, purchase doesn't)
+        (5, "view", ts(1)), (5, "purchase", ts(2)), (5, "click", ts(3)),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = user_funnel(str(tmp_path))
+    by_stage = dict(zip(out.stage, out.n_users))
+    assert by_stage == {"view": 5, "click": 2, "purchase": 1}
