@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": corpus.top_tokens,
         "top_bigrams": corpus.top_bigrams,
         "tfidf_top_terms": corpus.tfidf_top_terms,
+        "ngram_contamination": corpus.ngram_contamination,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_minhash_documents": corpus.dedup_minhash_documents,
@@ -739,6 +740,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE gap_us IS NOT NULL
             ORDER BY gap_us DESC, event_id
             LIMIT 25
+        """,
+        "ngram_contamination": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(text), '\s+') AS a
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, source,
+                       array_to_string(a[CAST(i AS INT):CAST(i + 3 AS INT)],
+                                       ' ') AS gram
+                FROM toks, LATERAL unnest(range(1, len(a) - 2)) AS t(i)
+            ), test AS (
+                SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+            ), train AS (
+                SELECT DISTINCT doc_id, gram FROM grams
+                WHERE source <> 'src0'
+            )
+            SELECT tr.doc_id, count(*) AS n_shared_grams
+            FROM train tr JOIN test te USING (gram)
+            GROUP BY tr.doc_id
+            ORDER BY n_shared_grams DESC, tr.doc_id
+            LIMIT 100
         """,
         "user_funnel": """
             WITH v AS (

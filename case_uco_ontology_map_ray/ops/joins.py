@@ -183,7 +183,21 @@ def adaptive_join(left, right, on: str, how: str = "inner",
 
 
 def _mix_bucket(key_col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
-    """Deterministic int64 mix -> [0, num_buckets) (xorshift avalanche)."""
+    """Deterministic int64 mix -> [0, num_buckets) (xorshift avalanche).
+
+    String keys are bucketed via pandas' vectorized siphash (deterministic,
+    fixed key, identical across worker processes); the bucket assignment
+    only needs determinism — joins/membership checks still compare the
+    actual key values, so hash collisions merely co-locate, never corrupt.
+    """
+    typ = key_col.type
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        import numpy as np
+
+        h = pd.util.hash_pandas_object(
+            key_col.to_pandas(), index=False).to_numpy(np.uint64)
+        return pa.array(((h & np.uint64((1 << 62) - 1))
+                         % np.uint64(num_buckets)).astype(np.int64))
     x = key_col.cast(pa.int64())
     x = pc.bit_wise_xor(x, pc.shift_right(x, 33))
     x = pc.bit_wise_and(x, pa.scalar((1 << 62) - 1, pa.int64()))

@@ -340,3 +340,67 @@ def kmeans_embeddings(sf_dir: str, n_clusters: int = 8,
     sizes = np.asarray(last["sizes"], dtype=np.int64)
     return pd.DataFrame({"cluster": np.arange(len(sizes), dtype=np.int64),
                          "size": sizes})
+
+
+def _word_grams(t: pa.Table, k_gram: int, with_doc: bool) -> pa.Table:
+    """Distinct word k-grams per batch: Arrow whitespace split -> flatten ->
+    drop empty edge tokens -> vectorized sliding-window join (k shifted
+    numpy string views concatenated, masked at document boundaries).
+    Documents never span batches, so the in-batch distinct is globally
+    exact for (doc_id, gram)."""
+    import pyarrow.compute as pc
+
+    toks_list = pc.utf8_split_whitespace(t.column("text"))
+    flat = pc.list_flatten(toks_list)
+    lens = pc.list_value_length(toks_list).to_numpy().astype(np.int64)
+    doc = np.repeat(t.column("doc_id").to_numpy(), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = flat.to_numpy(zero_copy_only=False)[keep].astype("U")
+    doc = doc[keep]
+    n = len(words)
+    if n < k_gram:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "gram": pa.array([], pa.string())})
+    m = n - k_gram + 1
+    ok = doc[:m] == doc[k_gram - 1:]          # window stays inside one doc
+    grams = words[:m].copy()
+    for i in range(1, k_gram):
+        grams = np.char.add(np.char.add(grams, " "), words[i:m + i])
+    out = pa.table({"doc_id": pa.array(doc[:m][ok], pa.int64()),
+                    "gram": pa.array(grams[ok], pa.string())})
+    keys = ["doc_id", "gram"] if with_doc else ["gram"]
+    agg = out.group_by(keys).aggregate([])
+    return agg.select(keys)
+
+
+def ngram_contamination(sf_dir: str, holdout_source: str = "src0",
+                        k_gram: int = 4, k: int = 100) -> pd.DataFrame:
+    """Train/test decontamination scoring (the GPT-3/PaLM n-gram method):
+    for each training document, how many DISTINCT word k-grams it shares
+    with the held-out source's documents.
+
+    Scale shape: both sides explode to distinct k-grams with a per-batch
+    combiner (documents never span batches, so batch-distinct is exact);
+    membership is a bucketed semi join on the gram STRING (exact equality
+    per bucket — the hash only routes, ops/joins.bucket_semi_join), then a
+    partial-agg count per doc and a distributed top-k. The holdout gram set
+    is never collected to the driver and never broadcast whole.
+
+    Oracle: DuckDB lateral unnest over token-array slices with the same
+    trim/whitespace tokenization.
+    """
+    from ..ops.agg import grouped_sums_ds, topk_ds
+    from ..ops.joins import bucket_semi_join
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    test = ds.filter(expr=f"source == '{holdout_source}'").map_batches(
+        lambda t: _word_grams(t, k_gram, with_doc=False), batch_format="pyarrow")
+    train = ds.filter(expr=f"source != '{holdout_source}'").map_batches(
+        lambda t: _word_grams(t, k_gram, with_doc=True), batch_format="pyarrow")
+    shared = bucket_semi_join(train, test, on="gram")
+    counts = grouped_sums_ds(shared, keys=["doc_id"], sum_cols={},
+                             count_alias="n_shared_grams")
+    out = topk_ds(counts, by=["n_shared_grams", "doc_id"],
+                  ascending=[False, True], k=k)
+    out["n_shared_grams"] = out["n_shared_grams"].astype("int64")
+    return out[["doc_id", "n_shared_grams"]]

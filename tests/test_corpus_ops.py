@@ -529,3 +529,46 @@ def test_kmeans_fit_invariants(ray_session):
 
     cents2, hist2 = kmeans_fit(ds, n_clusters=3, n_iter=5)
     assert np.allclose(cents, cents2) and hist == hist2
+
+
+def test_word_grams_respect_doc_boundaries_and_edges(ray_session):
+    """Sliding k-gram windows never cross documents; edge whitespace and
+    short/empty docs contribute nothing; in-batch distinct dedups."""
+    import pyarrow as pa
+
+    from case_uco_ontology_map_ray.pipelines.corpus import _word_grams
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([" a b c d ",      # edge spaces stripped -> 1 gram
+                          "x y z",           # only 3 tokens -> no 4-gram
+                          "",                # empty
+                          "a b c d a b c d a b c d"]),  # dup grams collapse
+    })
+    out = _word_grams(t, 4, with_doc=True).to_pandas()
+    got = set(map(tuple, out.values.tolist()))
+    assert (1, "a b c d") in got
+    assert not any(d in (2, 3) for d, _ in got)
+    d4 = sorted(g for d, g in got if d == 4)
+    # doc 4 has 9 windows but only 4 distinct grams (period-4 repetition)
+    assert len(d4) == 4 and "a b c d" in d4
+
+
+def test_mix_bucket_string_keys_deterministic(ray_session):
+    """String keys bucket deterministically and equal keys co-locate, so
+    bucket_semi_join on a string column is exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.joins import _mix_bucket, bucket_semi_join
+
+    keys = pa.chunked_array([pa.array(["alpha", "beta", "alpha", "gamma"])])
+    b1 = _mix_bucket(keys, 16).to_pylist()
+    b2 = _mix_bucket(keys, 16).to_pylist()
+    assert b1 == b2 and b1[0] == b1[2]
+
+    left = rd.from_arrow(pa.table({"gram": ["a b", "c d", "e f"],
+                                   "doc": [1, 2, 3]}))
+    right = rd.from_arrow(pa.table({"gram": ["c d", "zz"]}))
+    out = bucket_semi_join(left, right, on="gram", num_buckets=4).to_pandas()
+    assert out.doc.tolist() == [2]
