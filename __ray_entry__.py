@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_cumulative_revenue": analytics.monthly_cumulative_revenue,
         "orders_per_customer_histogram": analytics.orders_per_customer_histogram,
         "user_funnel": analytics.user_funnel,
+        "viewers_never_purchased": analytics.viewers_never_purchased,
+        "orders_above_customer_avg": analytics.orders_above_customer_avg,
         "brand_price_band_pairs": analytics.brand_price_band_pairs,
         "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
         "top_tokens": corpus.top_tokens,
@@ -739,6 +741,33 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE gap_us IS NOT NULL
             ORDER BY gap_us DESC, event_id
+            LIMIT 25
+        """,
+        "viewers_never_purchased": """
+            SELECT user_id FROM (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'view'
+                  AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+                EXCEPT
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+            ) ORDER BY user_id LIMIT 50
+        """,
+        "orders_above_customer_avg": """
+            WITH c AS (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), agg AS (
+                SELECT o_custkey, sum(cents) AS sum_cents,
+                       count(*) AS n_orders
+                FROM c GROUP BY o_custkey
+            )
+            SELECT c.o_orderkey, c.o_custkey, c.o_totalprice
+            FROM c JOIN agg USING (o_custkey)
+            WHERE c.cents * agg.n_orders > agg.sum_cents
+            ORDER BY c.o_totalprice DESC, c.o_orderkey
             LIMIT 25
         """,
         "ngram_contamination": r"""

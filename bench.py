@@ -194,6 +194,9 @@ def run_bench() -> dict:
         ("similarity_ivf_index", corpus.similarity_ivf_index),
         ("tfidf_top_terms", corpus.tfidf_top_terms),
         ("kmeans_embeddings", corpus.kmeans_embeddings),
+        ("user_funnel", analytics.user_funnel),
+        ("cheapest_supplier_per_part", analytics.cheapest_supplier_per_part),
+        ("ngram_contamination", corpus.ngram_contamination),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)
@@ -236,16 +239,29 @@ def run_scaling():
     r_lo = results[lo]["triples_per_sec"]
     r_hi = results[hi]["triples_per_sec"]
     eff = (r_hi / r_lo) / (hi / lo)
-    print(json.dumps({
+    out = {
         "cpus": [lo, hi],
         f"sec_{lo}": results[lo]["value"], f"sec_{hi}": results[hi]["value"],
         f"triples_per_sec_{lo}": r_lo, f"triples_per_sec_{hi}": r_hi,
         "scaling_efficiency": round(eff, 3),
-        f"host_spin_single_mips_{lo}": results[lo].get("host_spin_single_mips"),
-        f"host_spin_single_mips_{hi}": results[hi].get("host_spin_single_mips"),
-        f"queries_{lo}": results[lo]["queries"],
-        f"queries_{hi}": results[hi]["queries"],
-    }))
+    }
+    # The same-window busy-loop ceiling: each leg's probe ran a pool of that
+    # leg's CPU count immediately before its bench, so (agg_hi/agg_lo)/(hi/lo)
+    # is what a register-only spin scales at in THIS window — the honest
+    # denominator for the pipeline's efficiency on this shared host.
+    agg_lo = results[lo].get("host_spin_agg_mips")
+    agg_hi = results[hi].get("host_spin_agg_mips")
+    if agg_lo and agg_hi:
+        ceiling = (agg_hi / agg_lo) / (hi / lo)
+        out["spin_ceiling_efficiency"] = round(ceiling, 3)
+        out["efficiency_vs_spin_ceiling"] = round(eff / ceiling, 3)
+    for n in (lo, hi):
+        for k in ("host_spin_single_mips", "host_spin_agg_mips",
+                  "host_spin_parallel_eff"):
+            out[f"{k}_{n}"] = results[n].get(k)
+    out[f"queries_{lo}"] = results[lo]["queries"]
+    out[f"queries_{hi}"] = results[hi]["queries"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

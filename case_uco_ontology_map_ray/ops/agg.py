@@ -97,6 +97,9 @@ def topk_ds(ds, by: list[str], ascending: list[bool], k: int) -> pd.DataFrame:
         return t.take(idx)
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if parts.empty and not set(by) <= set(parts.columns):
+        # a fully-empty Dataset loses its schema; return the ranked columns
+        return pd.DataFrame({c: [] for c in by})
     return parts.sort_values(by, ascending=ascending).head(k).reset_index(drop=True)
 
 

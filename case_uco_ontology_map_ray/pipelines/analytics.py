@@ -941,3 +941,64 @@ def cheapest_supplier_per_part(sf_dir: str, k: int = 500) -> pd.DataFrame:
            .merge(pnames, on="p_partkey").merge(snames, on="s_suppkey"))
     out = out.sort_values("p_partkey").reset_index(drop=True)
     return out[["p_partkey", "p_name", "s_suppkey", "s_name", "min_price_cents"]]
+
+
+def viewers_never_purchased(sf_dir: str, k: int = 50,
+                            since: str = "2024-01-30") -> pd.DataFrame:
+    """Set difference at the user grain: users who VIEWED on/after ``since``
+    (the table's final day) but never purchased in that window, smallest k
+    user ids. Both sides reduce to per-batch-distinct keys, then a bucketed
+    ANTI join checks membership with no driver-side key collection
+    (ops.joins.bucket_semi_join negate=True). Oracle: EXCEPT."""
+    from ..ops.agg import grouped_sums_ds, topk_ds
+    from ..ops.joins import bucket_semi_join
+
+    cutoff = pa.scalar(np.datetime64(since, "us"))
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def side(etype):
+        return ev.map_batches(
+            lambda t, e=etype: t.filter(
+                pc.and_(pc.equal(t.column("event_type"), e),
+                        pc.greater_equal(t.column("ts"), cutoff)))
+            .select(["user_id"]).group_by(["user_id"]).aggregate([]),
+            batch_format="pyarrow")
+
+    viewers, purchasers = side("view"), side("purchase")
+    never = bucket_semi_join(viewers, purchasers, on="user_id", negate=True)
+    # batch-distinct is not globally distinct (a user spans batches):
+    # finish with one exact distinct (groupby with dropped count) before top-k
+    never = grouped_sums_ds(never, keys=["user_id"], sum_cols={})
+    return topk_ds(never, by=["user_id"], ascending=[True], k=k)
+
+
+def orders_above_customer_avg(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Correlated-subquery shape: orders whose total price exceeds their own
+    customer's average order price. The per-customer (sum, count) aggregate
+    stays a Dataset and joins back bucketed on custkey; the comparison is
+    exact integer arithmetic (cents x count > sum-of-cents) so both engines
+    agree on every boundary row. Oracle: join against GROUP BY aggregate
+    with the identical integer predicate."""
+    from ..ops.agg import grouped_sums_ds, topk_ds
+    from ..ops.joins import bucket_join
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    with_cents = ds.map_batches(
+        lambda t: t.append_column("cents", _scale_i64(t.column("o_totalprice"), 100.0)),
+        batch_format="pyarrow")
+    per_cust = grouped_sums_ds(with_cents, keys=["o_custkey"],
+                               sum_cols={"sum_cents": "cents"},
+                               count_alias="n_orders")
+    joined = bucket_join(with_cents, per_cust, on="o_custkey")
+
+    def above(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(t.column("cents"), t.column("n_orders"))
+        return t.filter(pc.greater(lhs, t.column("sum_cents"))).select(
+            ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    out = topk_ds(joined.map_batches(above, batch_format="pyarrow"),
+                  by=["o_totalprice", "o_orderkey"],
+                  ascending=[False, True], k=k)
+    return out[["o_orderkey", "o_custkey", "o_totalprice"]]
