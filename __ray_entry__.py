@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": corpus.top_bigrams,
         "tfidf_top_terms": corpus.tfidf_top_terms,
         "ngram_contamination": corpus.ngram_contamination,
+        "dedup_incremental_documents": corpus.dedup_incremental_documents,
         # training-data corpus ops: dedup / text analysis / similarity
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_minhash_documents": corpus.dedup_minhash_documents,
@@ -769,6 +770,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.cents * agg.n_orders > agg.sum_cents
             ORDER BY c.o_totalprice DESC, c.o_orderkey
             LIMIT 25
+        """,
+        "dedup_incremental_documents": """
+            WITH newd AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7
+            ), prior AS (
+                SELECT DISTINCT text FROM documents WHERE doc_id % 10 < 7
+            )
+            SELECT min(doc_id) AS doc_id
+            FROM newd
+            WHERE text NOT IN (SELECT text FROM prior)
+            GROUP BY text
+            ORDER BY doc_id
         """,
         "ngram_contamination": r"""
             WITH toks AS (

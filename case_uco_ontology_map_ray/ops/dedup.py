@@ -732,3 +732,38 @@ def _pool(frac: float = 0.5) -> int:
     if frac >= 1.0:
         return max(1, cpus - 1)
     return max(1, int(cpus * frac))
+
+
+def incremental_exact_dedup(new_ds, prior_ds, text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """Delta dedup: ids from ``new_ds`` that survive dedup against BOTH a
+    prior corpus snapshot and themselves — the standard production pattern
+    for appending a shard to an already-deduplicated corpus without
+    re-touching it.
+
+    Scale shape: the prior side reduces to per-batch-distinct content
+    hashes only (never its ids/payloads); the anti-membership check is a
+    bucketed join on the hash (ops/joins.bucket_semi_join — the hash only
+    routes, equality is exact); survivors then exact-dedup among
+    themselves (min id per hash). The prior corpus is never collected,
+    broadcast whole, or re-deduplicated. Returns Dataset[{id_col}].
+    """
+    from .joins import bucket_semi_join
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _md5_column(t.column(text_col).to_pylist())
+        agg = (t.select([id_col]).append_column("__h", pa.array(h, pa.string()))
+               .group_by(["__h"]).aggregate([(id_col, "min")]))
+        return agg.rename_columns(["__h", id_col])
+
+    def prior_hashes(t: pa.Table) -> pa.Table:
+        h = _md5_column(t.column(text_col).to_pylist())
+        return pa.table({"__h": pa.array(sorted(set(h)), pa.string())})
+
+    new_hashed = new_ds.map_batches(add_hash, batch_format="pyarrow")
+    prior = prior_ds.map_batches(prior_hashes, batch_format="pyarrow")
+    fresh = bucket_semi_join(new_hashed, prior, on="__h", negate=True)
+    from ray.data.aggregate import Min
+
+    out = fresh.groupby("__h").aggregate(Min(id_col, alias_name=id_col))
+    return out.select_columns([id_col])

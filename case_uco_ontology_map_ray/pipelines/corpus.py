@@ -404,3 +404,30 @@ def ngram_contamination(sf_dir: str, holdout_source: str = "src0",
                   ascending=[False, True], k=k)
     out["n_shared_grams"] = out["n_shared_grams"].astype("int64")
     return out[["doc_id", "n_shared_grams"]]
+
+
+def dedup_incremental_documents(sf_dir: str) -> pd.DataFrame:
+    """Delta dedup showcase: treat doc_id % 10 < 7 as the already-deduped
+    prior corpus and dedup the remaining 30% shard against it (and itself)
+    by exact content (ops.dedup.incremental_exact_dedup). Oracle: NOT IN
+    against prior texts + min-id-per-text over the shard."""
+    from ..ops.dedup import incremental_exact_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def split(is_new):
+        import pyarrow.compute as pc
+
+        def f(t: pa.Table) -> pa.Table:
+            x = t.column("doc_id")
+            ten = pa.scalar(10, pa.int64())
+            mod = pc.subtract(x, pc.multiply(pc.divide(x, ten), ten))
+            mask = pc.greater_equal(mod, pa.scalar(7, pa.int64()))
+            if not is_new:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    out = incremental_exact_dedup(split(True), split(False)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -572,3 +572,25 @@ def test_mix_bucket_string_keys_deterministic(ray_session):
     right = rd.from_arrow(pa.table({"gram": ["c d", "zz"]}))
     out = bucket_semi_join(left, right, on="gram", num_buckets=4).to_pandas()
     assert out.doc.tolist() == [2]
+
+
+def test_incremental_exact_dedup(ray_session):
+    """New-shard docs drop when their text exists in the prior corpus; dups
+    WITHIN the shard keep min id; the prior side never contributes ids."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.dedup import incremental_exact_dedup
+
+    prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["old news", "shared text"],
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": ["shared text",      # dup vs prior -> dropped
+                 "fresh a", "fresh a",  # in-shard dup -> min id 11
+                 "fresh b"],
+    }))
+    out = incremental_exact_dedup(new, prior).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [11, 13]
