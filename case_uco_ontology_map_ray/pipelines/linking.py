@@ -156,6 +156,14 @@ def propagate_labels(incidence: rd.Dataset, labels: rd.Dataset,
     Returns (labels Dataset[(pid, label)], rounds_run, converged).
     """
     labels = labels.materialize()
+    # Block-count cap: every round unions the label table with a join output
+    # whose groupby emits one block per bucket, so without a coalesce the
+    # label lineage GROWS by O(num_buckets) blocks per round (measured: 767
+    # blocks after 8 rounds on a 214-row table, making each round's sort pay
+    # ~50 ms/block of pure scheduling = minutes on tiny data). Repartition
+    # back to a constant block count before each materialize — sized from
+    # the initial label table so big inputs keep their parallelism.
+    target_blocks = max(num_buckets, labels.num_blocks())
     prev_sum = _label_checksum(labels)
     hard_cap = max(max_rounds, 4 * max_rounds + 64)
     for rnd in range(hard_cap):
@@ -170,7 +178,8 @@ def propagate_labels(incidence: rd.Dataset, labels: rd.Dataset,
         )
         # materialize: the label table is small (one row per distinct path);
         # without this every round would lazily re-execute all prior rounds
-        labels = _grouped_min(labels.union(cand), "pid", "label", "label").materialize()
+        labels = _grouped_min(labels.union(cand), "pid", "label", "label")
+        labels = labels.repartition(target_blocks).materialize()
 
         # convergence: labels only decrease, so the (wraparound) checksum is
         # unchanged iff no label changed this round — no extra join needed
