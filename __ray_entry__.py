@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_delta": analytics.q6_revenue_delta,
         "nation_order_volume": analytics.nation_order_volume,
         "region_nation_rollup": analytics.region_nation_rollup,
+        "region_nation_cube": analytics.region_nation_cube,
         "customers_without_orders": analytics.customers_without_orders,
         "returned_item_loss": analytics.returned_item_loss,
         "large_customer_orders": analytics.large_customer_orders,
@@ -606,6 +607,18 @@ def oracle_sql() -> dict[str, str]:
                  JOIN nation ON c_nationkey = n_nationkey
                  JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY 1, 2
+        """,
+        "region_nation_cube": """
+            SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS r_name,
+                   CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS n_name,
+                   round(sum(o_totalprice), 2) AS total,
+                   count(*) AS n_orders
+            FROM orders
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            GROUP BY CUBE(r_name, n_name)
             ORDER BY 1, 2
         """,
         "customers_without_orders": """

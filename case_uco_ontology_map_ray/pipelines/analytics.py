@@ -1002,3 +1002,23 @@ def orders_above_customer_avg(sf_dir: str, k: int = 25) -> pd.DataFrame:
                   by=["o_totalprice", "o_orderkey"],
                   ascending=[False, True], k=k)
     return out[["o_orderkey", "o_custkey", "o_totalprice"]]
+
+
+def region_nation_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE aggregate: region_nation_rollup plus the (ALL, nation) slice —
+    all four grouping sets of (region, nation), derived from the same EXACT
+    int64 x1e4 fine aggregate so every subtotal is bit-equal to SQL's
+    GROUP BY CUBE over the raw rows. Oracle: DuckDB GROUP BY CUBE."""
+    fine = _nation_order_fine(sf_dir)
+    by_region = (fine.groupby("r_name", as_index=False)[["total", "n_orders"]]
+                 .sum().assign(n_name="ALL"))
+    by_nation = (fine.groupby("n_name", as_index=False)[["total", "n_orders"]]
+                 .sum().assign(r_name="ALL"))
+    grand = pd.DataFrame({"r_name": ["ALL"], "n_name": ["ALL"],
+                          "total": [fine["total"].sum()],
+                          "n_orders": [fine["n_orders"].sum()]})
+    out = pd.concat([fine, by_region, by_nation, grand], ignore_index=True)
+    out["total"] = round_away(out["total"] / 10000.0, 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return out[["r_name", "n_name", "total", "n_orders"]]
