@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": corpus.doc_token_stats,
         "doc_bpe_tokens": corpus.doc_bpe_tokens,
         "doc_length_quantiles": corpus.doc_length_quantiles,
+        "doc_length_band_stats": corpus.doc_length_band_stats,
         "text_stats_by_lang": corpus.text_stats_by_lang,
         "doc_quality": corpus.doc_quality,
         "doc_lang_id": corpus.doc_lang_id,
@@ -945,6 +946,19 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                        AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "doc_length_band_stats": """
+            WITH th AS (
+                SELECT quantile_cont(length(text), 0.05) AS lo,
+                       quantile_cont(length(text), 0.95) AS hi
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents, th
+            WHERE length(text) >= th.lo AND length(text) <= th.hi
+            GROUP BY lang
+            ORDER BY lang
         """,
         "doc_length_quantiles": """
             SELECT round(quantile_cont(length(text), 0.5), 4) AS p50,

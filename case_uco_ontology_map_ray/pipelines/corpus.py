@@ -431,3 +431,37 @@ def dedup_incremental_documents(sf_dir: str) -> pd.DataFrame:
 
     out = incremental_exact_dedup(split(True), split(False)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_length_band_stats(sf_dir: str, lo_q: float = 0.05,
+                          hi_q: float = 0.95) -> pd.DataFrame:
+    """Quantile-band length filter (standard LLM-corpus cleaning): keep
+    documents whose char length lies within the corpus's [p05, p95]
+    quantile band, rolled up per language. Two streaming passes: the exact
+    interpolated quantiles come from the distributed counting histogram
+    (ops/text.length_quantiles — the shuffle carries one row per distinct
+    length per block), then a vectorized filter + partial-agg groupby.
+    Oracle: DuckDB quantile_cont thresholds in a scalar subquery."""
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums
+
+    q = tx.length_quantiles(_docs(sf_dir, ["text"]), qs=(lo_q, hi_q))
+    lo, hi = q[lo_q], q[hi_q]
+
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def in_band(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t.column("text")).cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(ln.cast(pa.float64()), lo),
+                       pc.less_equal(ln.cast(pa.float64()), hi))
+        kept = pa.table({"lang": t.column("lang"), "len": ln}).filter(keep)
+        agg = kept.group_by(["lang"]).aggregate([("len", "sum"), ([], "count_all")])
+        return agg.rename_columns(["lang", "chars", "n"])
+
+    parts = ds.map_batches(in_band, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(parts, keys=["lang"],
+                       sum_cols={"total_chars": "chars", "n_docs": "n"})
+    out = out.astype({"total_chars": "int64", "n_docs": "int64"})
+    return (out.sort_values("lang").reset_index(drop=True)
+            [["lang", "n_docs", "total_chars"]])
