@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": corpus.doc_bpe_tokens,
         "doc_length_quantiles": corpus.doc_length_quantiles,
         "doc_length_band_stats": corpus.doc_length_band_stats,
+        "doc_length_quantiles_by_lang": corpus.doc_length_quantiles_by_lang,
         "text_stats_by_lang": corpus.text_stats_by_lang,
         "doc_quality": corpus.doc_quality,
         "doc_lang_id": corpus.doc_lang_id,
@@ -946,6 +947,14 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                        AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "doc_length_quantiles_by_lang": """
+            SELECT lang,
+                   round(quantile_cont(length(text), 0.5), 4) AS q50,
+                   round(quantile_cont(length(text), 0.9), 4) AS q90
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
         """,
         "doc_length_band_stats": """
             WITH th AS (

@@ -456,3 +456,41 @@ def pack_sequences(ds, max_tokens: int = 512, num_buckets: int = 64):
                          "n_tokens": pa.array(toks, pa.int64())})
 
     return pre.groupby("__bucket").map_groups(pack_bucket, batch_format="pyarrow")
+
+
+def grouped_length_quantiles(ds, group_col: str, qs=(0.5, 0.9),
+                             col: str = "text") -> pd.DataFrame:
+    """EXACT per-group quantile_cont over length(col): the distributed
+    histogram simply gains the group key — the shuffle carries one row per
+    (group, distinct length) per block, never the data — and the driver
+    interpolates each group's quantiles from its own tiny CDF (groups x
+    distinct-lengths rows; lengths are a bounded domain).
+
+    Returns a frame with group_col + one column per requested quantile
+    (named q<pct>, e.g. q50)."""
+    from ray.data.aggregate import Sum
+
+    def local(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t.column(col)).cast(pa.int64())
+        one = pa.table({group_col: t.column(group_col), "len": ln})
+        agg = one.group_by([group_col, "len"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "len", "n"])
+
+    hist = (ds.map_batches(local, batch_format="pyarrow")
+              .groupby([group_col, "len"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for g, sub in hist.groupby(group_col, sort=True):
+        sub = sub.sort_values("len")
+        lens = sub["len"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(sub["n"].to_numpy(dtype=np.int64))
+        total = int(cum[-1])
+        row = {group_col: g}
+        for q in qs:
+            h = (total - 1) * q
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            vlo = float(lens[np.searchsorted(cum, lo + 1)])
+            vhi = float(lens[np.searchsorted(cum, hi + 1)])
+            row[f"q{int(round(q * 100))}"] = vlo + (h - lo) * (vhi - vlo)
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -465,3 +465,13 @@ def doc_length_band_stats(sf_dir: str, lo_q: float = 0.05,
     out = out.astype({"total_chars": "int64", "n_docs": "int64"})
     return (out.sort_values("lang").reset_index(drop=True)
             [["lang", "n_docs", "total_chars"]])
+
+
+def doc_length_quantiles_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language exact length quantiles (grouped counting-histogram CDF,
+    ops/text.grouped_length_quantiles). Oracle: quantile_cont GROUP BY."""
+    out = tx.grouped_length_quantiles(_docs(sf_dir, ["text", "lang"]),
+                                      group_col="lang", qs=(0.5, 0.9))
+    out["q50"] = out["q50"].round(4)
+    out["q90"] = out["q90"].round(4)
+    return out.sort_values("lang").reset_index(drop=True)[["lang", "q50", "q90"]]
