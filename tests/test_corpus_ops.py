@@ -594,3 +594,26 @@ def test_incremental_exact_dedup(ray_session):
     }))
     out = incremental_exact_dedup(new, prior).to_pandas()
     assert sorted(out.doc_id.tolist()) == [11, 13]
+
+
+def test_grouped_length_quantiles_match_numpy(ray_session):
+    """Per-group counting-histogram quantiles equal numpy's linear
+    (quantile_cont) interpolation per group, including odd group sizes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import grouped_length_quantiles
+
+    rng = np.random.default_rng(3)
+    texts, langs = [], []
+    for lang, n in (("en", 37), ("de", 5), ("zh", 1)):
+        for ln in rng.integers(1, 40, n):
+            texts.append("x" * int(ln))
+            langs.append(lang)
+    ds = rd.from_arrow(pa.table({"text": texts, "lang": langs}))
+    out = grouped_length_quantiles(ds, "lang", qs=(0.5, 0.9)).set_index("lang")
+
+    df = pd.DataFrame({"lang": langs, "ln": [len(t) for t in texts]})
+    for lang, sub in df.groupby("lang"):
+        assert out.loc[lang, "q50"] == pytest.approx(np.percentile(sub.ln, 50))
+        assert out.loc[lang, "q90"] == pytest.approx(np.percentile(sub.ln, 90))
