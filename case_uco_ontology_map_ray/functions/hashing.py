@@ -62,6 +62,95 @@ def _avalanche(v: np.ndarray) -> np.ndarray:
     return v
 
 
+# second, independent polynomial base for 128-bit content hashing (a 64-bit
+# pre-avalanche collision in one family is vanishingly unlikely to collide in
+# the other): another odd 64-bit prime, so it is invertible mod 2^64 too.
+_POLY_B2 = np.uint64(0x9E3779B97F4A7C15)  # odd (golden-ratio constant)
+
+
+def _arrow_string_spans(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(byte buffer, int64 offsets) view of an Arrow string array — the CSR
+    layout shared by every vectorized string-hash kernel here. Handles
+    chunked/dictionary/large_string inputs and nulls (null -> empty span)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.array([], dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, "")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lo = offs[0]
+    return data[lo:offs[-1]], offs - lo
+
+
+def _poly_span_hash(buf: np.ndarray, offs: np.ndarray,
+                    base: np.uint64) -> np.ndarray:
+    """Avalanched polynomial hash of each span buf[offs[i]:offs[i+1]] —
+    one cumprod/cumsum pass over the whole buffer (O(bytes), no per-row
+    Python). Same prefix-hash construction as ``word_shingles_batch``."""
+    L = len(buf)
+    binv = np.uint64(pow(int(base), -1, 1 << 64))
+    pw = np.ones(L + 1, dtype=np.uint64)
+    np.cumprod(np.full(L, base, dtype=np.uint64), out=pw[1:])
+    pwinv = np.ones(L + 1, dtype=np.uint64)
+    np.cumprod(np.full(L, binv, dtype=np.uint64), out=pwinv[1:])
+    S = np.zeros(L + 1, dtype=np.uint64)
+    np.cumsum(buf.astype(np.uint64) * pwinv[1:], out=S[1:])
+    H = S * pw  # H[n] = hash of bytes [0, n)
+    lo, hi = offs[:-1], offs[1:]
+    # mix the length in pre-avalanche so spans that hash-prefix-collide at
+    # different lengths (e.g. "" vs "\0") stay apart
+    return _avalanche(H[hi] - H[lo] * pw[hi - lo] + (hi - lo).astype(np.uint64))
+
+
+def content_hash64_arrow(arr, seed: int = 0) -> np.ndarray:
+    """Deterministic vectorized 64-bit content hash of every string in an
+    Arrow string array (uint64[n]). The whole batch costs one polynomial
+    prefix-hash pass over the concatenated utf-8 bytes — the batched
+    replacement for a per-row ``stable_hash64`` loop (blake2b ~1.2us/call).
+    NOT blake2b-compatible; use where only determinism + uniformity matter
+    (partition ids, bucket keys, content fingerprints)."""
+    buf, offs = _arrow_string_spans(arr)
+    if len(offs) == 1:
+        return np.array([], dtype=np.uint64)
+    out = _poly_span_hash(buf, offs, _POLY_B)
+    if seed:
+        out = _avalanche(out + np.uint64(seed))
+    return out
+
+
+def content_hash128_arrow(arr) -> "pa.Array":
+    """128-bit content hash column (fixed_size_binary(16)) for exact-dedup
+    keys: two independent polynomial families over one shared byte scan.
+    64 bits is NOT enough for exact dedup at 10^10+ docs (birthday: ~3M
+    expected collisions); 128 bits puts the expectation at ~1e-19."""
+    import pyarrow as pa
+
+    buf, offs = _arrow_string_spans(arr)
+    n = len(offs) - 1
+    if n == 0:
+        return pa.array([], pa.binary(16))
+    h1 = _poly_span_hash(buf, offs, _POLY_B)
+    h2 = _poly_span_hash(buf, offs, _POLY_B2)
+    packed = np.empty((n, 2), dtype=np.uint64)
+    packed[:, 0] = h1
+    packed[:, 1] = h2
+    return pa.Array.from_buffers(
+        pa.binary(16), n, [None, pa.py_buffer(packed.tobytes())])
+
+
 def word_shingles_batch(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Distinct k-word shingle hashes for EVERY text in one vectorized pass.
 

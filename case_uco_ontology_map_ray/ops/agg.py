@@ -83,10 +83,16 @@ def grouped_sums_ds(
     return out
 
 
-def topk_ds(ds, by: list[str], ascending: list[bool], k: int) -> pd.DataFrame:
+def topk_ds(ds, by: list[str], ascending: list[bool], k: int,
+            columns: list[str] | None = None) -> pd.DataFrame:
     """Distributed top-k over a Dataset with UNIQUE rows per ranking entity:
     each batch keeps its local top-k (vectorized), the driver merges the tiny
-    partials (num_blocks x k rows) and takes the global top-k."""
+    partials (num_blocks x k rows) and takes the global top-k.
+
+    ``columns``: full expected output column list, used ONLY to build the
+    empty frame when the input Dataset is fully empty (Ray loses the schema
+    of an empty lineage, and callers select non-ranking columns afterwards —
+    ADVICE r4). Defaults to whatever schema survives, else ``by``."""
 
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
@@ -98,14 +104,26 @@ def topk_ds(ds, by: list[str], ascending: list[bool], k: int) -> pd.DataFrame:
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     if parts.empty and not set(by) <= set(parts.columns):
-        # a fully-empty Dataset loses its schema; return the ranked columns
-        return pd.DataFrame({c: [] for c in by})
+        # a fully-empty Dataset loses its schema; rebuild the FULL output
+        # column list from the input schema so callers selecting non-ranking
+        # columns afterwards (e.g. user_event_gaps takes user_id/ts) don't
+        # KeyError on an empty result (ADVICE r4)
+        try:
+            schema = ds.schema()  # empty dataset: fetching it is trivial
+        except Exception:
+            schema = None
+        if schema is not None and schema.names:
+            names = list(schema.names)
+        else:
+            names = list(columns) if columns else list(by)
+        return pd.DataFrame({c: [] for c in names})
     return parts.sort_values(by, ascending=ascending).head(k).reset_index(drop=True)
 
 
 def topk_rounded(ds, by: list[str], ascending: list[bool], k: int,
                  round_col: str, ndigits: int, divisor: float = 1.0,
-                 margin: int = 64) -> pd.DataFrame:
+                 margin: int = 64,
+                 columns: list[str] | None = None) -> pd.DataFrame:
     """Top-k ranked by the ROUNDED primary column over a Dataset carrying raw
     values (the oracle ranks by ROUND(x), where raw and rounded order can
     disagree inside a rounding quantum).
@@ -120,7 +138,8 @@ def topk_rounded(ds, by: list[str], ascending: list[bool], k: int,
     assert by[0] == round_col and not ascending[0], \
         "topk_rounded requires a descending primary key on round_col"
     while True:
-        top = topk_ds(ds, by=by, ascending=ascending, k=k + margin)
+        top = topk_ds(ds, by=by, ascending=ascending, k=k + margin,
+                      columns=columns)
         exhausted = len(top) < k + margin  # the whole Dataset was fetched
         vals = top[round_col] / divisor if divisor != 1.0 else top[round_col]
         top = top.assign(**{round_col: round_away(vals, ndigits)})

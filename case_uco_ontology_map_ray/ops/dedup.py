@@ -63,13 +63,35 @@ def _md5_column(texts: list[str]) -> list[str]:
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def _content_key(t: pa.Table, text_col: str, hash_mode: str) -> pa.Array:
+    """Content-hash key column for exact dedup.
+
+    ``poly128`` (default): the vectorized two-family polynomial hash
+    (functions/hashing.content_hash128_arrow) — one O(bytes) numpy pass per
+    batch, fixed_size_binary(16) keys (half the bytes of md5 hex through the
+    shuffle). ``md5``: the per-row hashlib loop, kept as the documented
+    DuckDB-oracle twin (``md5(text)`` in SQL) — the ops/sample.py mix64/md5
+    split. The dedup OUTPUT (min id per distinct text) is identical in both
+    modes barring a hash collision (poly128 expectation ~1e-19 at 10^10
+    docs), so oracled queries stay green on the default.
+    """
+    if hash_mode == "md5":
+        return pa.array(_md5_column(t.column(text_col).to_pylist()), pa.string())
+    if hash_mode != "poly128":
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    from ..functions.hashing import content_hash128_arrow
+
+    return content_hash128_arrow(t.column(text_col))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                hash_mode: str = "poly128"):
     """Exact dedup: min(id) per content hash. Returns Dataset[{id_col}]."""
     from ray.data.aggregate import Min
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = _md5_column(t.column(text_col).to_pylist())
-        keep = t.select([id_col]).append_column("__h", pa.array(h, pa.string()))
+        keep = t.select([id_col]).append_column(
+            "__h", _content_key(t, text_col, hash_mode))
         # local combiner: min id per hash within the batch
         agg = keep.group_by(["__h"]).aggregate([(id_col, "min")])
         return agg.rename_columns(["__h", id_col])
@@ -735,7 +757,7 @@ def _pool(frac: float = 0.5) -> int:
 
 
 def incremental_exact_dedup(new_ds, prior_ds, text_col: str = "text",
-                            id_col: str = "doc_id"):
+                            id_col: str = "doc_id", hash_mode: str = "poly128"):
     """Delta dedup: ids from ``new_ds`` that survive dedup against BOTH a
     prior corpus snapshot and themselves — the standard production pattern
     for appending a shard to an already-deduplicated corpus without
@@ -751,14 +773,14 @@ def incremental_exact_dedup(new_ds, prior_ds, text_col: str = "text",
     from .joins import bucket_semi_join
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = _md5_column(t.column(text_col).to_pylist())
-        agg = (t.select([id_col]).append_column("__h", pa.array(h, pa.string()))
+        agg = (t.select([id_col])
+               .append_column("__h", _content_key(t, text_col, hash_mode))
                .group_by(["__h"]).aggregate([(id_col, "min")]))
         return agg.rename_columns(["__h", id_col])
 
     def prior_hashes(t: pa.Table) -> pa.Table:
-        h = _md5_column(t.column(text_col).to_pylist())
-        return pa.table({"__h": pa.array(sorted(set(h)), pa.string())})
+        key = _content_key(t, text_col, hash_mode)
+        return pa.table({"__h": key.unique()})
 
     new_hashed = new_ds.map_batches(add_hash, batch_format="pyarrow")
     prior = prior_ds.map_batches(prior_hashes, batch_format="pyarrow")

@@ -191,11 +191,28 @@ def _mix_bucket(key_col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     actual key values, so hash collisions merely co-locate, never corrupt.
     """
     typ = key_col.type
-    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+    if (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+            or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
         import numpy as np
 
         h = pd.util.hash_pandas_object(
             key_col.to_pandas(), index=False).to_numpy(np.uint64)
+        return pa.array(((h & np.uint64((1 << 62) - 1))
+                         % np.uint64(num_buckets)).astype(np.int64))
+    if pa.types.is_fixed_size_binary(typ):
+        # content-hash keys (ops/dedup poly128): bytes are already uniform,
+        # so the first 8 bytes viewed as uint64 route directly — zero-copy
+        # modulo one aligned slice, no re-hash
+        import numpy as np
+
+        comb = (key_col.combine_chunks()
+                if isinstance(key_col, pa.ChunkedArray) else key_col)
+        w = typ.byte_width
+        assert w >= 8, "fixed_size_binary bucket keys need >= 8 bytes"
+        raw = np.frombuffer(comb.buffers()[1], dtype=np.uint8)
+        start = comb.offset * w
+        view = raw[start:start + len(comb) * w].reshape(len(comb), w)
+        h = view[:, :8].copy().view(np.uint64).ravel()
         return pa.array(((h & np.uint64((1 << 62) - 1))
                          % np.uint64(num_buckets)).astype(np.int64))
     x = key_col.cast(pa.int64())

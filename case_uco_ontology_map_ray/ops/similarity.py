@@ -442,8 +442,10 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
         def partials(t: pa.Table, _r=ref) -> pa.Table:
             c = ray.get(_r)
             vecs = t.column("vec").combine_chunks()
+            # reshape with the KNOWN centroid dim: numpy can't infer -1 from
+            # an empty block (size 0) and would crash the fit (ADVICE r4)
             m = vecs.values.to_numpy(zero_copy_only=False).reshape(
-                t.num_rows, -1)
+                t.num_rows, c.shape[1])
             cos = m @ c.T
             assign = np.argmax(cos, axis=1)
             best = cos[np.arange(len(m)), assign]

@@ -473,12 +473,19 @@ def grouped_length_quantiles(ds, group_col: str, qs=(0.5, 0.9),
     def local(t: pa.Table) -> pa.Table:
         ln = pc.utf8_length(t.column(col)).cast(pa.int64())
         one = pa.table({group_col: t.column(group_col), "len": ln})
+        one = one.filter(pc.is_valid(ln))  # null text contributes no length
         agg = one.group_by([group_col, "len"]).aggregate([([], "count_all")])
         return agg.rename_columns([group_col, "len", "n"])
 
     hist = (ds.map_batches(local, batch_format="pyarrow")
               .groupby([group_col, "len"])
               .aggregate(Sum("n", alias_name="n")).to_pandas())
+    q_cols = [f"q{int(round(q * 100))}" for q in qs]
+    if hist.empty or group_col not in hist.columns:
+        # empty input (or all-null text): schema-stable empty result — the
+        # same guard length_quantiles already has (ADVICE r4)
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             **{c: pd.Series(dtype="float64") for c in q_cols}})
     rows = []
     for g, sub in hist.groupby(group_col, sort=True):
         sub = sub.sort_values("len")

@@ -131,7 +131,8 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
     # raw partials and verifies it covers every potential rounded tie
     top = topk_rounded(rev_ds, by=["revenue", "l_orderkey"],
                        ascending=[False, True], k=k,
-                       round_col="revenue", ndigits=2, divisor=10000.0)
+                       round_col="revenue", ndigits=2, divisor=10000.0,
+                       columns=["l_orderkey", "revenue"])
     # attach o_orderdate for just the k winners (broadcast of k keys)
     dates = semi_filter(open_orders, top["l_orderkey"].to_numpy(),
                         "o_orderkey").to_pandas()
@@ -232,7 +233,8 @@ def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
                                 count_alias="n_orders")
     top = topk_rounded(totals_ds, by=["total", "o_custkey"],
                        ascending=[False, True], k=k,
-                       round_col="total", ndigits=2)
+                       round_col="total", ndigits=2,
+                       columns=["o_custkey", "total", "n_orders"])
     cust = semi_filter(
         rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"]),
         top["o_custkey"].to_numpy(), "c_custkey",
@@ -387,7 +389,8 @@ def returned_item_loss(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     top = topk_rounded(named, by=["revenue", "c_custkey"],
                        ascending=[False, True], k=k,
-                       round_col="revenue", ndigits=2, divisor=10000.0)
+                       round_col="revenue", ndigits=2, divisor=10000.0,
+                       columns=["c_custkey", "c_name", "n_name", "revenue"])
     return top[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
 
 
@@ -446,7 +449,9 @@ def large_customer_orders(sf_dir: str, threshold: float = 150.0,
     out_ds = big.map_batches(finish, batch_format="pyarrow")
     # quantities are whole numbers: raw order == rounded order, plain topk
     top = topk_ds(out_ds, by=["total_qty", "o_orderkey"],
-                  ascending=[False, True], k=k)
+                  ascending=[False, True], k=k,
+                  columns=["o_orderkey", "c_custkey", "c_name",
+                           "total_qty", "o_totalprice"])
     top["total_qty"] = round_away(top["total_qty"], 2)
     top["o_totalprice"] = round_away(top["o_totalprice"], 2)
     return top.reset_index(drop=True)
@@ -550,6 +555,12 @@ def user_event_gaps(sf_dir: str, k: int = 25) -> pd.DataFrame:
     gaps = _keyed_segments(ds, "user_id").map_groups(
         per_bucket, batch_format="pandas")
     out = gaps.to_pandas()
+    if out.empty and "gap_us" not in out.columns:
+        # a fully-empty Dataset loses its schema (ADVICE r4 pattern)
+        out = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                            "user_id": pd.Series(dtype="int64"),
+                            "ts": pd.Series(dtype="datetime64[us]"),
+                            "gap_us": pd.Series(dtype="int64")})
     out = out.sort_values(["gap_us", "event_id"],
                           ascending=[False, True]).head(k)
     out["ts"] = out["ts"].astype("datetime64[us]")
@@ -1000,7 +1011,8 @@ def orders_above_customer_avg(sf_dir: str, k: int = 25) -> pd.DataFrame:
 
     out = topk_ds(joined.map_batches(above, batch_format="pyarrow"),
                   by=["o_totalprice", "o_orderkey"],
-                  ascending=[False, True], k=k)
+                  ascending=[False, True], k=k,
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return out[["o_orderkey", "o_custkey", "o_totalprice"]]
 
 

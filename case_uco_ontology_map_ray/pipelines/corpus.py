@@ -34,6 +34,60 @@ def dedup_minhash_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dedup_minhash_invariants(sf_dir: str) -> pd.DataFrame:
+    """DuckDB-checkable invariants of the MinHash-LSH clustering (VERDICT r4
+    #7 — the clustering itself is seed-defined, but its exact-duplicate
+    behavior is not): identical texts have identical shingle sets, hence
+    identical signatures and band keys, hence a Jaccard-1.0 verified edge —
+    so NO exact-duplicate group may ever be split across clusters. Returns
+    one row (n_docs, n_distinct_texts, n_split_exact_groups); the oracle
+    pins the first two by SQL and the third to literal 0.
+
+    Scale shape: the exact-group key is the vectorized poly128 content hash
+    (same doc partition as SQL's md5 barring a ~2^-128 collision); the
+    split check is per-batch distinct (hash, cluster) pairs -> hash-bucket
+    partition (a group never spans partitions) -> per-partition group sizes
+    -> one int per partition to the driver.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import content_hash128_arrow
+    from ..ops.joins import _mix_bucket, bucket_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    n_distinct = dd.exact_dedup(docs).count()
+
+    clusters = dd.minhash_lsh_dedup(docs)  # (doc_id, cluster_id)
+    keyed = docs.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"),
+                            "__h": content_hash128_arrow(t.column("text"))}),
+        batch_format="pyarrow")
+    both = bucket_join(keyed, clusters, on="doc_id")
+
+    def local(t: pa.Table) -> pa.Table:
+        pairs = (t.select(["__h", "cluster_id"])
+                 .group_by(["__h", "cluster_id"]).aggregate([]))
+        return pairs.append_column("__part",
+                                   _mix_bucket(pairs.column("__h"), 64))
+
+    pre = both.map_batches(local, batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        d = (g.drop_columns(["__part"])
+             .group_by(["__h", "cluster_id"]).aggregate([]))
+        per_h = d.group_by(["__h"]).aggregate([([], "count_all")])
+        n_multi = int(pc.sum(pc.greater(per_h.column("count_all"), 1),
+                             min_count=0).as_py() or 0)
+        return pa.table({"n_multi": pa.array([n_multi], pa.int64())})
+
+    parts = pre.groupby("__part").map_groups(finish, batch_format="pyarrow").to_pandas()
+    n_split = int(parts["n_multi"].sum()) if "n_multi" in parts.columns else 0
+    return pd.DataFrame({"n_docs": pd.array([n_docs], dtype="int64"),
+                         "n_distinct_texts": pd.array([n_distinct], dtype="int64"),
+                         "n_split_exact_groups": pd.array([n_split], dtype="int64")})
+
+
 def dedup_simhash_documents(sf_dir: str) -> pd.DataFrame:
     out = dd.simhash_groups(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     out = out.astype({"doc_id": "int64", "group_id": "int64"})
@@ -401,7 +455,8 @@ def ngram_contamination(sf_dir: str, holdout_source: str = "src0",
     counts = grouped_sums_ds(shared, keys=["doc_id"], sum_cols={},
                              count_alias="n_shared_grams")
     out = topk_ds(counts, by=["n_shared_grams", "doc_id"],
-                  ascending=[False, True], k=k)
+                  ascending=[False, True], k=k,
+                  columns=["doc_id", "n_shared_grams"])
     out["n_shared_grams"] = out["n_shared_grams"].astype("int64")
     return out[["doc_id", "n_shared_grams"]]
 

@@ -41,10 +41,14 @@ class ProgressActor:
     # Bound on retained raw events: long-lived drivers (many jobs, millions
     # of batches) must not grow the actor heap without limit. When exceeded,
     # the OLDEST progress events are folded into the per-(job, stage) rollup
-    # that snapshot() reports anyway; terminal events are never compacted
-    # (follow() depends on them). Followers more than _MAX_EVENTS behind
-    # miss compacted progress events — the documented trade for a bounded
-    # actor.
+    # that snapshot() reports anyway. Terminal (completion/error) events are
+    # kept as long as they are a minority — but when terminals ALONE
+    # approach the cap (very many short jobs), the oldest half of the
+    # retained list is retired outright so every compaction is guaranteed to
+    # halve the list (without this, each post() past the cap re-scanned
+    # 100k events while shrinking nothing — quadratic, ADVICE r4). Followers
+    # more than _MAX_EVENTS behind miss retired events — the documented
+    # trade for a bounded actor.
     _MAX_EVENTS = 100_000
 
     def __init__(self):
@@ -52,6 +56,7 @@ class ProgressActor:
         self._next_seq = 0
         self._rollup: dict[tuple, dict] = {}
         self._n_compacted = 0
+        self._n_retired_terminals = 0
 
     def _fold(self, e: dict) -> None:
         key = (e["job"], e["stage"])
@@ -77,6 +82,19 @@ class ProgressActor:
                 self._fold(e)
             self._n_compacted += len(fold)
             self._events = keep
+            # guaranteed shrink: if terminal events alone still exceed the
+            # cap, retire the oldest half outright (progress among them is
+            # folded, terminals are counted) — each compaction then halves
+            # the retained list no matter the event mix
+            if len(self._events) > self._MAX_EVENTS:
+                cut = len(self._events) // 2
+                for e in self._events[:cut]:
+                    if e["type"] == "progress":
+                        self._fold(e)
+                        self._n_compacted += 1
+                    else:
+                        self._n_retired_terminals += 1
+                self._events = self._events[cut:]
 
     def events_since(self, seq: int) -> list[dict]:
         # seq is the global monotone index; binary search over retained

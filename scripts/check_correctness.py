@@ -29,6 +29,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # point the kg_* oracles' transcripts glob at the SAME sf dir the
+    # queries run on (oracle_sql() defaults to sf0.01 — the driver's scale)
+    import os
+
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,

@@ -617,3 +617,71 @@ def test_grouped_length_quantiles_match_numpy(ray_session):
     for lang, sub in df.groupby("lang"):
         assert out.loc[lang, "q50"] == pytest.approx(np.percentile(sub.ln, 50))
         assert out.loc[lang, "q90"] == pytest.approx(np.percentile(sub.ln, 90))
+
+
+def test_exact_dedup_poly128_matches_md5_mode():
+    """r5: the vectorized poly128 content hash is the default exact-dedup
+    key; md5 stays as the documented oracle twin. Both modes must keep the
+    identical id set (the hash only partitions by content)."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.dedup import (
+        exact_dedup, incremental_exact_dedup)
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["alpha", "beta", "alpha", "", "beta", "gamma", "", "alpha x"])]
+    ds = rd.from_items(rows)
+    kept_poly = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    kept_md5 = sorted(r["doc_id"] for r in
+                      exact_dedup(ds, hash_mode="md5").take_all())
+    assert kept_poly == kept_md5 == [0, 1, 3, 5, 7]
+
+    new = rd.from_items(rows[4:])
+    prior = rd.from_items(rows[:4])
+    inc_poly = sorted(r["doc_id"] for r in
+                      incremental_exact_dedup(new, prior).take_all())
+    inc_md5 = sorted(r["doc_id"] for r in
+                     incremental_exact_dedup(new, prior, hash_mode="md5").take_all())
+    assert inc_poly == inc_md5 == [5, 7]
+
+
+def test_grouped_length_quantiles_empty_and_allnull_inputs():
+    """r5 ADVICE: empty input (or all-null text) returns a schema-stable
+    empty frame instead of KeyError'ing the caller's sort."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import grouped_length_quantiles
+
+    empty = rd.from_arrow(pa.table({"lang": pa.array([], pa.string()),
+                                    "text": pa.array([], pa.string())}))
+    out = grouped_length_quantiles(empty, "lang")
+    assert list(out.columns) == ["lang", "q50", "q90"] and out.empty
+    out.sort_values("lang")  # the caller's next move must not raise
+
+    nulls = rd.from_arrow(pa.table({"lang": pa.array(["en", "de"], pa.string()),
+                                    "text": pa.array([None, "abc"], pa.string())}))
+    out2 = grouped_length_quantiles(nulls, "lang")
+    # the all-null group contributes no histogram rows; the real group works
+    assert out2["lang"].tolist() == ["de"]
+    assert out2["q50"].tolist() == [3.0]
+
+
+def test_kmeans_fit_tolerates_empty_blocks(ray_session):
+    """r5 ADVICE: a dataset containing an empty block must not crash the
+    per-iteration partials kernel (reshape(-1) can't infer dim from size 0)."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import kmeans_fit
+
+    rng = np.random.RandomState(11)
+    m = np.eye(2)[[0, 1]].repeat(20, axis=0) + rng.normal(scale=0.05, size=(40, 2))
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array([list(r) for r in m],
+                                        pa.list_(pa.float64()))})
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float64()))})
+    ds = rd.from_arrow([t.slice(0, 20), empty, t.slice(20, 20)])
+    cents, hist = kmeans_fit(ds, n_clusters=2, n_iter=3)
+    assert cents.shape == (2, 2)
+    assert sum(hist[-1]["sizes"]) == 40

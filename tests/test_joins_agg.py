@@ -303,3 +303,42 @@ def test_user_funnel_requires_strictly_increasing_stages(ray_session, tmp_path):
     out = user_funnel(str(tmp_path))
     by_stage = dict(zip(out.stage, out.n_users))
     assert by_stage == {"view": 5, "click": 2, "purchase": 1}
+
+
+def test_topk_ds_empty_keeps_full_output_columns():
+    """r5 ADVICE: a fully-empty Dataset must return ALL schema columns, not
+    just the ranking keys, so callers selecting other columns don't raise."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.agg import topk_ds
+
+    empty = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "gap_us": pa.array([], pa.int64()),
+    })).filter(expr="gap_us > 0")
+    out = topk_ds(empty, by=["gap_us"], ascending=[False], k=5,
+                  columns=["user_id", "ts", "gap_us"])
+    assert out.empty
+    assert set(["user_id", "ts", "gap_us"]) <= set(out.columns)
+    out[["user_id", "ts"]]  # the caller's projection must not KeyError
+
+
+def test_mix_bucket_binary_keys():
+    """r5: fixed-size and variable binary keys route deterministically and
+    consistently (equal keys -> equal bucket) across representations."""
+    import pyarrow as pa
+
+    from case_uco_ontology_map_ray.ops.joins import _mix_bucket
+
+    vals = [b"0123456789abcdef", b"fedcba9876543210", b"0123456789abcdef"]
+    fixed = pa.chunked_array([pa.array(vals, pa.binary(16))])
+    b1 = _mix_bucket(fixed, 64).to_pylist()
+    assert b1[0] == b1[2] and all(0 <= x < 64 for x in b1)
+    var = pa.chunked_array([pa.array(vals, pa.binary())])
+    b2 = _mix_bucket(var, 64).to_pylist()
+    assert b2[0] == b2[2] and all(0 <= x < 64 for x in b2)
+    # sliced fixed-width array (nonzero offset) routes identically
+    sl = pa.chunked_array([pa.array(vals, pa.binary(16)).slice(1, 2)])
+    assert _mix_bucket(sl, 64).to_pylist() == b1[1:]

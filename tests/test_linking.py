@@ -143,3 +143,25 @@ def test_conversation_entity_stats_salted():
     want = m.groupby("conv_id").pid.nunique()
     got = dict(zip(out.conv_id, out.n_entities))
     assert got == want.to_dict()
+
+
+def test_normalize_paths_arrow_matches_scalar_rule():
+    """The vectorized Arrow normalizer (hot path, r5) is pinned to the scalar
+    reference rule element-for-element, including the drive/slash edge cases."""
+    import pyarrow as pa
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        normalize_path, normalize_paths_arrow)
+
+    cases = [
+        "C\\Windows\\Prefetch\\MAL.EXE-123.pf", "\\Windows\\x", "c:/Windows/x",
+        "c/foo/bar", "//c:/deep//", "", "c", "x:", "::weird", "a:/b", "C:\\",
+        "/usr/local/bin/tool", "D\\totally\\other\\thing.txt", "c:",
+        "  spaced / path ", "ümlaut\\Päth", "c//x", "/", "\\\\srv\\share\\f",
+    ]
+    got = normalize_paths_arrow(pa.array(cases, pa.string())).to_pylist()
+    assert got == [normalize_path(c) for c in cases]
+    # dictionary-encoded input (the triple stream's obj column may be)
+    got_dict = normalize_paths_arrow(
+        pa.array(cases, pa.string()).dictionary_encode()).to_pylist()
+    assert got_dict == got

@@ -55,7 +55,10 @@ def test_track_stage_is_passthrough():
     base = rd.range(1_000).map_batches(
         lambda t: t.rename_columns(["v"]), batch_format="pyarrow")
     tracked = track_stage(base, tracker, "job-b", "s")
-    assert tracked.take_all() == base.take_all()
+    # row-set equality: Ray does not guarantee identical block ARRIVAL order
+    # across two independent executions, so compare sorted rows
+    key = lambda r: r["v"]  # noqa: E731
+    assert sorted(tracked.take_all(), key=key) == sorted(base.take_all(), key=key)
     assert tracked.schema().names == ["v"]
 
 
@@ -88,3 +91,20 @@ def test_follow_error_terminates_stream():
     events = list(follow(tracker, job="job-d", timeout_s=10))
     assert events == [{"type": "error", "job": "job-d", "error": "boom",
                        "seq": 0, "ts": events[0]["ts"]}]
+
+
+def test_compaction_retires_terminal_floods():
+    """r5 ADVICE: when terminal events alone exceed the cap, compaction must
+    still shrink the retained list (quadratic posting cost otherwise)."""
+    from case_uco_ontology_map_ray.state.progress import ProgressActor
+
+    actor = ProgressActor.__ray_metadata__.modified_class.__ray_actor_class__  # unwrap
+    a = actor()
+    a._MAX_EVENTS = 100  # small cap for the test
+    for i in range(1000):
+        a.post({"type": "completion", "job": f"j{i}"})
+        assert len(a._events) <= 101  # never grows past cap + the new event
+    assert a._n_retired_terminals > 0
+    # recent terminals are still visible to followers
+    recent = [e for e in a.events_since(0) if e["type"] == "completion"]
+    assert recent and recent[-1]["job"] == "j999"
