@@ -430,6 +430,11 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
 def conversation_entity_stats(triples: rd.Dataset, salt_k: int = 8) -> pd.DataFrame:
     """Distinct entities referenced per conversation.
 
+    Returns pandas as a QUERY surface (one row per conversation): the
+    distributed form is the ``counts`` Dataset just before the final
+    ``to_pandas()`` — at 10^9 conversations, consume that Dataset (write /
+    join / aggregate) instead of collecting.
+
     Scale shape (pid-hash co-grouping — replaces the round-2 salted
     per-(conv_id, salt) ``map_groups``, which paid one Ray dispatch per
     salted group ≈ millions of dispatches at 10^6 conversations):
