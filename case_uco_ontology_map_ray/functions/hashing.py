@@ -95,24 +95,44 @@ def _arrow_string_spans(arr) -> tuple[np.ndarray, np.ndarray]:
     return data[lo:offs[-1]], offs - lo
 
 
+# Transient working set of the prefix-hash scan is ~4 uint64 arrays over the
+# byte buffer (~32x); slice big batches at span boundaries so a batch of
+# multi-KB documents costs a bounded ~256 MB of scratch, not 32x its bytes.
+_POLY_SLICE_BYTES = 8 << 20
+
+
 def _poly_span_hash(buf: np.ndarray, offs: np.ndarray,
                     base: np.uint64) -> np.ndarray:
     """Avalanched polynomial hash of each span buf[offs[i]:offs[i+1]] —
-    one cumprod/cumsum pass over the whole buffer (O(bytes), no per-row
-    Python). Same prefix-hash construction as ``word_shingles_batch``."""
-    L = len(buf)
+    cumprod/cumsum passes over the buffer (O(bytes), no per-row Python),
+    computed in span-aligned slices to bound transient memory. Same
+    prefix-hash construction as ``word_shingles_batch``."""
     binv = np.uint64(pow(int(base), -1, 1 << 64))
-    pw = np.ones(L + 1, dtype=np.uint64)
-    np.cumprod(np.full(L, base, dtype=np.uint64), out=pw[1:])
-    pwinv = np.ones(L + 1, dtype=np.uint64)
-    np.cumprod(np.full(L, binv, dtype=np.uint64), out=pwinv[1:])
-    S = np.zeros(L + 1, dtype=np.uint64)
-    np.cumsum(buf.astype(np.uint64) * pwinv[1:], out=S[1:])
-    H = S * pw  # H[n] = hash of bytes [0, n)
-    lo, hi = offs[:-1], offs[1:]
-    # mix the length in pre-avalanche so spans that hash-prefix-collide at
-    # different lengths (e.g. "" vs "\0") stay apart
-    return _avalanche(H[hi] - H[lo] * pw[hi - lo] + (hi - lo).astype(np.uint64))
+    n = len(offs) - 1
+    out = np.empty(n, dtype=np.uint64)
+    row = 0
+    while row < n:
+        # largest row range whose bytes fit the slice budget (>=1 row)
+        end = int(np.searchsorted(offs, offs[row] + _POLY_SLICE_BYTES,
+                                  side="right")) - 1
+        end = max(end, row + 1)
+        seg = buf[offs[row]:offs[end]]
+        so = offs[row:end + 1] - offs[row]
+        L = len(seg)
+        pw = np.ones(L + 1, dtype=np.uint64)
+        np.cumprod(np.full(L, base, dtype=np.uint64), out=pw[1:])
+        pwinv = np.ones(L + 1, dtype=np.uint64)
+        np.cumprod(np.full(L, binv, dtype=np.uint64), out=pwinv[1:])
+        S = np.zeros(L + 1, dtype=np.uint64)
+        np.cumsum(seg.astype(np.uint64) * pwinv[1:], out=S[1:])
+        H = S * pw  # H[m] = hash of slice bytes [0, m)
+        lo, hi = so[:-1], so[1:]
+        # mix the length in pre-avalanche so spans that hash-prefix-collide
+        # at different lengths (e.g. "" vs "\0") stay apart
+        out[row:end] = _avalanche(H[hi] - H[lo] * pw[hi - lo]
+                                  + (hi - lo).astype(np.uint64))
+        row = end
+    return out
 
 
 def content_hash64_arrow(arr, seed: int = 0) -> np.ndarray:

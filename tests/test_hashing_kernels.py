@@ -207,3 +207,21 @@ def test_content_hash64_no_trivial_prefix_or_length_collisions():
             "baa", "x" * 100, "x" * 101]
     h = content_hash64_arrow(pa.array(strs, pa.string()))
     assert len(set(h.tolist())) == len(strs)
+
+
+def test_content_hash_is_slice_invariant():
+    """The bounded-scratch sliced scan must produce bit-identical hashes to
+    the single-pass scan (polynomial span hashes are translation-invariant)."""
+    import pyarrow as pa
+
+    import case_uco_ontology_map_ray.functions.hashing as H
+
+    arr = pa.array(["a" * 50, "b" * 3000, "", "c" * 123, "a" * 50, "x",
+                    "y" * 9999], pa.string())
+    full = H.content_hash64_arrow(arr)
+    old = H._POLY_SLICE_BYTES
+    try:
+        H._POLY_SLICE_BYTES = 64  # force slicing, incl. spans > the budget
+        assert (H.content_hash64_arrow(arr) == full).all()
+    finally:
+        H._POLY_SLICE_BYTES = old
