@@ -172,11 +172,18 @@ def propagate_labels(incidence: rd.Dataset, labels: rd.Dataset,
 
     Each round: label(pid) <- min over { label(q) : q shares a band with pid }
     expressed as two bucket_joins + two grouped mins — iterative
-    groupby-aggregate union-find (north_rule). Converges in O(component
-    diameter) rounds. ``max_rounds`` is a soft target (same semantics as
-    ``_labels_vectorized``): a component with diameter > ~2*max_rounds hops
-    would silently split, so the loop keeps going past it up to a hard cap —
-    each extra round only runs when the checksum shows labels still moving.
+    groupby-aggregate union-find (north_rule) — followed by one POINTER-JUMP
+    step (label <- label(label), a labels-with-labels bucket_join): path
+    compression halves chain depth per round, so convergence on long
+    near-dup chains is O(log diameter) rounds instead of O(diameter), at
+    one extra join per round. Real corpora hit this: a 360k-path bench
+    slice chains 99.99% of its paths into ONE component (see
+    ROUND5_NOTES.md). The fixpoint is unchanged — component min is
+    idempotent under compression (pinned by the small==distributed
+    equivalence tests). ``max_rounds`` is a soft target (same semantics as
+    ``_labels_vectorized``): a component needing more rounds would silently
+    split, so the loop keeps going past it up to a hard cap — each extra
+    round only runs when the checksum shows labels still moving.
 
     Returns (labels Dataset[(pid, label)], rounds_run, converged).
     """
@@ -204,6 +211,19 @@ def propagate_labels(incidence: rd.Dataset, labels: rd.Dataset,
         # materialize: the label table is small (one row per distinct path);
         # without this every round would lazily re-execute all prior rounds
         labels = _grouped_min(labels.union(cand), "pid", "label", "label")
+        labels = labels.repartition(target_blocks).materialize()
+
+        # pointer jump: label <- label(label). Every label VALUE is a pid
+        # with its own labels row (labels start as pid->pid and only take
+        # mins of other labels), so joining the label table onto itself on
+        # label==pid hops each node to its label's label in one pass.
+        lhs = labels.map_batches(
+            lambda t: t.rename_columns(["pid", "__k"]), batch_format="pyarrow")
+        rhs = labels.map_batches(
+            lambda t: t.rename_columns(["__k", "label"]), batch_format="pyarrow")
+        hop = bucket_join(lhs, rhs, on="__k", num_buckets=num_buckets).map_batches(
+            lambda t: t.select(["pid", "label"]), batch_format="pyarrow")
+        labels = _grouped_min(labels.union(hop), "pid", "label", "label")
         labels = labels.repartition(target_blocks).materialize()
 
         # convergence: labels only decrease, so the (wraparound) checksum is

@@ -165,3 +165,34 @@ def test_normalize_paths_arrow_matches_scalar_rule():
     got_dict = normalize_paths_arrow(
         pa.array(cases, pa.string()).dictionary_encode()).to_pylist()
     assert got_dict == got
+
+
+def test_propagate_labels_chain_converges_logarithmically():
+    """r5: the distributed rounds pointer-jump (label <- label(label)), so a
+    long CHAIN component (the measured shape of real near-dup path corpora)
+    converges in O(log diameter) rounds, not O(diameter) — and to the exact
+    component min."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import propagate_labels
+
+    n = 48  # chain pid_i -- band_i -- pid_{i+1}: diameter 47
+    bands = list(range(n - 1)) + list(range(n - 1))
+    pids = list(range(n - 1)) + list(range(1, n))
+    incidence = rd.from_arrow(pa.table({
+        "band": pa.array(bands, pa.int64()),
+        "pid": pa.array(pids, pa.int64()),
+    }))
+    labels = rd.from_arrow(pa.table({
+        "pid": pa.array(range(n), pa.int64()),
+        "label": pa.array(range(n), pa.int64()),
+    }))
+    out, rounds, converged = propagate_labels(incidence, labels,
+                                              max_rounds=5, num_buckets=8)
+    df = out.to_pandas().sort_values("pid")
+    assert converged
+    assert (df["label"] == 0).all()  # exact component min for every node
+    # one band-step halves distance to the min, the jump step compresses
+    # paths: a 47-hop chain must close in far fewer than diameter rounds
+    assert rounds <= 10, rounds
