@@ -10,16 +10,17 @@ blocking + union-find as iterative groupby-aggregate rounds).
 
 Pipeline:
   1. mentions: filter path-bearing preds out of the triple stream (map-only);
-     normalize the path; pid = stable 64-bit hash of the normalized path.
+     normalize the path (Arrow kernels); pid = vectorized 64-bit content
+     hash of the normalized path.
   2. distinct paths: two-phase dedup (local arrow combiner + pid-partitioned
      finish) — the node set for clustering.
-  3. LSH incidence: char-shingle MinHash signatures -> (band:int64, pid)
-     rows (actor pool; hash family built once per actor).
-  4. min-label propagation over the bipartite (band, pid) graph:
-     label <- min(label) within each band-bucket, then within each pid;
-     iterate until no label changes (bounded rounds). Every step is a
-     bucket_join / groupby-aggregate over int64 keys — no driver state.
-  5. canonical IDs: component label -> its path string -> uuid5(NS_ENTITY,
+  3. clustering = ops/dedup.minhash_lsh_dedup over char-4 shingles of the
+     normalized paths: LSH band blocking -> exact-Jaccard VERIFICATION of
+     every candidate edge -> min-label connected components (adaptive
+     small/distributed groupby rounds, pointer-jumped). Verification is
+     load-bearing: unverified band collisions chain transitively and merge
+     unrelated paths at scale (ROUND5_NOTES.md).
+  4. canonical IDs: component label -> its path string -> uuid5(NS_ENTITY,
      canonical path) -> link triples (subj, kb:canonicalEntity, kb:entity-x).
 
 Exact-duplicate paths canonicalize identically by construction (same pid);
@@ -36,7 +37,7 @@ import ray.data as rd
 
 from ..config import NS_ENTITY
 from ..functions.fingerprint import uuid5_str
-from ..functions.hashing import MinHasher, char_shingles_batch, content_hash64_arrow
+from ..functions.hashing import content_hash64_arrow
 from ..ops.joins import bucket_join
 
 # Triple predicates whose objects are file-path mentions.
@@ -130,27 +131,6 @@ def distinct_paths(mentions: rd.Dataset, num_parts: int = 64) -> rd.Dataset:
         return agg.rename_columns(["pid", "norm_path"])
 
     return pre.groupby("__part").map_groups(finish, batch_format="pyarrow")
-
-
-class _PathSketcher:
-    """Actor stage: (pid, norm_path) -> (band, pid) LSH incidence rows.
-
-    Whole-batch CSR shingling + vectorized signatures/band keys (see
-    functions/hashing.py) — no per-path Python loop."""
-
-    def __init__(self, num_perm: int = 32, bands: int = 8, shingle_k: int = 4):
-        self.mh = MinHasher(num_perm=num_perm, seed=7)
-        self.bands = bands
-        self.k = shingle_k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        paths = t.column("norm_path").to_pylist()
-        vals, offs = char_shingles_batch(paths, self.k)
-        sigs = self.mh.signatures_batch(vals, offs)
-        keys = self.mh.band_keys_batch(sigs, self.bands)  # (n, bands) int64
-        pids = t.column("pid").to_numpy(zero_copy_only=False)
-        return pa.table({"band": pa.array(keys.ravel(), pa.int64()),
-                         "pid": pa.array(np.repeat(pids, self.bands), pa.int64())})
 
 
 def _grouped_min(ds: rd.Dataset, key: str, val: str, out_name: str) -> rd.Dataset:
@@ -307,27 +287,32 @@ def _labels_vectorized(band: np.ndarray, pid: np.ndarray,
 
 def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
                        max_rounds: int = 5,
-                       small_threshold: int = 20_000_000) -> tuple[rd.Dataset, rd.Dataset]:
+                       small_threshold: int = 20_000_000,
+                       verify_tau: float = 0.6) -> tuple[rd.Dataset, rd.Dataset]:
     """Full canonicalization. Returns (entity_table, link_triples).
 
     entity_table: (pid, norm_path, label, canonical_path, canonical_id)
     link_triples: (subj, pred=kb:canonicalEntity, obj=kb:entity-<uuid5>,
                    obj_dt=@id, conv_id, turn_idx)
 
-    Adaptive strategy on the DISTINCT-PATH set (always orders of magnitude
-    smaller than the mention stream). The small-path gate bounds what the
-    driver actually pulls: the INCIDENCE table has ``n_paths * bands`` rows
-    of two int64s, so the gate is ``n_paths * bands <= small_threshold``
-    (default 20M rows ≈ 320 MB of numpy on the driver, plus the distinct
-    paths frame itself) — NOT a bound on n_paths alone, which understated
-    driver memory by the band factor.
-    - small: vectorized numpy label propagation + a broadcast
-      pid->canonical_id map for the link join (no shuffles beyond the
-      distinct-paths dedup); all lookups are sorted-array searchsorted —
-      no per-row Python dicts;
-    - larger: the fully distributed groupby-aggregate rounds
-      (``propagate_labels``) + bucketed joins.
-    Both paths compute the identical fixpoint (min-label is commutative).
+    Clustering over the DISTINCT-PATH set (always orders of magnitude
+    smaller than the mention stream) reuses the dedup engine end-to-end
+    (ops/dedup.minhash_lsh_dedup over char-4 shingles of the normalized
+    path): MinHash-LSH blocking -> **exact-Jaccard verification of every
+    candidate edge** (tau=``verify_tau``) -> min-label connected components
+    (adaptive small/distributed, pointer-jumped). The verify stage is what
+    keeps canonicalization meaningful at scale: unverified band collisions
+    chain transitively — measured on a 360k-conv corpus, they merged
+    99.99% of all paths into ONE entity (every prefetch path shares the
+    "windows/prefetch/" shingles); with verification only genuinely
+    near-identical paths (Jaccard >= tau) link.
+
+    ``small_threshold`` gates the FINAL pid->canonical_id map: at or below
+    it the (pid, label) table is pulled once to the driver (16 B/row ->
+    default 20M rows ≈ 320 MB) and broadcast as sorted arrays for a
+    map-only link join; above it the map stays a Dataset and the link is a
+    bucket_join. Both produce the identical labeling (the clustering
+    itself is adaptive inside the dedup engine, independent of this gate).
     """
     mentions = triples if "pid" in triples.schema().names else mentions_from_triples(triples)
     # two consumers read the mention stream (distinct-paths dedup and the
@@ -340,28 +325,29 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
     paths = distinct_paths(mentions).materialize()  # one row per distinct path
     n_paths = paths.count()
 
-    from ..ops.dedup import _pool
+    from ..ops.dedup import minhash_lsh_dedup
 
-    incidence = paths.map_batches(
-        _PathSketcher, fn_constructor_args=(num_perm, bands),
-        batch_format="pyarrow", concurrency=_pool(),
+    docs = paths.map_batches(
+        lambda t: pa.table({"doc_id": t.column("pid"),
+                            "text": t.column("norm_path")}),
+        batch_format="pyarrow",
+    )
+    labels_ds = minhash_lsh_dedup(
+        docs, num_perm=num_perm, bands=bands, shingle_k=4, use_words=False,
+        tau=verify_tau, max_rounds=max_rounds,
+    ).map_batches(
+        lambda t: t.rename_columns(["pid", "label"]), batch_format="pyarrow",
     ).materialize()
 
-    if n_paths * bands <= small_threshold:
-        inc = incidence.to_pandas()
-        uniq, lab = _labels_vectorized(
-            inc["band"].to_numpy(), inc["pid"].to_numpy(), max_rounds
-        )
+    if n_paths <= small_threshold:
+        lab_df = labels_ds.to_pandas()  # every pid has exactly one row
+        lp = lab_df["pid"].to_numpy(dtype=np.int64)
+        ll = lab_df["label"].to_numpy(dtype=np.int64)
+        lorder = np.argsort(lp, kind="stable")
+        lp, ll = lp[lorder], ll[lorder]
         pdf = paths.to_pandas()
         pid_arr = pdf["pid"].to_numpy(dtype=np.int64)
-        # label lookup: uniq is sorted (np.unique) — searchsorted, own pid
-        # when the path never appeared in any band (no per-row dict.get)
-        if len(uniq):
-            ix = np.minimum(np.searchsorted(uniq, pid_arr), len(uniq) - 1)
-            hit = uniq[ix] == pid_arr
-            label = np.where(hit, lab[ix], pid_arr)
-        else:
-            label = pid_arr
+        label = ll[np.searchsorted(lp, pid_arr)]
         pdf["label"] = label
         # canonical path lookup: every label is a pid present in pdf (min
         # over component members), so a sorted-pid searchsorted resolves it
@@ -405,22 +391,9 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
         link = mentions.map_batches(link_join, batch_format="pyarrow")
         return entity, link
 
-    # ---- distributed path (label table too large to broadcast) ----
-    labels = paths.map_batches(
-        lambda t: pa.table({"pid": t.column("pid"), "label": t.column("pid")}),
-        batch_format="pyarrow",
-    )
-    labels, rounds, converged = propagate_labels(incidence, labels, max_rounds)
-    if not converged:
-        import warnings
-
-        warnings.warn(
-            f"entity-linking label propagation hit max_rounds={max_rounds} "
-            "without converging; canonical clusters may be split",
-            RuntimeWarning, stacklevel=2)
-
+    # ---- distributed path (label map too large to broadcast) ----
     canon = bucket_join(
-        labels,
+        labels_ds,
         paths.map_batches(
             lambda t: t.rename_columns(["label", "canonical_path"]),
             batch_format="pyarrow",

@@ -63,10 +63,7 @@ def test_canonical_entities_converge_and_link():
 def test_near_duplicate_paths_share_component():
     import ray.data as rd
 
-    from case_uco_ontology_map_ray.pipelines.linking import (
-        _PathSketcher,
-        canonical_entities,
-    )
+    from case_uco_ontology_map_ray.pipelines.linking import canonical_entities
 
     import pyarrow as pa
 
@@ -108,23 +105,21 @@ def test_small_and_distributed_paths_agree():
     )
 
 
-def test_small_path_gate_is_incidence_rows():
-    """The small-path gate bounds n_paths * bands (what the driver actually
-    pulls), not n_paths: at exactly the boundary the small path fires; one
-    row under it the distributed path fires — and both produce the same
-    assignment (VERDICT r3 'What's wrong' #3)."""
+def test_small_path_gate_boundary():
+    """The small-path gate bounds the (pid, label) map rows pulled to the
+    driver: at exactly n_paths the broadcast path fires; one under it the
+    bucket_join path fires — identical entity assignment either way (the
+    clustering itself is adaptive inside the dedup engine, independent of
+    this gate)."""
     from case_uco_ontology_map_ray.pipelines.linking import (
         canonical_entities, distinct_paths, mentions_from_triples)
 
     triples = _triples_ds(4)
-    bands = 8
     n_paths = distinct_paths(mentions_from_triples(triples)).count()
     at_boundary = canonical_entities(
-        triples, bands=bands, max_rounds=5,
-        small_threshold=n_paths * bands)[0].to_pandas()
+        triples, max_rounds=5, small_threshold=n_paths)[0].to_pandas()
     under_boundary = canonical_entities(
-        triples, bands=bands, max_rounds=5,
-        small_threshold=n_paths * bands - 1)[0].to_pandas()
+        triples, max_rounds=5, small_threshold=n_paths - 1)[0].to_pandas()
     key = ["pid", "label", "canonical_id"]
     assert set(map(tuple, at_boundary[key].values.tolist())) == set(
         map(tuple, under_boundary[key].values.tolist()))
