@@ -58,6 +58,11 @@ SMALL_THRESHOLD = 5_000_000
 # broadcast — the same order as linking.py's label-map threshold.
 BROADCAST_VERIFY_THRESHOLD = 2_000_000
 
+# band-stream rows (= n_docs * bands, 16 B each) at or below which LSH
+# candidate extraction runs as one collected numpy sort instead of two
+# all-to-all exchanges; 8M rows = 128 MB on the collecting node
+SMALL_BAND_ROWS = 8_000_000
+
 
 def _md5_column(texts: list[str]) -> list[str]:
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
@@ -229,6 +234,25 @@ def _distinct_edges(edges, num_parts: int = 64):
         return g.drop_columns(["__part"]).group_by([c0, c1]).aggregate([])
 
     return pre.groupby("__part").map_groups(finish, batch_format="pyarrow")
+
+
+def _star_edges_np(doc: np.ndarray, seg: np.ndarray,
+                   max_bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    """Star candidate edges over (band-)segment runs of a doc_id-sorted
+    stream: root = segment min (first after sort); the skew guard caps each
+    segment's star at ``max_bucket`` smallest ids (a degenerate band — e.g.
+    empty docs — would otherwise emit unbounded verify work). Shared by the
+    distributed per-bucket stage and the collected small path so both emit
+    the identical edge set."""
+    if len(doc) == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+    lens = np.diff(np.r_[starts, len(seg)])
+    pos = np.arange(len(seg)) - np.repeat(starts, lens)
+    roots = np.repeat(doc[starts], lens)
+    keep = (pos >= 1) & (pos < max_bucket)
+    return doc[keep], roots[keep]
 
 
 def _csr_gather(vals: np.ndarray, starts: np.ndarray,
@@ -517,6 +541,7 @@ def minhash_lsh_dedup(
     tau: float = 0.5,
     max_bucket: int = 64,
     max_rounds: int = 8,
+    small_band_rows: int = SMALL_BAND_ROWS,
 ):
     """MinHash-LSH near-dup clustering.
 
@@ -525,6 +550,12 @@ def minhash_lsh_dedup(
     bucket) -> distinct edges -> distributed exact-Jaccard verify (shingle
     sets bucket_joined onto edges) -> min-label propagation -> Dataset
     (doc_id, cluster_id) with cluster_id = min doc_id of the component.
+
+    Adaptive banding: when the measured band stream (n_docs x bands rows of
+    16 B) is at most ``small_band_rows``, candidate extraction collapses to
+    one collected numpy sort (zero exchanges) with the identical edge set;
+    above the gate it runs the two-exchange distributed form. Pass
+    ``small_band_rows=0`` to force the distributed path.
     """
     mh = MinHasher(num_perm=num_perm, seed=42)
 
@@ -535,24 +566,45 @@ def minhash_lsh_dedup(
         _explode_bands(mh, bands), batch_format="pyarrow")
 
     def star_edges(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized over ALL band segments in the bucket: root = segment
-        # min (first after sort); skew guard caps each band's star at
-        # max_bucket smallest ids (a degenerate band — e.g. empty docs —
-        # would otherwise emit unbounded verify work)
-        doc = g["doc_id"].to_numpy(dtype=np.int64)
-        seg = g["__seg"].to_numpy()
-        if len(doc) == 0:
-            return pd.DataFrame({"u": pd.Series(dtype="int64"),
-                                 "v": pd.Series(dtype="int64")})
-        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
-        lens = np.diff(np.r_[starts, len(seg)])
-        pos = np.arange(len(seg)) - np.repeat(starts, lens)
-        roots = np.repeat(doc[starts], lens)
-        keep = (pos >= 1) & (pos < max_bucket)
-        return pd.DataFrame({"u": doc[keep], "v": roots[keep]})
+        u, v = _star_edges_np(g["doc_id"].to_numpy(dtype=np.int64),
+                              g["__seg"].to_numpy(), max_bucket)
+        return pd.DataFrame({"u": u, "v": v})
 
-    edges = _band_groups(bands_ds, star_edges)
-    edges = _distinct_edges(edges)
+    n_docs = sketched.count()
+    if n_docs * bands <= small_band_rows:
+        # Small path: the (band, doc_id) stream fits one node (16 B/row,
+        # gated — default 8M rows = 128 MB), so collect it and run the SAME
+        # star-edge kernel over one global (band, doc_id) sort instead of
+        # two all-to-all exchanges (band groupby + edge-distinct groupby).
+        # Identical edge set: each band is wholly contained in one hash
+        # bucket on the distributed path, so a global sort restricted to a
+        # bucket equals the bucket's local sort; equivalence is pinned by
+        # test_minhash_small_matches_distributed.
+        import ray
+
+        chunks = list(bands_ds.iter_batches(batch_format="pyarrow"))
+        band = (np.concatenate([c.column("band").to_numpy(zero_copy_only=False)
+                                for c in chunks])
+                if chunks else np.array([], dtype=np.int64))
+        doc = (np.concatenate([c.column("doc_id").to_numpy(zero_copy_only=False)
+                               for c in chunks])
+               if chunks else np.array([], dtype=np.int64))
+        order = np.lexsort((doc, band))
+        band, doc = band[order], doc[order]
+        seg = np.zeros(len(band), dtype=np.int64)
+        if len(band):
+            seg[1:] = np.cumsum(band[1:] != band[:-1])
+        u, v = _star_edges_np(doc, seg, max_bucket)
+        if len(u):
+            eorder = np.lexsort((v, u))
+            u, v = u[eorder], v[eorder]
+            m = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+            u, v = u[m], v[m]
+        edges = ray.data.from_arrow(pa.table({"u": pa.array(u, pa.int64()),
+                                              "v": pa.array(v, pa.int64())}))
+    else:
+        edges = _band_groups(bands_ds, star_edges)
+        edges = _distinct_edges(edges)
     verified = _verify_jaccard(edges, payload, tau)
     return _propagate_components(verified, sketched.select_columns(["doc_id"]),
                                  "cluster_id", max_rounds=max_rounds)

@@ -44,6 +44,37 @@ def test_minhash_lsh_clusters_near_dups():
     assert cl[2] == 2 and cl[3] == 3  # unrelated docs stay singletons
 
 
+def test_minhash_small_matches_distributed():
+    """The collected small band path must emit the identical clustering to
+    the two-exchange distributed path (small_band_rows=0 forces it)."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.dedup import minhash_lsh_dedup
+
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "gamma", "delta", "echo", "fox", "golf",
+             "hotel", "india", "julia", "kilo", "lima"]
+    rows = []
+    for i in range(240):
+        base = [words[j] for j in rng.randint(0, len(words), 12)]
+        rows.append({"doc_id": 3 * i, "text": " ".join(base)})
+        mut = list(base)
+        mut[rng.randint(0, len(mut))] = words[rng.randint(0, len(words))]
+        rows.append({"doc_id": 3 * i + 1, "text": " ".join(mut)})  # near dup
+        rows.append({"doc_id": 3 * i + 2, "text": " ".join(base)})  # exact dup
+    ds = rd.from_items(rows).repartition(6)
+
+    kw = dict(num_perm=32, bands=16, shingle_k=2, tau=0.5)
+    small = minhash_lsh_dedup(ds, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = minhash_lsh_dedup(ds, small_band_rows=0, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, dist)
+    # sanity: the planted exact dups actually cluster
+    cl = dict(zip(small.doc_id, small.cluster_id))
+    assert cl[0] == cl[2]
+
+
 def test_simhash_groups_near_dups():
     from case_uco_ontology_map_ray.ops.dedup import simhash_groups
 
