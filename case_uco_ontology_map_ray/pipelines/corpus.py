@@ -34,18 +34,14 @@ def dedup_minhash_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def dedup_minhash_invariants(sf_dir: str) -> pd.DataFrame:
-    """DuckDB-checkable invariants of the MinHash-LSH clustering (VERDICT r4
-    #7 — the clustering itself is seed-defined, but its exact-duplicate
-    behavior is not): identical texts have identical shingle sets, hence
-    identical signatures and band keys, hence a Jaccard-1.0 verified edge —
-    so NO exact-duplicate group may ever be split across clusters. Returns
-    one row (n_docs, n_distinct_texts, n_split_exact_groups); the oracle
-    pins the first two by SQL and the third to literal 0.
+def _split_exact_groups(docs, clusters, label_col: str) -> tuple[int, int, int]:
+    """Shared kernel of the dedup *clustering* invariant queries: how many
+    exact-duplicate text groups did the clustering split across labels?
+    Returns (n_docs, n_distinct_texts, n_split_exact_groups).
 
     Scale shape: the exact-group key is the vectorized poly128 content hash
     (same doc partition as SQL's md5 barring a ~2^-128 collision); the
-    split check is per-batch distinct (hash, cluster) pairs -> hash-bucket
+    split check is per-batch distinct (hash, label) pairs -> hash-bucket
     partition (a group never spans partitions) -> per-partition group sizes
     -> one int per partition to the driver.
     """
@@ -54,11 +50,9 @@ def dedup_minhash_invariants(sf_dir: str) -> pd.DataFrame:
     from ..functions.hashing import content_hash128_arrow
     from ..ops.joins import _mix_bucket, bucket_join
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = docs.count()
     n_distinct = dd.exact_dedup(docs).count()
 
-    clusters = dd.minhash_lsh_dedup(docs)  # (doc_id, cluster_id)
     keyed = docs.map_batches(
         lambda t: pa.table({"doc_id": t.column("doc_id"),
                             "__h": content_hash128_arrow(t.column("text"))}),
@@ -66,8 +60,8 @@ def dedup_minhash_invariants(sf_dir: str) -> pd.DataFrame:
     both = bucket_join(keyed, clusters, on="doc_id")
 
     def local(t: pa.Table) -> pa.Table:
-        pairs = (t.select(["__h", "cluster_id"])
-                 .group_by(["__h", "cluster_id"]).aggregate([]))
+        pairs = (t.select(["__h", label_col])
+                 .group_by(["__h", label_col]).aggregate([]))
         return pairs.append_column("__part",
                                    _mix_bucket(pairs.column("__h"), 64))
 
@@ -75,7 +69,7 @@ def dedup_minhash_invariants(sf_dir: str) -> pd.DataFrame:
 
     def finish(g: pa.Table) -> pa.Table:
         d = (g.drop_columns(["__part"])
-             .group_by(["__h", "cluster_id"]).aggregate([]))
+             .group_by(["__h", label_col]).aggregate([]))
         per_h = d.group_by(["__h"]).aggregate([([], "count_all")])
         n_multi = int(pc.sum(pc.greater(per_h.column("count_all"), 1),
                              min_count=0).as_py() or 0)
@@ -83,9 +77,40 @@ def dedup_minhash_invariants(sf_dir: str) -> pd.DataFrame:
 
     parts = pre.groupby("__part").map_groups(finish, batch_format="pyarrow").to_pandas()
     n_split = int(parts["n_multi"].sum()) if "n_multi" in parts.columns else 0
+    return n_docs, n_distinct, n_split
+
+
+def _split_invariant_frame(n_docs: int, n_distinct: int, n_split: int) -> pd.DataFrame:
     return pd.DataFrame({"n_docs": pd.array([n_docs], dtype="int64"),
                          "n_distinct_texts": pd.array([n_distinct], dtype="int64"),
                          "n_split_exact_groups": pd.array([n_split], dtype="int64")})
+
+
+def dedup_minhash_invariants(sf_dir: str) -> pd.DataFrame:
+    """DuckDB-checkable invariants of the MinHash-LSH clustering (VERDICT r4
+    #7 — the clustering itself is seed-defined, but its exact-duplicate
+    behavior is not): identical texts have identical shingle sets, hence
+    identical signatures and band keys, hence a Jaccard-1.0 verified edge —
+    so NO exact-duplicate group may ever be split across clusters. Returns
+    one row (n_docs, n_distinct_texts, n_split_exact_groups); the oracle
+    pins the first two by SQL and the third to literal 0.
+    """
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    clusters = dd.minhash_lsh_dedup(docs)  # (doc_id, cluster_id)
+    return _split_invariant_frame(
+        *_split_exact_groups(docs, clusters, "cluster_id"))
+
+
+def dedup_simhash_invariants(sf_dir: str) -> pd.DataFrame:
+    """SimHash-grouping twin of ``dedup_minhash_invariants``: identical
+    texts have identical 64-bit simhashes, hence identical band chunks and
+    hamming distance 0 to their bucket root, so the grouping may never
+    split an exact-duplicate group (oracle pins n_split to 0; n_docs /
+    n_distinct_texts SQL-counted)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    groups = dd.simhash_groups(docs)  # (doc_id, group_id)
+    return _split_invariant_frame(
+        *_split_exact_groups(docs, groups, "group_id"))
 
 
 def dedup_simhash_documents(sf_dir: str) -> pd.DataFrame:
@@ -103,6 +128,31 @@ def ngram_jaccard_exact(sf_dir: str) -> pd.DataFrame:
     over string shingle sets (the engine compares 64-bit shingle hashes, a
     collision-free proxy at these corpus sizes)."""
     return dd.ngram_jaccard_exact(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def ngram_jaccard_lsh_invariants(sf_dir: str) -> pd.DataFrame:
+    """DuckDB-checkable invariants of the LSH n-gram pair candidates: every
+    emitted pair carries an EXACT Jaccard (the LSH only proposes candidates;
+    the filter is exact), so the LSH pair set must be a subset of the exact
+    all-pairs result (``ngram_jaccard_exact``, itself value-oracled) with
+    identical jac values. Returns one row (n_docs, n_not_in_exact,
+    n_jac_mismatch); the oracle SQL-counts n_docs and pins both violation
+    counts to 0. Recall (|lsh| / |exact|) is approximate by design and
+    stays un-pinned. Both pair sets are O(matching pairs), so the driver
+    merge is bounded by the result size, not the corpus."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    lsh = dd.ngram_jaccard_pairs(docs)
+    exact = dd.ngram_jaccard_exact(docs)
+    merged = lsh.merge(exact, on=["id_a", "id_b"], how="left",
+                       suffixes=("", "_exact"))
+    n_not_in_exact = int(merged["jac_exact"].isna().sum())
+    hit = merged.dropna(subset=["jac_exact"])
+    n_mismatch = int((hit["jac"] != hit["jac_exact"]).sum())
+    return pd.DataFrame({
+        "n_docs": pd.array([n_docs], dtype="int64"),
+        "n_not_in_exact": pd.array([n_not_in_exact], dtype="int64"),
+        "n_jac_mismatch": pd.array([n_mismatch], dtype="int64")})
 
 
 def doc_token_stats(sf_dir: str) -> pd.DataFrame:
@@ -270,6 +320,10 @@ def similarity_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def similarity_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """One-shot IVF top-k with nprobe = n_centroids (full probe) — exact,
+    so the brute-force DuckDB oracle applies (without the id-0 exclusion);
+    the centroid-assign/probe/merge machinery is what's under gate. Partial
+    probes (the sublinear scale path) are exercised rows-only via tests."""
     q = _query_vector(sf_dir)
     return sim.ivf_topk(_emb(sf_dir), q, k=10, n_centroids=8, nprobe=8)
 
@@ -322,6 +376,27 @@ def embedding_neardup_lsh(sf_dir: str, tau: float = 0.45) -> pd.DataFrame:
     ~0.99 recall. At the op's native tau~0.95 regime, longer bands (4x4)
     keep buckets sublinear."""
     return sim.embedding_neardup_lsh(_emb(sf_dir), tau=tau, n_bits=16, bands=8)
+
+
+def embedding_neardup_lsh_invariants(sf_dir: str, tau: float = 0.45) -> pd.DataFrame:
+    """Subset invariant for the hyperplane-LSH near-dup path: candidates are
+    verified with EXACT cosine inside each bucket, so every emitted pair
+    must appear in the exact all-pairs result (``embedding_neardup``,
+    value-oracled) with the identical cos. One row (n_vecs, n_not_in_exact,
+    n_cos_mismatch); SQL counts n_vecs and pins the violations to 0.
+    Recall stays un-pinned (approximate by design)."""
+    lsh = sim.embedding_neardup_lsh(_emb(sf_dir), tau=tau, n_bits=16, bands=8)
+    exact = sim.embedding_neardup_pairs(_emb(sf_dir), tau=tau)
+    n_vecs = _emb(sf_dir).count()
+    merged = lsh.merge(exact, on=["id_a", "id_b"], how="left",
+                       suffixes=("", "_exact"))
+    n_not_in_exact = int(merged["cos_exact"].isna().sum())
+    hit = merged.dropna(subset=["cos_exact"])
+    n_mismatch = int((hit["cos"] != hit["cos_exact"]).sum())
+    return pd.DataFrame({
+        "n_vecs": pd.array([n_vecs], dtype="int64"),
+        "n_not_in_exact": pd.array([n_not_in_exact], dtype="int64"),
+        "n_cos_mismatch": pd.array([n_mismatch], dtype="int64")})
 
 
 def doc_repetition(sf_dir: str) -> pd.DataFrame:
@@ -394,6 +469,26 @@ def kmeans_embeddings(sf_dir: str, n_clusters: int = 8,
     sizes = np.asarray(last["sizes"], dtype=np.int64)
     return pd.DataFrame({"cluster": np.arange(len(sizes), dtype=np.int64),
                          "size": sizes})
+
+
+def kmeans_invariants(sf_dir: str, n_clusters: int = 8,
+                      n_iter: int = 5) -> pd.DataFrame:
+    """DuckDB-checkable invariants of distributed Lloyd's k-means (the
+    centroids themselves are reduce-order-defined at the 1e-15 level, the
+    invariants are not): every vector is assigned to exactly one cluster
+    (sizes sum = SQL row count) and the objective never increases across
+    iterations. One row (n_clusters, n_assigned, inertia_nonincreasing)."""
+    import numpy as np
+
+    _, history = sim.kmeans_fit(_emb(sf_dir), n_clusters=n_clusters,
+                                n_iter=n_iter)
+    inertias = [h["inertia"] for h in history]
+    monotone = all(b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:]))
+    n_assigned = int(np.sum(np.asarray(history[-1]["sizes"], dtype=np.int64)))
+    return pd.DataFrame({
+        "n_clusters": pd.array([n_clusters], dtype="int64"),
+        "n_assigned": pd.array([n_assigned], dtype="int64"),
+        "inertia_nonincreasing": pd.array([monotone], dtype="bool")})
 
 
 def _word_grams(t: pa.Table, k_gram: int, with_doc: bool) -> pa.Table:
