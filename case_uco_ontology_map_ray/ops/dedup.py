@@ -404,6 +404,15 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
                 cols["jac"] = pa.array(round_away(jacs[keep], 4))
             return pa.table(cols)
 
+        # one task per block: the collected small-band path emits the whole
+        # edge set as ONE block, which would run the per-edge lexsort kernel
+        # (the verify cost center) on a single core — slice to ~8k-edge
+        # blocks so the stage spreads across the pool (edge order is
+        # irrelevant: every consumer either min-labels or sorts)
+        n_edges = edges.count()
+        target_blocks = int(min(512, max(1, n_edges // 8192)))
+        if edges.num_blocks() < target_blocks:
+            edges = edges.repartition(target_blocks)
         return edges.map_batches(verify_edges, batch_format="pyarrow")
 
     payload = bucket_semi_join(payload, eps, on="doc_id")
