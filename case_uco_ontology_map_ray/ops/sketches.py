@@ -84,7 +84,7 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
 
     parts = ds.map_batches(sketch, batch_format="pyarrow")
     merged = HyperLogLog(p)
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for raw in b.column("sketch").to_pylist():
             merged = merged.merge(HyperLogLog.from_bytes(raw, p))
     return merged.estimate()
@@ -133,7 +133,7 @@ def approx_quantiles(ds, column: str, quantiles: list[float],
 
     parts = ds.map_batches(sketch, batch_format="pyarrow")
     merged = FixedHistogram(lo, hi, bins)
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         for raw in b.column("counts").to_pylist():
             merged = merged.merge(
                 FixedHistogram(lo, hi, bins, np.frombuffer(raw, dtype=np.int64).copy())
