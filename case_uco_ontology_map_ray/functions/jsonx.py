@@ -7,6 +7,28 @@ from __future__ import annotations
 import json
 import re
 
+try:  # optional fast parser; parse-only (dumps stays stdlib: the record
+    # representative min and the uuid5 fingerprint depend on stdlib's
+    # exact serialization bytes)
+    import orjson as _orjson
+except ImportError:  # pragma: no cover - orjson is present in the image
+    _orjson = None
+
+
+def loads_fast(text):
+    """json.loads twin, ~2x faster via orjson when present.
+
+    Falls back to stdlib on orjson strict-mode rejections (NaN/Infinity
+    literals, big ints) so anything stdlib parses still parses; raises
+    ValueError/TypeError exactly like stdlib otherwise."""
+    if _orjson is None:
+        return json.loads(text)
+    try:
+        return _orjson.loads(text)
+    except ValueError:
+        return json.loads(text)
+
+
 _FENCE_RE = re.compile(r"```(?:json)?\s*(.*?)```", re.DOTALL)
 _LINE_COMMENT_RE = re.compile(r"//[^\n\"]*$", re.MULTILINE)
 _UUID_RE = re.compile(

@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONTEXT
+from ..functions.jsonx import loads_fast
 from ..kg.records import extract_records
 from ..stages.kg_stage import TurnTriples
 
@@ -64,7 +65,7 @@ class TurnJsonLd(TurnTriples):
                                     tool_turns.column("conv_id").to_pylist(),
                                     tool_turns.column("turn_idx").to_pylist()):
             try:
-                payload = json.loads(text)
+                payload = loads_fast(text)
             except (json.JSONDecodeError, TypeError):
                 continue
             atype = payload.get("artifact_type") if isinstance(payload, dict) else None

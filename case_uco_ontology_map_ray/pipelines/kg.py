@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.jsonx import loads_fast
 from ..stages.kg_stage import TurnTriples
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -159,7 +160,7 @@ def distinct_triples_by_record(source: "str | rd.Dataset",
                                     tool_turns.column("conv_id").to_pylist(),
                                     tool_turns.column("turn_idx").to_pylist()):
             try:
-                payload = _json.loads(text)
+                payload = loads_fast(text)
             except (ValueError, TypeError):
                 continue
             for record in extract_records(payload):
@@ -205,7 +206,7 @@ def distinct_triples_by_record(source: "str | rd.Dataset",
         for rec_json, lineage, fp in zip(agg.column("record").to_pylist(),
                                          agg.column("lineage").to_pylist(),
                                          agg.column("fp").to_pylist()):
-            record = _json.loads(rec_json)
+            record = loads_fast(rec_json)
             atype = record.get("artifact_type")
             mapper = stage._mapper_for(atype, record)
             _, n = mapper.process_record_into(record, subj, pred, obj, dt)
@@ -368,7 +369,7 @@ def custom_facet_definitions(source: "str | rd.Dataset", concurrency=None):
         atypes, sig_rows, samples = [], [], []
         for text in t.filter(mask).column("text").to_pylist():
             try:
-                payload = _json.loads(text)
+                payload = loads_fast(text)
             except (ValueError, TypeError):
                 continue
             for record in extract_records(payload):
@@ -394,7 +395,7 @@ def custom_facet_definitions(source: "str | rd.Dataset", concurrency=None):
 
         g = g.sort_values(["field_sig", "sample"])
         atype = g["artifact_type"].iloc[0]
-        record = _json.loads(g["sample"].iloc[0])
+        record = loads_fast(g["sample"].iloc[0])
         empty = pd.DataFrame({"artifact_type": [], "facet_name": [],
                               "properties": [], "ttl": []})
         auto_map, _ = build_ontology_map(atype or "", sorted(record.keys()))

@@ -25,6 +25,7 @@ from ..config import (
     ONTOLOGY_MAPS,
     RESERVED_RECORD_KEYS,
 )
+from ..functions.jsonx import loads_fast
 from ..functions.naming import slugify, to_camel_case
 from ..kg.custom_facets import generate_custom_facets
 from ..kg.mapper import ArtifactMapper
@@ -81,7 +82,7 @@ class CoverageStats:
         atypes, totals, mapped, unmapped = [], [], [], []
         for text in tool_turns.column("text").to_pylist():
             try:
-                payload = json.loads(text)
+                payload = loads_fast(text)
             except (json.JSONDecodeError, TypeError):
                 continue
             atype = payload.get("artifact_type") if isinstance(payload, dict) else None
@@ -182,7 +183,7 @@ class TurnTriples:
 
         for text, conv_id, turn_idx in zip(texts, conv_ids, turn_idxs):
             try:
-                payload = json.loads(text)
+                payload = loads_fast(text)
             except (json.JSONDecodeError, TypeError):
                 continue
             records = extract_records(payload)

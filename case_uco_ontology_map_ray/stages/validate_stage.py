@@ -29,6 +29,7 @@ import json
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.jsonx import loads_fast
 from ..kg.records import extract_records
 from ..ontology.validate import RuleEngine, allowed_value_forms
 from .kg_stage import TRIPLES_SCHEMA, TurnTriples
@@ -116,7 +117,7 @@ class ValidatingTurnTriples(TurnTriples):
             tool_turns.column("turn_idx").to_pylist(),
         ):
             try:
-                payload = json.loads(text)
+                payload = loads_fast(text)
             except (json.JSONDecodeError, TypeError):
                 continue
             atype = payload.get("artifact_type") if isinstance(payload, dict) else None
