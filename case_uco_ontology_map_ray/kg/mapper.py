@@ -190,9 +190,15 @@ class ArtifactMapper:
         return out
 
     # ------------------------------------------------------------------ plan
-    def plan_record(self, record: dict) -> tuple[str, dict[str, str], dict[str, str]]:
-        """Return (fingerprint, {slug: slot_uuid}, {slot_uuid: type_iri})."""
-        fp = record_fingerprint(record)
+    def plan_record(self, record: dict, fp: str | None = None) -> tuple[
+            str, dict[str, str], dict[str, str]]:
+        """Return (fingerprint, {slug: slot_uuid}, {slot_uuid: type_iri}).
+
+        ``fp`` lets callers that already hold the record's fingerprint (the
+        construction finish stage dedups on it upstream) skip the canonical
+        re-serialization — ~20% of per-record mapper time."""
+        if fp is None:
+            fp = record_fingerprint(record)
         rec_uuid = record_uuid(fp)
         plan: dict[str, str] = {}
         types: dict[str, str] = {}
@@ -274,7 +280,8 @@ class ArtifactMapper:
         fp, n = self.process_record_into(record, *cols)
         return fp, list(zip(*cols)) if n else []
 
-    def compose_nodes(self, record: dict) -> tuple[str, list[str], dict[str, dict]]:
+    def compose_nodes(self, record: dict, fp: str | None = None
+                      ) -> tuple[str, list[str], dict[str, dict]]:
         """Deterministic chain up to the composed JSON-LD node set.
 
         Returns (fingerprint, node_order, {uuid: node}) where each node is
@@ -283,7 +290,7 @@ class ArtifactMapper:
         exactly the reference's composed ``@graph`` minus the ``@id`` key
         (the dict key is the id).
         """
-        fp, plan, types = self.plan_record(record)
+        fp, plan, types = self.plan_record(record, fp)
         properties, raw = self.route_properties(record, plan)
         primary_uuid = plan[self.primary_slug]
 
@@ -370,11 +377,12 @@ class ArtifactMapper:
         return fp, node_order, nodes
 
     def process_record_into(self, record: dict, subj_l: list, pred_l: list,
-                            obj_l: list, dt_l: list) -> tuple[str, int]:
+                            obj_l: list, dt_l: list,
+                            fp: str | None = None) -> tuple[str, int]:
         """Hot-path variant: append triples straight into column lists
         (no per-triple tuple allocation). Returns (fingerprint, n_emitted).
         """
-        fp, node_order, nodes = self.compose_nodes(record)
+        fp, node_order, nodes = self.compose_nodes(record, fp)
 
         # Flatten to triples (column-wise: no per-triple tuples)
         n0 = len(subj_l)

@@ -209,7 +209,8 @@ def distinct_triples_by_record(source: "str | rd.Dataset",
             record = loads_fast(rec_json)
             atype = record.get("artifact_type")
             mapper = stage._mapper_for(atype, record)
-            _, n = mapper.process_record_into(record, subj, pred, obj, dt)
+            _, n = mapper.process_record_into(record, subj, pred, obj, dt,
+                                              fp=fp)
             conv, _, turn = lineage.partition("#")
             convs.extend([conv] * n)
             turns.extend([int(turn)] * n)
