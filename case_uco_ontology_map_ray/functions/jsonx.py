@@ -15,18 +15,42 @@ except ImportError:  # pragma: no cover - orjson is present in the image
     _orjson = None
 
 
+# orjson parses integers exactly only within the i64/u64 range and silently
+# converts anything wider to float64 (type/precision divergence vs stdlib's
+# exact bigint). Such a misparse always surfaces as a float of magnitude
+# >= the i64 boundary, so after an orjson parse we walk the (small) value
+# tree for one; any hit triggers a stdlib reparse. The walk costs ~15% of
+# the parse saving (measured; a \d{19} regex pre-screen costs 100%+ on
+# digit-dense payloads), and legit huge floats reparse identically.
+_I64_BOUNDARY = 9.223372036854776e18
+
+
+def _has_boundary_float(o) -> bool:
+    to = type(o)
+    if to is dict:
+        return any(_has_boundary_float(v) for v in o.values())
+    if to is list:
+        return any(_has_boundary_float(v) for v in o)
+    return to is float and (o >= _I64_BOUNDARY or o <= -_I64_BOUNDARY)
+
+
 def loads_fast(text):
     """json.loads twin, ~2x faster via orjson when present.
 
-    Falls back to stdlib on orjson strict-mode rejections (NaN/Infinity
-    literals, big ints) so anything stdlib parses still parses; raises
+    Value-exact stdlib parity: parses that might have widened a >64-bit
+    integer to float are re-done with stdlib (see _has_boundary_float), and
+    orjson strict-mode rejections (NaN/Infinity literals) retry stdlib, so
+    anything stdlib parses still parses to the same value; raises
     ValueError/TypeError exactly like stdlib otherwise."""
     if _orjson is None:
         return json.loads(text)
     try:
-        return _orjson.loads(text)
+        out = _orjson.loads(text)
     except ValueError:
         return json.loads(text)
+    if _has_boundary_float(out):
+        return json.loads(text)
+    return out
 
 
 _FENCE_RE = re.compile(r"```(?:json)?\s*(.*?)```", re.DOTALL)

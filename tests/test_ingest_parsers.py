@@ -94,3 +94,67 @@ def test_coverage_stats():
     st = coverage_stats(rec, ["C"], reserved=("artifact_type",))
     assert st == {"totalFields": 3, "mappedFields": 2, "unmappedFields": 1,
                   "coverage": 0.6667}
+
+
+def test_loads_fast_matches_stdlib():
+    """loads_fast (orjson-backed) must accept everything stdlib accepts and
+    produce equal values — including the strict-mode fallbacks (NaN/Infinity
+    literals, >64-bit ints) and unicode/escape edge cases."""
+    import json
+    import math
+
+    from case_uco_ontology_map_ray.functions.jsonx import loads_fast
+
+    def eq_typed(a, b):
+        # int/float compare numerically equal in Python; parity must be
+        # type-exact too (a >64-bit int parsed as float would change str())
+        if isinstance(a, dict):
+            return (isinstance(b, dict) and a.keys() == b.keys()
+                    and all(eq_typed(a[k], b[k]) for k in a))
+        if isinstance(a, list):
+            return (isinstance(b, list) and len(a) == len(b)
+                    and all(eq_typed(x, y) for x, y in zip(a, b)))
+        return type(a) is type(b) and a == b
+
+    cases = [
+        '{"a": 1, "b": [1.5, "x", null, true]}',
+        '{"nested": {"deep": {"k": "v\\u00e9\\n\\t"}}}',
+        '123456789012345678901234567890',           # > 64-bit int
+        '{"usn": 18446744073709551616}',             # 2^64: float-equal trap
+        '{"neg": -9223372036854775809}',             # < i64 min
+        '-1e308', '"\\ud83d\\ude00"', '[]', '{}',
+        '{"dup": 1, "dup": 2}',                      # last-wins both parsers
+    ]
+    for c in cases:
+        assert eq_typed(loads_fast(c), json.loads(c)), c
+    # stdlib extensions orjson rejects: fallback must keep them parseable
+    assert math.isnan(loads_fast("NaN"))
+    assert loads_fast("Infinity") == float("inf")
+    # invalid input raises ValueError exactly like stdlib
+    with pytest.raises(ValueError):
+        loads_fast('{"broken": ')
+
+
+def test_process_record_into_fp_threading_identical():
+    """Passing the precomputed fingerprint must change nothing: same fp,
+    same triples, byte for byte."""
+    from case_uco_ontology_map_ray.functions.fingerprint import (
+        record_fingerprint,
+    )
+    from case_uco_ontology_map_ray.stages.kg_stage import TurnTriples
+
+    record = {
+        "artifact_type": "windows_prefetch",
+        "SourceFilename": "NOTEPAD.EXE-D8414F97.pf",
+        "ExecutableName": "NOTEPAD.EXE",
+        "RunCount": 7,
+    }
+    stage = TurnTriples()
+    mapper = stage._mapper_for(record["artifact_type"], record)
+    cols_a = ([], [], [], [])
+    fp_a, n_a = mapper.process_record_into(dict(record), *cols_a)
+    fp = record_fingerprint(record)
+    cols_b = ([], [], [], [])
+    fp_b, n_b = mapper.process_record_into(dict(record), *cols_b, fp=fp)
+    assert fp_a == fp_b == fp
+    assert n_a == n_b and cols_a == cols_b
