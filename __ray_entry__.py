@@ -442,6 +442,63 @@ def _media_features(sf_dir: str):
     return media_features(rd.from_arrow(synth_media_table(n)), batch_size=64)
 
 
+def _pii_redaction(sf_dir: str):
+    """PII-shaped token redaction over the transcript tool turns, fully
+    value-oracled: DuckDB applies the SAME RE2 family patterns (both engines
+    compile RE2) in the same sequential order, so the redacted text and the
+    per-family match counts must agree byte-for-byte on every turn. The
+    forensic payloads carry real hex and digit runs, so the counts are
+    non-trivially non-zero."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import redact_pii
+
+    ds = rd.read_parquet(_transcripts_for(sf_dir),
+                         columns=["conv_id", "turn_idx", "role", "text"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t.column("role"), "tool"),
+            pc.not_equal(t.column("text"), ""))).drop_columns(["role"]),
+        batch_format="pyarrow")
+    out = redact_pii(ds)
+    return _plain(out.map_batches(
+        lambda t: t.drop_columns(["text"]), batch_format="pyarrow"))
+
+
+def _pii_redaction_sql(transcripts_glob: str) -> str:
+    from case_uco_ontology_map_ray.ops.text import PII_FAMILIES
+
+    prev = "t0"
+    ctes = [f"""t0 AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{transcripts_glob}')
+                WHERE role = 'tool' AND text <> ''
+            )"""]
+    counts = []
+    for i, (name, pattern, token) in enumerate(PII_FAMILIES, start=1):
+        carry = ", ".join(f"n_{n}" for n, _, _ in PII_FAMILIES[: i - 1])
+        carry = f"{carry}, " if carry else ""
+        ctes.append(f"""t{i} AS (
+                SELECT conv_id, turn_idx, {carry}
+                       CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS n_{name},
+                       regexp_replace(text, '{pattern}', '{token}', 'g') AS text
+                FROM {prev}
+            )""")
+        prev = f"t{i}"
+        counts.append(f"n_{name}")
+    cte_block = ",\n            ".join(ctes)
+    return f"""
+            -- same RE2 patterns as ops/text.PII_FAMILIES, same sequential
+            -- order: each family counts+replaces on the previous family's
+            -- output, so redacted text and counts match the engine exactly
+            WITH {cte_block}
+            SELECT conv_id, turn_idx, {', '.join(counts)},
+                   text AS red_text
+            FROM {prev}
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS snapshot records only the
     # FIRST 50 entries (observed cap in r3/r4), so every oracle_sql()-backed
@@ -463,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_counts": _kg_node_counts,
         "kg_entity_mentions": _kg_entity_mentions,
         "kg_conversation_entities": _kg_conversation_entities,
+        "pii_redaction": _pii_redaction,
         # --- relational operator surface (DuckDB-oracled)
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_top_revenue_orders": analytics.q3_top_revenue_orders,
@@ -832,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triple_counts": kg_triple_counts_sql,
         "kg_node_counts": kg_node_counts_sql,
         "kg_entity_mentions": kg_entity_mentions_sql,
+        "pii_redaction": _pii_redaction_sql(transcripts_glob),
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_validated_counts": kg_validated_counts_sql,
         "kg_entity_link_counts": kg_entity_link_counts_sql,

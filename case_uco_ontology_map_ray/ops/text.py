@@ -501,3 +501,49 @@ def grouped_length_quantiles(ds, group_col: str, qs=(0.5, 0.9),
             row[f"q{int(round(q * 100))}"] = vlo + (h - lo) * (vhi - vlo)
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------------ PII redaction
+# Ordered regex families. ORDER IS SEMANTICS: each family counts and
+# replaces on the text as left by the families before it (e.g. digit runs
+# inside an already-redacted email are gone before `num` runs, and `hex`
+# only sees hex runs that were not pure-digit runs). Both pyarrow and DuckDB
+# compile RE2, so the same pattern strings drive the engine and its SQL
+# oracle to byte-identical output (see __ray_entry__ pii_redaction).
+# Replacement tokens are chosen to never re-match a later family (no digits,
+# no 8+ hex-char runs).
+PII_FAMILIES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("num", r"\d{6,}", "<NUM>"),
+    ("hex", r"\b[0-9A-Fa-f]{8,}\b", "<HEX>"),
+)
+
+
+def redact_pii(ds, col: str = "text",
+               families: tuple[tuple[str, str, str], ...] = PII_FAMILIES):
+    """Redact PII-shaped tokens from ``col``; map-only, fully vectorized.
+
+    Adds ``red_<col>`` (the redacted text) and one int64 ``n_<family>``
+    match-count column per family; other columns pass through. Counts are
+    taken per family on the progressively-redacted text (sequential
+    semantics, see PII_FAMILIES). 100-TB shape: stateless map_batches, two
+    RE2 kernels per family per batch, no shuffle.
+    """
+
+    def redact(t: pa.Table) -> pa.Table:
+        s = t.column(col)
+        if pa.types.is_dictionary(s.type):
+            s = s.cast(pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        out = t
+        for name, pattern, token in families:
+            n = pc.count_substring_regex(s, pattern).cast(pa.int64())
+            s = pc.replace_substring_regex(s, pattern=pattern,
+                                           replacement=token)
+            out = out.append_column(f"n_{name}", n)
+        return out.append_column(f"red_{col}", s)
+
+    return ds.map_batches(redact, batch_format="pyarrow")

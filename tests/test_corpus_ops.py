@@ -716,3 +716,36 @@ def test_kmeans_fit_tolerates_empty_blocks(ray_session):
     cents, hist = kmeans_fit(ds, n_clusters=2, n_iter=3)
     assert cents.shape == (2, 2)
     assert sum(hist[-1]["sizes"]) == 40
+
+
+def test_redact_pii_families_and_order(ray_session):
+    """Each family redacts its tokens; sequential semantics: digit runs
+    inside an email are gone before the num family, pure-digit runs never
+    double-count as hex, and clean text passes through byte-identical."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import redact_pii
+
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "reach me: a.user+tag@sub.example.org from 192.168.0.254",
+            "ssn 123-45-6789, acct 0012345678, sha D8414F97ab12",
+            "digits 123456789 are num NOT hex; beef1234 is hex",
+            "short 12345 and CAFE are untouched",
+        ],
+    }
+    out = (redact_pii(rd.from_arrow(pa.table(rows)))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["red_text"].tolist() == [
+        "reach me: <EMAIL> from <IP>",
+        "ssn <SSN>, acct <NUM>, sha <HEX>",
+        "digits <NUM> are num NOT hex; <HEX> is hex",
+        "short 12345 and CAFE are untouched",
+    ]
+    assert out[["n_email", "n_ipv4", "n_ssn", "n_num", "n_hex"]].values.tolist() == [
+        [1, 1, 0, 0, 0],
+        [0, 0, 1, 1, 1],
+        [0, 0, 0, 1, 1],
+        [0, 0, 0, 0, 0],
+    ]
