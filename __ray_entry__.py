@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
         # --- corpus / dedup / similarity (DuckDB-oracled)
         "tfidf_top_terms": corpus.tfidf_top_terms,
+        "unigram_lm_scores": corpus.unigram_lm_scores,
         "ngram_contamination": corpus.ngram_contamination,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_incremental_documents": corpus.dedup_incremental_documents,
@@ -891,6 +892,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_counts": kg_node_counts_sql,
         "kg_entity_mentions": kg_entity_mentions_sql,
         "pii_redaction": _pii_redaction_sql(transcripts_glob),
+        "unigram_lm_scores": r"""
+            -- corpus unigram LM fit + per-doc avg -ln(c/N) score; same
+            -- whitespace split as tfidf_top_terms, 4dp away-from-zero round
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tok2 AS (
+                SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), vocab AS (
+                SELECT tok, count(*) AS c FROM tok2 GROUP BY 1
+            ), tot AS (
+                SELECT sum(c) * 1.0 AS n FROM vocab
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(-ln(v.c / (SELECT n FROM tot))), 4) AS avg_nll
+            FROM tok2 t JOIN vocab v USING (tok)
+            GROUP BY t.doc_id
+            ORDER BY t.doc_id
+        """,
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_validated_counts": kg_validated_counts_sql,
         "kg_entity_link_counts": kg_entity_link_counts_sql,

@@ -625,3 +625,80 @@ def doc_length_quantiles_by_lang(sf_dir: str) -> pd.DataFrame:
     out["q50"] = out["q50"].round(4)
     out["q90"] = out["q90"].round(4)
     return out.sort_values("lang").reset_index(drop=True)[["lang", "q50", "q90"]]
+
+
+def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-document unigram-LM negative-log-likelihood score (the CCNet-
+    style corpus-LM quality signal: low avg_nll = text made of common
+    corpus tokens, high = rare-token soup).
+
+    Two passes over the documents: (1) fit — one explode computes partial
+    token counts per batch, one global groupby(token) finishes the corpus
+    frequency model; (2) score — the (sorted tokens, counts, N) model is
+    broadcast once via ray.put and each batch scores its docs with a
+    searchsorted lookup + CSR segment sums (no per-row Python). Docs whose
+    text has no tokens carry no LM evidence and are omitted (the SQL twin's
+    JOIN semantics). 100-TB shape: the model is one row per distinct
+    corpus token; past broadcast size the same fit table feeds a
+    bucket_join on ``tok`` instead (same partials, one extra exchange) —
+    self-scoring guarantees every token is in-vocabulary either way.
+
+    Oracle: DuckDB with the same whitespace split, ``-ln(c/N)`` averaged
+    per doc, rounded 4dp (see __ray_entry__).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..ops.agg import grouped_sums, round_away
+    from ..ops.text import _segment_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count_parts(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        flat = pa.table({"tok": pc.list_flatten(toks)})
+        flat = flat.filter(pc.not_equal(flat.column("tok"), ""))
+        agg = flat.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "c_part"])
+
+    vocab = grouped_sums(ds.map_batches(count_parts, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["tok"], sum_cols={"c": "c_part"})
+    toks_sorted = np.sort(vocab["tok"].to_numpy())
+    order = np.argsort(vocab["tok"].to_numpy(), kind="stable")
+    counts_sorted = vocab["c"].to_numpy(dtype=np.int64)[order]
+    n_total = float(counts_sorted.sum())
+    model = ray.put((toks_sorted, -np.log(counts_sorted / n_total)))
+
+    def score(t: pa.Table) -> pa.Table:
+        mtoks, mnll = ray.get(model)
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        vals = pc.list_flatten(toks)
+        nonempty = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        # per-doc token counts over the non-empty mask (CSR segment sums)
+        kept = _segment_sum(nonempty.astype(np.int64), offs)
+        nll = np.zeros(len(vals), dtype=np.float64)
+        ix = np.searchsorted(mtoks, vals.to_numpy(zero_copy_only=False))
+        # self-scoring: every non-empty token is in-vocabulary by
+        # construction; empty tokens contribute 0 to the masked sum
+        valid = nonempty
+        nll[valid] = mnll[np.minimum(ix, len(mtoks) - 1)][valid]
+        # float twin of _segment_sum (that helper's cumsum is int64)
+        csum = np.zeros(len(nll) + 1, dtype=np.float64)
+        np.cumsum(nll, out=csum[1:])
+        doc_nll = csum[offs[1:]] - csum[offs[:-1]]
+        keep = kept > 0
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "n_tokens": pa.array(kept[keep], pa.int64()),
+            "avg_nll": pa.array(
+                round_away(doc_nll[keep] / kept[keep], 4), pa.float64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -749,3 +749,26 @@ def test_redact_pii_families_and_order(ray_session):
         [0, 0, 0, 1, 1],
         [0, 0, 0, 0, 0],
     ]
+
+
+def test_unigram_lm_scores_hand_computed(ray_session, tmp_path):
+    """Three-doc corpus with a hand-computable model: N=6 tokens,
+    c(a)=3, c(b)=2, c(rare)=1; empty-text docs are omitted."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import unigram_lm_scores
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a a b", "a b rare", "", "   "]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = unigram_lm_scores(str(tmp_path))
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_tokens"].tolist() == [3, 3]
+    nll = lambda c: -math.log(c / 6.0)
+    exp1 = round((2 * nll(3) + nll(2)) / 3, 4)
+    exp2 = round((nll(3) + nll(2) + nll(1)) / 3, 4)
+    assert out["avg_nll"].tolist() == [exp1, exp2]
+    # the common-token doc scores lower (better) than the rare-token doc
+    assert exp1 < exp2
