@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": corpus.doc_length_quantiles,
         "doc_fingerprints": corpus.doc_fingerprints,
         "doc_sample": corpus.doc_sample,
+        "doc_split_assign": corpus.doc_split_assign,
         "similarity_ivf_index": corpus.similarity_ivf_index,
         "kg_jsonld_counts": _kg_jsonld_counts,
         "kg_validated_counts": _kg_validated_counts,
@@ -1500,6 +1501,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
                        AS BIGINT) % 100 < 10
+            ORDER BY doc_id
+        """,
+        "doc_split_assign": """
+            -- deterministic 80/10/10 split: same md5 bucket rule as the
+            -- engine; assignment is a pure function of (doc_id, seed)
+            SELECT doc_id, lang,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                              AS BIGINT) % 100 AS b
+                  FROM documents)
             ORDER BY doc_id
         """,
         "doc_stratified_sample": """

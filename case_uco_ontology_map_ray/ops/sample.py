@@ -105,3 +105,54 @@ def stratified_sample(ds, key_col: str, strata_col: str, pcts: dict,
             return t.filter(pa.array(_keep_mask_mix64(keys, rates, seed)))
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_assign(ds, key_col: str, fractions: dict[str, float],
+                 seed: int = 42, method: str = "mix64",
+                 out_col: str = "split"):
+    """Deterministic disjoint train/val/test assignment (map-only).
+
+    Every row gets exactly one label from ``fractions`` (insertion order
+    defines the cumulative bucket boundaries; values must sum to 1.0, the
+    last label absorbs rounding). The same two keep-rule modes as sampling:
+    ``mix64`` (vectorized, production) buckets ``hash/2^64`` against the
+    cumulative fractions; ``md5`` (oracle) buckets ``md5-prefix % 100``
+    against integer-percent boundaries, reproducible in DuckDB. Assignment
+    depends only on (key, seed) — stable across runs, cluster shapes and
+    repartitioning, so a later corpus delta never reshuffles prior rows
+    between splits (the property that keeps eval sets leak-free)."""
+    if method not in ("mix64", "md5"):
+        raise ValueError(f"unknown split method {method!r}")
+    total = float(sum(fractions.values()))
+    if not np.isclose(total, 1.0, atol=1e-9):
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    labels = list(fractions)
+    edges = np.cumsum([fractions[l] for l in labels])
+    edges[-1] = 1.0 + 1e-12  # last label absorbs rounding
+
+    if method == "md5":
+        pct_edges = np.rint(edges * 100).astype(np.int64)
+        if pct_edges[-1] != 100 or len(np.unique(pct_edges)) != len(pct_edges):
+            raise ValueError(
+                "md5 (oracle) mode needs whole-percent, non-empty buckets")
+
+        def assign(t: pa.Table) -> pa.Table:
+            buckets = [
+                int(hashlib.md5(f"{k}:{seed}".encode()).hexdigest()[:8], 16) % 100
+                for k in t.column(key_col).to_pylist()
+            ]
+            ix = np.searchsorted(pct_edges, np.asarray(buckets), side="right")
+            return t.append_column(
+                out_col, pa.array([labels[i] for i in ix], pa.string()))
+    else:
+        def assign(t: pa.Table) -> pa.Table:
+            keys = t.column(key_col).to_pandas()
+            h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+            h = _mix64_u(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64)))
+            u = h.astype(np.float64) / float(1 << 64)
+            ix = np.searchsorted(edges, u, side="right")
+            ix = np.minimum(ix, len(labels) - 1)
+            return t.append_column(
+                out_col, pa.array([labels[i] for i in ix], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

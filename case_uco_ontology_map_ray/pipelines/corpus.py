@@ -702,3 +702,17 @@ def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(score, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment over documents
+    (md5 bucket rule, DuckDB-oracled row-for-row). The mix64 production
+    rule is the same operator with method='mix64' (fractional, vectorized);
+    assignment is a pure function of (doc_id, seed) so corpus deltas never
+    move prior rows between splits."""
+    from ..ops.sample import split_assign
+
+    out = split_assign(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       method="md5").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -772,3 +772,40 @@ def test_unigram_lm_scores_hand_computed(ray_session, tmp_path):
     assert out["avg_nll"].tolist() == [exp1, exp2]
     # the common-token doc scores lower (better) than the rare-token doc
     assert exp1 < exp2
+
+
+def test_split_assign_properties(ray_session):
+    """Every row gets exactly one label; proportions approximate the
+    fractions; assignment is stable under repartitioning and corpus
+    growth (a key present in both corpora keeps its split)."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sample import split_assign
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    t = pa.table({"doc_id": list(range(4000))})
+    out = (split_assign(rd.from_arrow(t), "doc_id", fr, seed=7)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    counts = out["split"].value_counts()
+    assert set(counts.index) <= set(fr)
+    assert counts.sum() == 4000
+    assert 0.75 < counts["train"] / 4000 < 0.85
+    # partition-shape independence
+    out2 = (split_assign(rd.from_arrow(t).repartition(13), "doc_id", fr,
+                         seed=7).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert out["split"].tolist() == out2["split"].tolist()
+    # corpus-delta stability: first half's labels unchanged in the subset
+    sub = (split_assign(rd.from_arrow(t.slice(0, 2000)), "doc_id", fr,
+                        seed=7).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert sub["split"].tolist() == out["split"].tolist()[:2000]
+    # md5 mode: same invariants, whole-percent buckets enforced
+    m = (split_assign(rd.from_arrow(t.slice(0, 500)), "doc_id", fr,
+                      method="md5").to_pandas())
+    assert m["split"].notna().all()
+    with pytest.raises(ValueError):
+        split_assign(rd.from_arrow(t), "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_assign(rd.from_arrow(t), "doc_id",
+                     {"a": 0.995, "b": 0.005}, method="md5")
