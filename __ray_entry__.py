@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": corpus.doc_fingerprints,
         "doc_sample": corpus.doc_sample,
         "doc_split_assign": corpus.doc_split_assign,
+        "doc_language_rebalance": corpus.doc_language_rebalance,
         "similarity_ivf_index": corpus.similarity_ivf_index,
         "kg_jsonld_counts": _kg_jsonld_counts,
         "kg_validated_counts": _kg_validated_counts,
@@ -1515,6 +1516,29 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "doc_language_rebalance": """
+            -- rates derived in SQL from the same data: level every language
+            -- toward the rarest one, floor to whole percents (md5 rule)
+            WITH before AS (
+                SELECT lang, count(*) AS n_before FROM documents GROUP BY 1
+            ), rates AS (
+                SELECT lang, n_before,
+                       -- // floors like Python's; / would be float + round
+                       CAST(100 * (SELECT min(n_before) FROM before) // n_before
+                            AS BIGINT) AS rate_pct
+                FROM before
+            ), kept AS (
+                SELECT d.lang, count(*) AS n_after
+                FROM documents d JOIN rates r USING (lang)
+                WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))
+                           AS BIGINT) % 100 < r.rate_pct
+                GROUP BY 1
+            )
+            SELECT r.lang, r.n_before, r.rate_pct,
+                   COALESCE(k.n_after, 0) AS n_after
+            FROM rates r LEFT JOIN kept k USING (lang)
+            ORDER BY r.lang
         """,
         "doc_stratified_sample": """
             SELECT lang, count(*) AS n_sampled FROM documents

@@ -716,3 +716,47 @@ def doc_split_assign(sf_dir: str) -> pd.DataFrame:
                        {"train": 0.8, "val": 0.1, "test": 0.1},
                        method="md5").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_language_rebalance(sf_dir: str) -> pd.DataFrame:
+    """Training-mix rebalancing: derive per-language keep rates that level
+    the corpus toward its rarest language, then apply the deterministic
+    stratified sampler. Returns per-lang (n_before, rate_pct, n_after).
+
+    The rate for language L is ``floor(100 * min_count / count_L)`` —
+    whole percents, so the md5 oracle rule applies and DuckDB reproduces
+    the sampled counts exactly (rates are data-derived IN SQL too, not
+    baked constants). 100-TB shape: the rate table is one row per language
+    (driver-sized by definition); the sample pass is the map-only
+    stratified filter."""
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums
+    from ..ops.sample import stratified_sample
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "n_part"])
+
+    before = grouped_sums(docs.map_batches(local, batch_format="pyarrow"),
+                          keys=["lang"], sum_cols={"n_before": "n_part"})
+    n_min = int(before["n_before"].min())
+    rates = {l: int(100 * n_min // n) for l, n in
+             zip(before["lang"], before["n_before"].astype(int))}
+
+    kept = stratified_sample(docs, "doc_id", "lang", rates, method="md5")
+
+    def local_after(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "n_part"])
+
+    after = grouped_sums(kept.map_batches(local_after, batch_format="pyarrow"),
+                         keys=["lang"], sum_cols={"n_after": "n_part"})
+    out = before.merge(after, on="lang", how="left")
+    out["n_after"] = out["n_after"].fillna(0).astype("int64")
+    out["rate_pct"] = out["lang"].map(rates).astype("int64")
+    out = out.astype({"n_before": "int64"})
+    return (out[["lang", "n_before", "rate_pct", "n_after"]]
+            .sort_values("lang").reset_index(drop=True))
