@@ -194,6 +194,27 @@ def run_bench() -> dict:
     extras["n_entity_links"] = link.count()
     queries["kg_canonicalize"] = round(time.perf_counter() - t0, 3)
 
+    # --- PII redaction over the slice transcripts (map-only RE2 stage) ---
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    import ray.data as _rd
+    from case_uco_ontology_map_ray.ops.text import redact_pii
+
+    t0 = time.perf_counter()
+    pii = redact_pii(_rd.read_parquet(
+        slice_dir, columns=["conv_id", "turn_idx", "role", "text"]
+    ).map_batches(
+        lambda t: t.filter(_pc.equal(t.column("role"), "tool")),
+        batch_format="pyarrow"))
+    extras["n_pii_redactions"] = int(pii.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [sum(_pc.sum(t.column(c)).as_py() or 0
+                 for c in t.column_names if c.startswith("n_"))],
+            pa.int64())}),
+        batch_format="pyarrow").sum("n"))
+    queries["pii_redaction"] = round(time.perf_counter() - t0, 3)
+
     # --- relational + corpus surface at GRAFT_SF_DIR ---
     from case_uco_ontology_map_ray.pipelines import corpus
 
@@ -220,6 +241,9 @@ def run_bench() -> dict:
         ("user_funnel", analytics.user_funnel),
         ("cheapest_supplier_per_part", analytics.cheapest_supplier_per_part),
         ("ngram_contamination", corpus.ngram_contamination),
+        ("unigram_lm_scores", corpus.unigram_lm_scores),
+        ("doc_split_assign", corpus.doc_split_assign),
+        ("doc_language_rebalance", corpus.doc_language_rebalance),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)
