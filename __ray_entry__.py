@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": corpus.doc_sample,
         "doc_split_assign": corpus.doc_split_assign,
         "doc_language_rebalance": corpus.doc_language_rebalance,
+        "embedding_quantization": corpus.embedding_quantization,
         "similarity_ivf_index": corpus.similarity_ivf_index,
         "kg_jsonld_counts": _kg_jsonld_counts,
         "kg_validated_counts": _kg_validated_counts,
@@ -1516,6 +1517,34 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "embedding_quantization": """
+            -- int8 symmetric quantization re-derived in SQL: same float64
+            -- arithmetic (f32->f64 cast is exact), same round-half-away
+            -- rule, so scale and the code summaries match bit-for-bit
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                FROM embeddings
+            ), c AS (
+                SELECT vec_id, scale,
+                       CASE WHEN scale = 0
+                            THEN list_transform(embedding, x -> 0)
+                            ELSE list_transform(embedding,
+                                 x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                                           AS BIGINT))
+                       END AS codes
+                FROM s
+            )
+            SELECT vec_id, scale,
+                   CAST(len(codes) AS BIGINT) AS n_dims,
+                   CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_code,
+                   CAST(list_aggregate(list_transform(codes, x -> abs(x)),
+                                       'sum') AS BIGINT) AS sum_abs_code,
+                   CAST(list_aggregate(codes, 'max') AS BIGINT) AS max_code,
+                   CAST(list_aggregate(codes, 'min') AS BIGINT) AS min_code
+            FROM c ORDER BY vec_id
         """,
         "doc_language_rebalance": """
             -- rates derived in SQL from the same data: level every language

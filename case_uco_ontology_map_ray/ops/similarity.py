@@ -483,3 +483,36 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
                         "sizes": agg_n.tolist()})
 
     return cents, history
+
+
+def quantize_embeddings(ds, col: str = "embedding", id_col: str = "vec_id"):
+    """Symmetric int8 scalar quantization per vector (the standard 4x ANN
+    memory cut): scale = maxabs/127 per vector, code = round-half-away(x /
+    scale) in [-127, 127] (|x| <= maxabs so no clamp is needed), zero
+    vectors quantize to all-zero codes with scale 0. Map-only, one numpy
+    pass per batch. Output: (id_col, scale float64, q list<int8>).
+
+    Dequantized cosine error at this dim is ~1e-2; use the codes for the
+    coarse pass and re-rank survivors on the float column. Deterministic
+    and SQL-reproducible (round-half-away = DuckDB ROUND; see the
+    embedding_quantization oracle)."""
+
+    def quant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "scale": pa.array([], pa.float64()),
+                             "q": pa.array([], pa.list_(pa.int8()))})
+        m = _to_matrix(t, col)
+        maxabs = np.abs(m).max(axis=1)
+        scale = maxabs / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        codes = round_away(m / safe[:, None], 0).astype(np.int8)
+        codes[scale == 0] = 0
+        n, d = m.shape
+        offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+        qcol = pa.ListArray.from_arrays(offs, pa.array(codes.ravel(), pa.int8()))
+        return pa.table({id_col: t.column(id_col),
+                         "scale": pa.array(scale, pa.float64()),
+                         "q": qcol})
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)

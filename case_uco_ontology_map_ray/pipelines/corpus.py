@@ -760,3 +760,35 @@ def doc_language_rebalance(sf_dir: str) -> pd.DataFrame:
     out = out.astype({"n_before": "int64"})
     return (out[["lang", "n_before", "rate_pct", "n_after"]]
             .sort_values("lang").reset_index(drop=True))
+
+
+def embedding_quantization(sf_dir: str) -> pd.DataFrame:
+    """Int8 scalar quantization of the embeddings table, value-oracled per
+    vector: (scale, n_dims, sum/sum-abs/max/min of the codes) — DuckDB
+    re-derives the codes with the same round-half-away rule over the same
+    float64 arithmetic, so any quantization bug (wrong scale, wrong
+    rounding, axis mixup) breaks the row compare."""
+    import pyarrow.compute as pc
+
+    q = sim.quantize_embeddings(_emb(sf_dir).select_columns(
+        ["vec_id", "embedding"]))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        col = t.column("q")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        codes = col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "scale": t.column("scale"),
+            "n_dims": pa.array(np.full(n, codes.shape[1]), pa.int64()),
+            "sum_code": pa.array(codes.sum(axis=1, dtype=np.int64), pa.int64()),
+            "sum_abs_code": pa.array(
+                np.abs(codes.astype(np.int64)).sum(axis=1), pa.int64()),
+            "max_code": pa.array(codes.max(axis=1).astype(np.int64), pa.int64()),
+            "min_code": pa.array(codes.min(axis=1).astype(np.int64), pa.int64()),
+        })
+
+    out = q.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

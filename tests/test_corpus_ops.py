@@ -809,3 +809,35 @@ def test_split_assign_properties(ray_session):
     with pytest.raises(ValueError):
         split_assign(rd.from_arrow(t), "doc_id",
                      {"a": 0.995, "b": 0.005}, method="md5")
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    """Dequantized vectors reconstruct within scale/2 per element; zero
+    vectors get scale 0 + zero codes; codes stay in [-127, 127] with the
+    max-magnitude element at exactly +-127."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    m = rng.normal(size=(40, 16)).astype(np.float32)
+    m[3] = 0.0  # zero vector
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    out = (quantize_embeddings(rd.from_arrow(t)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    codes = np.stack(out["q"].to_numpy())
+    scale = out["scale"].to_numpy()
+    assert codes.dtype == np.int8 and codes.shape == (40, 16)
+    assert np.abs(codes).max() <= 127
+    assert scale[3] == 0.0 and (codes[3] == 0).all()
+    nz = scale > 0
+    # the max-|x| element hits +-127 exactly; reconstruction err <= scale/2
+    assert (np.abs(codes[nz]).max(axis=1) == 127).all()
+    recon = codes[nz].astype(np.float64) * scale[nz, None]
+    assert np.abs(recon - m[nz].astype(np.float64)).max() <= (scale[nz] / 2 + 1e-12).max()
+    # dequantized cosine stays close to the float cosine
+    a, b = m[0].astype(np.float64), m[1].astype(np.float64)
+    ra, rb = recon[0], recon[1]
+    cos = lambda x, y: x @ y / (np.linalg.norm(x) * np.linalg.norm(y))
+    assert abs(cos(a, b) - cos(ra, rb)) < 0.02
