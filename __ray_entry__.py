@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": corpus.doc_stratified_sample,
         "doc_length_quantiles_by_lang": corpus.doc_length_quantiles_by_lang,
         "similarity_topk": corpus.similarity_topk,
+        "similarity_topk_quantized": corpus.similarity_topk_quantized,
         "embedding_neardup": corpus.embedding_neardup,
         # ---------- driver snapshot cap (50) — oracled overflow ----------
         "doc_length_band_stats": corpus.doc_length_band_stats,
@@ -1653,6 +1654,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "similarity_topk": """
+            SELECT b.vec_id,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 4) AS cos
+            FROM embeddings a CROSS JOIN embeddings b
+            WHERE a.vec_id = 0 AND b.vec_id <> 0
+            ORDER BY cos DESC, b.vec_id
+            LIMIT 10
+        """,
+        "similarity_topk_quantized": """
+            -- full-beam re-rank == exact brute-force top-k, so the same
+            -- oracle gates the int8 coarse pass + beam + re-rank machinery
             SELECT b.vec_id,
                    round(CAST(list_cosine_similarity(a.embedding, b.embedding)
                               AS DOUBLE), 4) AS cos

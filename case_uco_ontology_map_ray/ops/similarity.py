@@ -516,3 +516,57 @@ def quantize_embeddings(ds, col: str = "embedding", id_col: str = "vec_id"):
                          "q": qcol})
 
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantized_topk(ds, query: np.ndarray, k: int = 10, beam: int | None = None,
+                   id_col: str = "vec_id", exclude_ids=()) -> pd.DataFrame:
+    """Two-stage ANN: coarse cosine over int8-quantized codes (4x less
+    memory traffic per batch), exact float re-rank of the per-batch beam.
+
+    Each batch quantizes once (at real scale the codes come precomputed via
+    ``quantize_embeddings`` -> parquet; quantizing in-stage keeps this
+    operator self-contained for the query surface), scores the dequantized
+    codes against the broadcast query, keeps its top ``beam`` candidates,
+    and re-scores ONLY those on the float column. ``beam=None`` re-ranks
+    every row — then the result is exactly ``brute_force_topk`` (the SQL
+    oracle gate); small beams trade recall for compute (unit-tested >= 0.9
+    at beam=4k on gaussian embeddings).
+    """
+    import ray
+
+    q = query.astype(np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(q)
+    excl = set(int(i) for i in exclude_ids)
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _to_matrix(t)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if excl:
+            mask = ~np.isin(ids, list(excl))
+            m, ids = m[mask], ids[mask]
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        # coarse pass on int8 codes (same quantizer as quantize_embeddings)
+        maxabs = np.abs(m).max(axis=1)
+        scale = np.where(maxabs > 0, maxabs / 127.0, 1.0)
+        codes = round_away(m / scale[:, None], 0).astype(np.int8)
+        coarse = (codes.astype(np.float64) * scale[:, None])
+        coarse = _normalize(coarse) @ qv
+        b = len(ids) if beam is None else min(beam, len(ids))
+        cand = (np.argpartition(-coarse, b - 1)[:b]
+                if b < len(ids) else np.arange(len(ids)))
+        # exact re-rank of the beam on the float column
+        cos = _normalize(m[cand]) @ qv
+        ids = ids[cand]
+        if len(cos) > k:
+            part = np.argpartition(-cos, k)[:k]
+            cos, ids = cos[part], ids[part]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cos": pa.array(round_away(cos, 4))})
+
+    partials = ds.map_batches(topk_part, batch_format="pyarrow").to_pandas()
+    out = partials.sort_values(["cos", id_col], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)

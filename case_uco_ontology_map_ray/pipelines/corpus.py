@@ -792,3 +792,13 @@ def embedding_quantization(sf_dir: str) -> pd.DataFrame:
 
     out = q.map_batches(summarize, batch_format="pyarrow").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def similarity_topk_quantized(sf_dir: str) -> pd.DataFrame:
+    """Quantize-coarse + exact-re-rank top-k with a full beam — the re-rank
+    then restores exact brute-force semantics, so the brute-force DuckDB
+    oracle gates the whole coarse/beam/re-rank machinery (the sublinear
+    partial-beam path is recall-tested in units)."""
+    q = _query_vector(sf_dir)
+    return sim.quantized_topk(_emb(sf_dir), q, k=10, beam=None,
+                              exclude_ids=(0,))

@@ -841,3 +841,28 @@ def test_quantize_embeddings_roundtrip(ray_session):
     ra, rb = recon[0], recon[1]
     cos = lambda x, y: x @ y / (np.linalg.norm(x) * np.linalg.norm(y))
     assert abs(cos(a, b) - cos(ra, rb)) < 0.02
+
+
+def test_quantized_topk_beam_recall(ray_session):
+    """Full beam == exact brute force (same rows); a small beam keeps
+    recall@10 >= 0.9 on gaussian embeddings (int8 cosine error ~1e-2)."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(2000, 32)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(2000), pa.int64()),
+                  "embedding": pa.array(list(m), pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(8)
+    q = m[0].astype(np.float64)
+    exact = brute_force_topk(ds, q, k=10, exclude_ids=(0,))
+    full = quantized_topk(ds, q, k=10, beam=None, exclude_ids=(0,))
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert full["cos"].tolist() == exact["cos"].tolist()
+    small = quantized_topk(ds, q, k=10, beam=40, exclude_ids=(0,))
+    recall = len(set(small["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.9
