@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_exact": corpus.ngram_jaccard_exact,
         "doc_token_stats": corpus.doc_token_stats,
         "doc_quality": corpus.doc_quality,
+        "doc_quality_filter": corpus.doc_quality_filter,
         "doc_lang_id": corpus.doc_lang_id,
         "doc_repetition": corpus.doc_repetition,
         "doc_chunks": corpus.doc_chunks,
@@ -1431,6 +1432,40 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * CASE WHEN n_punct / denom < 0.2 THEN 1 ELSE 0 END
                        + 0.3 * CASE WHEN n_stop / nt > 0.01 THEN 1 ELSE 0 END, 2) AS quality_score
             FROM tok ORDER BY doc_id
+        """,
+        "doc_quality_filter": r"""
+            -- Gopher/C4-style rule counts on the SAME rounded features the
+            -- doc_quality oracle emits (shared CTE expressions)
+            WITH feat AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[\p{L}\p{N}_]+') AS toks,
+                     greatest(length(text), 1) AS denom,
+                     len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '\p{Lu}')) AS n_upper
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, denom, n_punct, n_upper,
+                     greatest(len(toks), 1) AS nt,
+                     coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tok_chars,
+                     len(list_filter(toks, t -> lower(t) IN
+                         ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
+              FROM feat
+            ), r AS (
+              SELECT round(tok_chars / nt, 3) AS mt,
+                     round(n_punct / denom, 4) AS pr,
+                     round(n_stop / nt, 4) AS sr,
+                     round(n_upper / denom, 4) AS ur
+              FROM tok
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN mt > 2.5 AND mt < 12 AND pr < 0.2
+                                  AND sr > 0.01 AND ur < 0.3
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN mt > 2.5 AND mt < 12 THEN 0 ELSE 1 END) AS BIGINT) AS viol_mean_tok,
+                   CAST(sum(CASE WHEN pr < 0.2 THEN 0 ELSE 1 END) AS BIGINT) AS viol_punct,
+                   CAST(sum(CASE WHEN sr > 0.01 THEN 0 ELSE 1 END) AS BIGINT) AS viol_stopword,
+                   CAST(sum(CASE WHEN ur < 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS viol_upper
+            FROM r
         """,
         # Exact all-pairs word 3-gram Jaccard. Shingling mirrors
         # functions/hashing.py word_shingles_batch: whitespace tokens,

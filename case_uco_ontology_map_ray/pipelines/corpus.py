@@ -802,3 +802,37 @@ def similarity_topk_quantized(sf_dir: str) -> pd.DataFrame:
     q = _query_vector(sf_dir)
     return sim.quantized_topk(_emb(sf_dir), q, k=10, beam=None,
                               exclude_ids=(0,))
+
+
+def doc_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Named Gopher/C4-style keep rules over the quality features, with
+    per-rule violation counts — the aggregate a corpus curator reads before
+    committing a filter. Rules run on the ROUNDED features (the same values
+    doc_quality is value-oracled on), so the SQL twin is exact. One row:
+    (n_docs, n_kept, viol_mean_tok, viol_punct, viol_stopword, viol_upper).
+    Scale shape: per-batch partial counts, one driver sum — no collect of
+    the doc frame."""
+    import pyarrow.compute as pc
+
+    scored = tx.quality_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mt = t.column("mean_token_len").to_numpy(zero_copy_only=False)
+        pr = t.column("punct_ratio").to_numpy(zero_copy_only=False)
+        sr = t.column("stopword_ratio").to_numpy(zero_copy_only=False)
+        ur = t.column("upper_ratio").to_numpy(zero_copy_only=False)
+        v_mt = ~((mt > 2.5) & (mt < 12))
+        v_pr = ~(pr < 0.2)
+        v_sr = ~(sr > 0.01)
+        v_ur = ~(ur < 0.3)
+        keep = ~(v_mt | v_pr | v_sr | v_ur)
+        return pa.table({c: pa.array([int(v.sum())], pa.int64()) for c, v in [
+            ("n_docs", np.ones(len(mt), dtype=bool)), ("n_kept", keep),
+            ("viol_mean_tok", v_mt), ("viol_punct", v_pr),
+            ("viol_stopword", v_sr), ("viol_upper", v_ur)]})
+
+    parts = scored.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({c: pd.array([int(parts[c].sum())], dtype="int64")
+                         for c in ["n_docs", "n_kept", "viol_mean_tok",
+                                   "viol_punct", "viol_stopword",
+                                   "viol_upper"]})
