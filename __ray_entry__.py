@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": corpus.doc_split_assign,
         "doc_language_rebalance": corpus.doc_language_rebalance,
         "embedding_quantization": corpus.embedding_quantization,
+        "frequent_tokens_invariants": corpus.frequent_tokens_invariants,
         "similarity_ivf_index": corpus.similarity_ivf_index,
         "kg_jsonld_counts": _kg_jsonld_counts,
         "kg_validated_counts": _kg_validated_counts,
@@ -1553,6 +1554,27 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "frequent_tokens_invariants": r"""
+            -- Misra-Gries guarantee gate: SQL counts the stream and the
+            -- true-heavy set (freq > n/(k+1)); the engine must catch every
+            -- one (missed pinned 0) within the est bound (violations 0)
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tok2 AS (
+                SELECT tok FROM toks WHERE tok <> ''
+            ), cnt AS (
+                SELECT tok, count(*) AS c FROM tok2 GROUP BY 1
+            ), tot AS (
+                SELECT count(*) AS n FROM tok2
+            )
+            SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_tokens,
+                   CAST(64 AS BIGINT) AS k,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cnt
+                    WHERE c > (SELECT n FROM tot) / 65.0) AS n_true_heavy,
+                   CAST(0 AS BIGINT) AS n_missed_heavy,
+                   CAST(0 AS BIGINT) AS n_bound_violations
         """,
         "embedding_quantization": """
             -- int8 symmetric quantization re-derived in SQL: same float64

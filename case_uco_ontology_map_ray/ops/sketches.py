@@ -139,3 +139,85 @@ def approx_quantiles(ds, column: str, quantiles: list[float],
                 FixedHistogram(lo, hi, bins, np.frombuffer(raw, dtype=np.int64).copy())
             )
     return [merged.quantile(q) for q in quantiles]
+
+
+# ----------------------------------------------------------- Misra-Gries
+class MisraGries:
+    """Mergeable Misra-Gries heavy-hitters summary over string keys.
+
+    Holds at most ``k`` counters. Guarantees after any sequence of adds and
+    merges over a stream of n items (Agarwal et al., "Mergeable summaries"):
+    ``true - n/(k+1) <= est <= true`` for every key, so every key with
+    true frequency > n/(k+1) is present. Deterministic: counters are plain
+    dict arithmetic, decrements affect all keys equally.
+    """
+
+    def __init__(self, k: int = 64, counters: dict | None = None):
+        self.k = k
+        self.counters: dict[str, int] = counters or {}
+
+    def add_counts(self, keys, counts) -> None:
+        """Bulk add of exact (key, count) pairs (one batch's local counts)."""
+        c = self.counters
+        for key, n in zip(keys, counts):
+            c[key] = c.get(key, 0) + int(n)
+        self._shrink()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        c = dict(self.counters)
+        for key, n in other.counters.items():
+            c[key] = c.get(key, 0) + n
+        out = MisraGries(self.k, c)
+        out._shrink()
+        return out
+
+    def _shrink(self) -> None:
+        """Keep <= k counters: subtract the (k+1)-largest count from all,
+        drop non-positive (the standard batched decrement)."""
+        if len(self.counters) <= self.k:
+            return
+        vals = np.sort(np.fromiter(self.counters.values(), dtype=np.int64))
+        cut = int(vals[-(self.k + 1)])
+        self.counters = {key: n - cut for key, n in self.counters.items()
+                         if n > cut}
+
+    def to_arrow(self) -> pa.Table:
+        keys = sorted(self.counters)
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "est": pa.array([self.counters[k] for k in keys], pa.int64()),
+        })
+
+
+def frequent_tokens(ds, col: str = "text", k: int = 64):
+    """Distributed heavy-hitter tokens: per batch, exact local token counts
+    collapse into ONE Misra-Gries summary row; the driver merges O(batches)
+    summaries. Returns (MisraGries, n_tokens_total) — candidates plus the
+    stream length that scales the error bound n/(k+1). The shuffle moves
+    O(batches * k) rows regardless of vocabulary size (the point of the
+    sketch vs an exact groupby over 10^9 distinct tokens)."""
+    import pickle
+
+    import pyarrow.compute as pc
+
+    def sketch(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column(col))))
+        flat = pa.table({"tok": toks}).filter(pc.not_equal(toks, ""))
+        agg = flat.group_by(["tok"]).aggregate([([], "count_all")])
+        mg = MisraGries(k)
+        mg.add_counts(agg.column("tok").to_pylist(),
+                      agg.column("count_all").to_pylist())
+        return pa.table({
+            "sketch": pa.array([pickle.dumps(mg.counters)], pa.binary()),
+            "n": pa.array([flat.num_rows], pa.int64()),
+        })
+
+    merged, total = MisraGries(k), 0
+    for b in ds.map_batches(sketch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for raw, n in zip(b.column("sketch").to_pylist(),
+                          b.column("n").to_pylist()):
+            merged = merged.merge(MisraGries(k, pickle.loads(raw)))
+            total += int(n)
+    return merged, total

@@ -836,3 +836,46 @@ def doc_quality_filter(sf_dir: str) -> pd.DataFrame:
                          for c in ["n_docs", "n_kept", "viol_mean_tok",
                                    "viol_punct", "viol_stopword",
                                    "viol_upper"]})
+
+
+def frequent_tokens_invariants(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy-hitter invariants, DuckDB-oracled. The sketch's
+    guarantee (mergeable summaries: true - n/(k+1) <= est <= true) is
+    checked engine-side against the exact distributed token counts; the
+    oracle SQL-counts the stream length and the true-heavy set (freq >
+    n/(k+1)) and pins the violation counters to literal 0. One row:
+    (n_tokens, k, n_true_heavy, n_missed_heavy, n_bound_violations)."""
+    from ..ops.agg import grouped_sums
+    from ..ops.sketches import frequent_tokens
+
+    K = 64
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    mg, n_total = frequent_tokens(docs, k=K)
+
+    # exact counts, restricted to (candidates ∪ anything heavy): the full
+    # groupby here is the invariant CHECK, not the production path — the
+    # sketch exists precisely so production never runs this groupby
+    import pyarrow.compute as pc
+
+    def local(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))))
+        flat = pa.table({"tok": toks}).filter(pc.not_equal(toks, ""))
+        agg = flat.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "c_part"])
+
+    true_counts = grouped_sums(docs.map_batches(local, batch_format="pyarrow"),
+                               keys=["tok"], sum_cols={"c": "c_part"})
+    bound = n_total / (K + 1.0)
+    truth = dict(zip(true_counts["tok"], true_counts["c"].astype(int)))
+    heavy = {t for t, c in truth.items() if c > bound}
+    cand = mg.counters
+    n_missed = len([t for t in heavy if t not in cand])
+    n_viol = len([t for t, est in cand.items()
+                  if est > truth.get(t, 0) or est < truth.get(t, 0) - bound])
+    return pd.DataFrame({
+        "n_tokens": pd.array([n_total], dtype="int64"),
+        "k": pd.array([K], dtype="int64"),
+        "n_true_heavy": pd.array([len(heavy)], dtype="int64"),
+        "n_missed_heavy": pd.array([n_missed], dtype="int64"),
+        "n_bound_violations": pd.array([n_viol], dtype="int64")})

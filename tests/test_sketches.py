@@ -59,3 +59,41 @@ def test_approx_quantiles_vs_exact():
     width = (hi - lo) / 1023
     for got, want in zip(qs, exact):
         assert abs(got - want) <= 2 * width + abs(want) * 0.02
+
+
+def test_misra_gries_guarantee_under_merges(ray_session):
+    """Skewed stream across many batches: every true heavy hitter
+    (freq > n/(k+1)) survives the per-batch sketch + driver merges, and
+    estimates stay within [true - n/(k+1), true]."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sketches import frequent_tokens
+
+    rng = np.random.default_rng(5)
+    # zipf-ish vocabulary: a few hot tokens + a long tail
+    hot = [f"hot{i}" for i in range(5)]
+    tail = [f"t{i}" for i in range(5000)]
+    words = list(rng.choice(tail, 20000)) + hot * 2000
+    rng.shuffle(words)
+    docs = [" ".join(words[i:i + 50]) for i in range(0, len(words), 50)]
+    truth = collections.Counter(words)
+    n = sum(truth.values())
+    K = 32
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))),
+                                 "text": docs})).repartition(16)
+    mg, total = frequent_tokens(ds, k=K)
+    assert total == n
+    bound = n / (K + 1)
+    heavy = {t for t, c in truth.items() if c > bound}
+    assert heavy  # the hot tokens must actually be heavy in this stream
+    assert heavy <= set(mg.counters)
+    for t, est in mg.counters.items():
+        assert est <= truth[t]
+        assert est >= truth[t] - bound
+    # deterministic across parallelism? NOT guaranteed for estimates (merge
+    # order shifts decrements) but the heavy-hitter SET must be stable
+    mg2, _ = frequent_tokens(ds.repartition(3), k=K)
+    assert heavy <= set(mg2.counters)
