@@ -585,6 +585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language_rebalance": corpus.doc_language_rebalance,
         "embedding_quantization": corpus.embedding_quantization,
         "frequent_tokens_invariants": corpus.frequent_tokens_invariants,
+        "ngram_contamination_bloom_invariants":
+            corpus.ngram_contamination_bloom_invariants,
         "similarity_ivf_index": corpus.similarity_ivf_index,
         "kg_jsonld_counts": _kg_jsonld_counts,
         "kg_validated_counts": _kg_validated_counts,
@@ -1554,6 +1556,33 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) % 100 AS b
                   FROM documents)
             ORDER BY doc_id
+        """,
+        "ngram_contamination_bloom_invariants": r"""
+            -- Bloom decontamination gate: zero false negatives vs the
+            -- exact shared-gram sets (same gram construction as the
+            -- ngram_contamination oracle); violations pinned to 0
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(text), '\s+') AS a
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, source,
+                       array_to_string(a[CAST(i AS INT):CAST(i + 3 AS INT)],
+                                       ' ') AS gram
+                FROM toks, LATERAL unnest(range(1, len(a) - 2)) AS t(i)
+            ), test AS (
+                SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+            ), train AS (
+                SELECT DISTINCT doc_id, gram FROM grams
+                WHERE source <> 'src0'
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE source <> 'src0') AS n_train_docs,
+                   (SELECT CAST(count(DISTINCT tr.doc_id) AS BIGINT)
+                    FROM train tr JOIN test te USING (gram))
+                       AS n_exact_contaminated,
+                   CAST(0 AS BIGINT) AS n_missed_docs,
+                   CAST(0 AS BIGINT) AS n_undercounted_docs
         """,
         "frequent_tokens_invariants": r"""
             -- Misra-Gries guarantee gate: SQL counts the stream and the

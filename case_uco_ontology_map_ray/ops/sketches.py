@@ -221,3 +221,57 @@ def frequent_tokens(ds, col: str = "text", k: int = 64):
             merged = merged.merge(MisraGries(k, pickle.loads(raw)))
             total += int(n)
     return merged, total
+
+
+# ---------------------------------------------------------------- Bloom
+class BloomFilter:
+    """Deterministic Bloom filter over 64-bit key hashes: m bits, h probe
+    positions derived from one seeded avalanche hash by double hashing
+    (Kirsch-Mitzenmacher). Merge = bitwise OR. Zero false negatives by
+    construction; false-positive rate ~ (1 - e^{-hn/m})^h."""
+
+    def __init__(self, m_bits: int = 1 << 20, h: int = 4,
+                 bits: np.ndarray | None = None):
+        self.m = int(m_bits)
+        self.h = int(h)
+        self.bits = (bits if bits is not None
+                     else np.zeros(self.m // 8 + 1, dtype=np.uint8))
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        """(n, h) probe positions from two seeded mixes of the key hash."""
+        x = keys.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        a = x.copy()
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+        b = x | np.uint64(1)  # odd stride: full period mod m
+        i = np.arange(self.h, dtype=np.uint64)
+        return ((a[:, None] + i[None, :] * b[:, None])
+                % np.uint64(self.m)).astype(np.int64)
+
+    def add_hashes(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         np.left_shift(1, pos & 7).astype(np.uint8))
+
+    def contains_hashes(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        byte = self.bits[pos >> 3]
+        bit = (byte >> (pos & 7).astype(np.uint8)) & 1
+        return bit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        return BloomFilter(self.m, self.h, np.bitwise_or(self.bits, other.bits))
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, m_bits: int, h: int) -> "BloomFilter":
+        return cls(m_bits, h, np.frombuffer(raw, dtype=np.uint8).copy())

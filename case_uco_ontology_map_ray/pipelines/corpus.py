@@ -879,3 +879,86 @@ def frequent_tokens_invariants(sf_dir: str) -> pd.DataFrame:
         "n_true_heavy": pd.array([len(heavy)], dtype="int64"),
         "n_missed_heavy": pd.array([n_missed], dtype="int64"),
         "n_bound_violations": pd.array([n_viol], dtype="int64")})
+
+
+def ngram_contamination_bloom(sf_dir: str, holdout_source: str = "src0",
+                              k_gram: int = 4,
+                              m_bits: int = 1 << 20) -> pd.DataFrame:
+    """Bloom-filter decontamination — the broadcast scale path of
+    ``ngram_contamination``: the holdout gram set collapses to an m-bit
+    filter (one sketch row per batch, OR-merged on the driver, broadcast
+    once), so flagging train grams is a MAP-ONLY membership test instead of
+    a bucketed semi join (no shuffle of the train gram stream at all).
+    False positives only (~(1-e^{-hn/m})^h; zero false negatives by
+    construction), so counts are an upper bound of the exact ones — the
+    right screening direction for decontamination. Returns per-doc
+    (doc_id, n_flagged_grams) for every train doc with at least one flag."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.hashing import content_hash64_arrow
+    from ..ops.agg import grouped_sums_ds
+    from ..ops.sketches import BloomFilter
+
+    H = 4
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    test = ds.filter(expr=f"source == '{holdout_source}'").map_batches(
+        lambda t: _word_grams(t, k_gram, with_doc=False), batch_format="pyarrow")
+
+    def sketch(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, H)
+        bf.add_hashes(content_hash64_arrow(t.column("gram")))
+        return pa.table({"bits": pa.array([bf.to_bytes()], pa.binary())})
+
+    merged = BloomFilter(m_bits, H)
+    for b in test.map_batches(sketch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for raw in b.column("bits").to_pylist():
+            merged = merged.merge(BloomFilter.from_bytes(raw, m_bits, H))
+    ref = ray.put(merged.to_bytes())
+
+    def flag(t: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bytes(ray.get(ref), m_bits, H)
+        hit = bf.contains_hashes(content_hash64_arrow(t.column("gram")))
+        return t.filter(pa.array(hit))
+
+    train = ds.filter(expr=f"source != '{holdout_source}'").map_batches(
+        lambda t: _word_grams(t, k_gram, with_doc=True), batch_format="pyarrow")
+    counts = grouped_sums_ds(train.map_batches(flag, batch_format="pyarrow"),
+                             keys=["doc_id"], sum_cols={},
+                             count_alias="n_flagged_grams")
+    out = counts.to_pandas().astype({"doc_id": "int64",
+                                     "n_flagged_grams": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def ngram_contamination_bloom_invariants(sf_dir: str) -> pd.DataFrame:
+    """Zero-false-negative gate for the bloom decontamination path: every
+    doc flagged by the EXACT bucketed semi join (itself value-oracled via
+    ngram_contamination) must appear in the bloom results with at least
+    the exact count. SQL pins (n_train_docs, n_exact_contaminated) and the
+    two violation counters to 0. The count frames collected here are
+    O(contaminated docs), the invariant-query pattern used by the LSH
+    subset gates."""
+    from ..ops.agg import grouped_sums_ds
+    from ..ops.joins import bucket_semi_join
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    n_train = ds.filter(expr="source != 'src0'").count()
+    test = ds.filter(expr="source == 'src0'").map_batches(
+        lambda t: _word_grams(t, 4, with_doc=False), batch_format="pyarrow")
+    train = ds.filter(expr="source != 'src0'").map_batches(
+        lambda t: _word_grams(t, 4, with_doc=True), batch_format="pyarrow")
+    exact = grouped_sums_ds(bucket_semi_join(train, test, on="gram"),
+                            keys=["doc_id"], sum_cols={},
+                            count_alias="n_exact").to_pandas()
+    bloom = ngram_contamination_bloom(sf_dir)
+    merged = exact.merge(bloom, on="doc_id", how="left")
+    n_missed = int(merged["n_flagged_grams"].isna().sum())
+    hit = merged.dropna(subset=["n_flagged_grams"])
+    n_under = int((hit["n_flagged_grams"] < hit["n_exact"]).sum())
+    return pd.DataFrame({
+        "n_train_docs": pd.array([n_train], dtype="int64"),
+        "n_exact_contaminated": pd.array([len(exact)], dtype="int64"),
+        "n_missed_docs": pd.array([n_missed], dtype="int64"),
+        "n_undercounted_docs": pd.array([n_under], dtype="int64")})

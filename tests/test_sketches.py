@@ -97,3 +97,24 @@ def test_misra_gries_guarantee_under_merges(ray_session):
     # order shifts decrements) but the heavy-hitter SET must be stable
     mg2, _ = frequent_tokens(ds.repartition(3), k=K)
     assert heavy <= set(mg2.counters)
+
+
+def test_bloom_filter_no_false_negatives_and_merge():
+    import numpy as np
+
+    from case_uco_ontology_map_ray.ops.sketches import BloomFilter
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 2**63, 3000, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 2**63, 3000, dtype=np.int64).astype(np.uint64)
+    f1, f2 = BloomFilter(1 << 16, 4), BloomFilter(1 << 16, 4)
+    f1.add_hashes(a); f2.add_hashes(b)
+    merged = f1.merge(f2)
+    assert merged.contains_hashes(a).all()
+    assert merged.contains_hashes(b).all()
+    # serialization roundtrip preserves membership
+    back = BloomFilter.from_bytes(merged.to_bytes(), 1 << 16, 4)
+    assert back.contains_hashes(a).all()
+    # false-positive rate stays near theory at this load (~2.4%)
+    probe = rng.integers(0, 2**63, 50000, dtype=np.int64).astype(np.uint64)
+    assert merged.contains_hashes(probe).mean() < 0.06
