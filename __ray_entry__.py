@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": corpus.doc_fingerprints,
         "doc_sample": corpus.doc_sample,
         "doc_split_assign": corpus.doc_split_assign,
+        "doc_bottomk_sample": corpus.doc_bottomk_sample,
         "doc_language_rebalance": corpus.doc_language_rebalance,
         "embedding_quantization": corpus.embedding_quantization,
         "frequent_tokens_invariants": corpus.frequent_tokens_invariants,
@@ -1543,6 +1544,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
                        AS BIGINT) % 100 < 10
             ORDER BY doc_id
+        """,
+        "doc_bottomk_sample": """
+            -- exact-k uniform sample: k smallest md5 ranks, same rank
+            -- string the engine orders on
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       md5(CAST(doc_id AS VARCHAR) || ':42') AS rank
+                FROM documents
+                ORDER BY rank, doc_id LIMIT 50
+            ) ORDER BY doc_id
         """,
         "doc_split_assign": """
             -- deterministic 80/10/10 split: same md5 bucket rule as the

@@ -962,3 +962,28 @@ def ngram_contamination_bloom_invariants(sf_dir: str) -> pd.DataFrame:
         "n_exact_contaminated": pd.array([len(exact)], dtype="int64"),
         "n_missed_docs": pd.array([n_missed], dtype="int64"),
         "n_undercounted_docs": pd.array([n_under], dtype="int64")})
+
+
+def doc_bottomk_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Exact-size uniform sample: the k documents with the smallest seeded
+    hash rank — the distributed replacement for reservoir sampling
+    (deterministic, mergeable: per-batch bottom-k partials, driver merge;
+    adding data can only displace ranks, never perturb the rule). md5 rank
+    here for the row-for-row DuckDB oracle; production uses the mix64 rank
+    (same operator shape, fractional-free, no per-row Python)."""
+    import hashlib
+
+    from ..ops.agg import topk_ds
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def rank(t: pa.Table) -> pa.Table:
+        ranks = [hashlib.md5(f"{d}:42".encode()).hexdigest()
+                 for d in t.column("doc_id").to_pylist()]
+        return t.append_column("rank", pa.array(ranks, pa.string()))
+
+    out = topk_ds(ds.map_batches(rank, batch_format="pyarrow"),
+                  by=["rank", "doc_id"], ascending=[True, True], k=k,
+                  columns=["doc_id", "lang", "rank"])
+    return (out[["doc_id", "lang"]].astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
