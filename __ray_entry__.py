@@ -599,6 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_invariants": _approx_distinct_invariants,
         "media_frame_counts": _media_frame_counts,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
+        # --- rows-only: bloom counts include false positives by design;
+        # the zero-false-negative invariant above is the external gate
+        "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
         # --- rows-only: KG family (golden/unit-gated; uuid5 not in SQL)
         "kg_triples": _kg_triples,
         "kg_triples_distinct": _kg_triples_distinct,
