@@ -93,3 +93,90 @@ def test_shingle_minhash_simhash_total(text):
     mh = MinHasher(16)
     assert (mh.signature(sh) == mh.signature(sh)).all()
     assert simhash64(sh) == simhash64(sh)
+
+
+json_values = st.recursive(
+    st.one_of(st.none(), st.booleans(),
+              st.integers(min_value=-(2**200), max_value=2**200),
+              st.floats(allow_nan=False, allow_infinity=False),
+              st.text(max_size=30)),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=10), children, max_size=4)),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_values)
+def test_loads_fast_equals_stdlib_for_arbitrary_json(value):
+    """loads_fast must reproduce stdlib's parse VALUE- and TYPE-exactly for
+    any JSON stdlib can emit — including >64-bit integers (the orjson
+    widening trap) and deep nesting."""
+    from case_uco_ontology_map_ray.functions.jsonx import loads_fast
+
+    text = json.dumps(value)
+    a, b = loads_fast(text), json.loads(text)
+
+    def eq(x, y):
+        if isinstance(x, dict):
+            return isinstance(y, dict) and x.keys() == y.keys() and all(
+                eq(x[k], y[k]) for k in x)
+        if isinstance(x, list):
+            return isinstance(y, list) and len(x) == len(y) and all(
+                eq(p, q) for p, q in zip(x, y))
+        return type(x) is type(y) and x == y
+
+    assert eq(a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=300, unique=True),
+       st.integers(min_value=0, max_value=2**31))
+def test_split_assign_disjoint_exhaustive_stable(keys, seed):
+    """Property form of the split guarantees: every key gets exactly one
+    label, and the label is a pure function of (key, seed) — independent of
+    which other keys are present."""
+    import numpy as np
+    import pandas as pd
+
+    from case_uco_ontology_map_ray.ops.sample import _mix64_u
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    edges = np.cumsum([fr[l] for l in fr]); edges[-1] = 1.0 + 1e-12
+    labels = list(fr)
+
+    def assign(ks):
+        h = pd.util.hash_pandas_object(pd.Series(ks), index=False).to_numpy()
+        h = _mix64_u(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64)))
+        u = h.astype(np.float64) / float(1 << 64)
+        ix = np.minimum(np.searchsorted(edges, u, side="right"), len(labels) - 1)
+        return [labels[i] for i in ix]
+
+    full = dict(zip(keys, assign(keys)))
+    half = keys[: max(1, len(keys) // 2)]
+    sub = dict(zip(half, assign(half)))
+    assert all(sub[k] == full[k] for k in half)
+    assert set(full.values()) <= set(labels)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.floats(min_value=-1e6, max_value=1e6, width=32),
+                         min_size=4, max_size=4), min_size=1, max_size=40))
+def test_quantization_roundtrip_bound(vectors):
+    """For any float32 vectors: codes in [-127,127], zero vectors -> zero
+    codes, reconstruction error <= scale/2 element-wise."""
+    import numpy as np
+
+    from case_uco_ontology_map_ray.ops.agg import round_away
+
+    m = np.asarray(vectors, dtype=np.float32).astype(np.float64)
+    maxabs = np.abs(m).max(axis=1)
+    scale = np.where(maxabs > 0, maxabs / 127.0, 1.0)
+    codes = round_away(m / scale[:, None], 0)
+    codes[maxabs == 0] = 0
+    assert np.abs(codes).max(initial=0) <= 127
+    recon = codes * scale[:, None]
+    err = np.abs(recon - m)
+    assert (err <= scale[:, None] / 2 + 1e-9).all()
