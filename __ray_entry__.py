@@ -602,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
+        "doc_compression_ratios": corpus.doc_compression_ratios,
         # --- rows-only: KG family (golden/unit-gated; uuid5 not in SQL)
         "kg_triples": _kg_triples,
         "kg_triples_distinct": _kg_triples_distinct,

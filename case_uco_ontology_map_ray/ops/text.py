@@ -547,3 +547,33 @@ def redact_pii(ds, col: str = "text",
         return out.append_column(f"red_{col}", s)
 
     return ds.map_batches(redact, batch_format="pyarrow")
+
+
+def compression_ratios(ds, col: str = "text", level: int = 6):
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap repetition/junk signal: boilerplate and template spam
+    compress far below prose. Map-only; zlib's deflate is C-speed, the
+    per-row Python is one call per doc (unavoidable: no Arrow kernel).
+    No SQL twin (DuckDB has no zlib) — gated by unit tests instead.
+
+    Returns (doc_id, raw_bytes, zlib_bytes, ratio[4dp]); empty docs get
+    ratio 0."""
+    import zlib
+
+    from .agg import round_away
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column(col).to_pylist()
+        raw = np.array([len(x.encode()) if x else 0 for x in texts],
+                       dtype=np.int64)
+        comp = np.array([len(zlib.compress(x.encode(), level)) if x else 0
+                         for x in texts], dtype=np.int64)
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "zlib_bytes": pa.array(comp, pa.int64()),
+            "ratio": pa.array(round_away(ratio, 4), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -987,3 +987,10 @@ def doc_bottomk_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
                   columns=["doc_id", "lang", "rank"])
     return (out[["doc_id", "lang"]].astype({"doc_id": "int64"})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def doc_compression_ratios(sf_dir: str) -> pd.DataFrame:
+    """zlib compression-ratio quality signal per document (rows-only: no
+    SQL zlib; determinism + repetition-sensitivity unit-tested)."""
+    out = tx.compression_ratios(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

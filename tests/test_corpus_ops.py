@@ -866,3 +866,23 @@ def test_quantized_topk_beam_recall(ray_session):
     small = quantized_topk(ds, q, k=10, beam=40, exclude_ids=(0,))
     recall = len(set(small["vec_id"]) & set(exact["vec_id"])) / 10
     assert recall >= 0.9
+
+
+def test_compression_ratios_repetition_signal(ray_session):
+    """Repetitive text compresses far below prose-like text; empty docs get
+    ratio 0; output deterministic across partitioning."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import compression_ratios
+
+    rng = np.random.default_rng(9)
+    prose = " ".join(rng.choice([f"w{i}" for i in range(800)], 300))
+    spam = "buy now click here " * 75
+    t = pa.table({"doc_id": [1, 2, 3], "text": [prose, spam, ""]})
+    out = (compression_ratios(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[2, "ratio"] == 0.0 and out.loc[2, "raw_bytes"] == 0
+    assert out.loc[1, "ratio"] < out.loc[0, "ratio"] * 0.5
+    out2 = (compression_ratios(rd.from_arrow(t).repartition(3)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(out2)
