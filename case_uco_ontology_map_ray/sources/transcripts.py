@@ -296,3 +296,50 @@ def read_transcripts(path: str, columns: list[str] | None = None):
     import ray.data as rd
 
     return rd.read_parquet(path, columns=columns)
+
+
+def read_transcripts_any(path: str, fmt: str = "parquet",
+                         columns: list[str] | None = None):
+    """Format-agnostic transcript reader -> Dataset with the canonical
+    SCHEMA (reference parity: the service ingests JSON/CSV uploads, not
+    just columnar files). Every format normalizes to identical column
+    names/types, so any downstream pipeline runs unchanged:
+
+    - parquet: pruned columnar read (the production path).
+    - jsonl / json: ``read_json`` + a cast stage (ts strings -> timestamp,
+      turn_idx -> int32).
+    - csv: ``read_csv`` + the same cast; embedded JSON payloads survive
+      because write/read both use RFC-4180 quoting.
+
+    Column pruning happens AFTER parse for row-oriented formats (inherent
+    to the format — another reason parquet is the at-scale layout).
+    """
+    import ray.data as rd
+
+    if fmt == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    if fmt in ("jsonl", "json"):
+        ds = rd.read_json(path)
+    elif fmt == "csv":
+        ds = rd.read_csv(path)
+    else:
+        raise ValueError(f"unknown transcript format {fmt!r}")
+
+    def to_canonical(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if not pa.types.is_timestamp(ts.type):
+            # Arrow casts ISO-8601 strings to timestamp natively (strptime
+            # can't: its %f is a Python extension Arrow doesn't implement)
+            ts = ts.cast(pa.string())
+        cols = {
+            "conv_id": t.column("conv_id").cast(pa.string()),
+            "turn_idx": t.column("turn_idx").cast(pa.int32()),
+            "role": t.column("role").cast(pa.string()),
+            "text": t.column("text").cast(pa.string()),
+            "tool": t.column("tool").cast(pa.string()),
+            "ts": ts.cast(pa.timestamp("us")),
+        }
+        out = pa.table(cols)
+        return out.select(columns) if columns else out
+
+    return ds.map_batches(to_canonical, batch_format="pyarrow")

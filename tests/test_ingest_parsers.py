@@ -158,3 +158,51 @@ def test_process_record_into_fp_threading_identical():
     fp_b, n_b = mapper.process_record_into(dict(record), *cols_b, fp=fp)
     assert fp_a == fp_b == fp
     assert n_a == n_b and cols_a == cols_b
+
+
+def test_read_transcripts_any_formats_equivalent(ray_session, tmp_path):
+    """parquet / jsonl / csv readers produce the identical canonical table,
+    and the KG construction emits the identical triple multiset from each
+    (embedded JSON payloads must survive CSV quoting)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.sources.transcripts import (
+        conversations_table,
+        read_transcripts_any,
+    )
+
+    t = conversations_table(list(range(6)), mean_turns=8)
+    pq_dir, jl, cs = tmp_path / "pq", tmp_path / "t.jsonl", tmp_path / "t.csv"
+    pq_dir.mkdir()
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, pq_dir / "part0.parquet")
+    df = t.to_pandas()
+    df_out = df.copy()
+    df_out["ts"] = df_out["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    df_out.to_json(jl, orient="records", lines=True)
+    df_out.to_csv(cs, index=False)
+
+    frames = {}
+    for fmt, path in [("parquet", str(pq_dir)), ("jsonl", str(jl)),
+                      ("csv", str(cs))]:
+        ds = read_transcripts_any(path, fmt=fmt)
+        f = (ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+             .reset_index(drop=True))
+        assert list(f.columns) == ["conv_id", "turn_idx", "role", "text",
+                                   "tool", "ts"]
+        frames[fmt] = f
+    pd.testing.assert_frame_equal(frames["parquet"], frames["jsonl"])
+    pd.testing.assert_frame_equal(frames["parquet"], frames["csv"])
+
+    def triple_key(src, fmt):
+        tr = (triples_from_transcripts(read_transcripts_any(src, fmt=fmt))
+              .to_pandas())
+        return (tr.sort_values(["subj", "pred", "obj", "conv_id", "turn_idx"])
+                .reset_index(drop=True))
+    base = triple_key(str(pq_dir), "parquet")
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, triple_key(str(jl), "jsonl"))
+    pd.testing.assert_frame_equal(base, triple_key(str(cs), "csv"))
