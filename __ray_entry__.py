@@ -586,6 +586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language_rebalance": corpus.doc_language_rebalance,
         "embedding_quantization": corpus.embedding_quantization,
         "frequent_tokens_invariants": corpus.frequent_tokens_invariants,
+        "frequent_tokens_by_lang_invariants":
+            corpus.frequent_tokens_by_lang_invariants,
         "ngram_contamination_bloom_invariants":
             corpus.ngram_contamination_bloom_invariants,
         "similarity_ivf_index": corpus.similarity_ivf_index,
@@ -1598,6 +1600,28 @@ def oracle_sql() -> dict[str, str]:
                        AS n_exact_contaminated,
                    CAST(0 AS BIGINT) AS n_missed_docs,
                    CAST(0 AS BIGINT) AS n_undercounted_docs
+        """,
+        "frequent_tokens_by_lang_invariants": r"""
+            -- per-language Misra-Gries gate: SQL pins each language's
+            -- stream length + true-heavy count; violations pinned 0
+            WITH toks AS (
+                SELECT lang,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tok2 AS (
+                SELECT lang, tok FROM toks WHERE tok <> ''
+            ), cnt AS (
+                SELECT lang, tok, count(*) AS c FROM tok2 GROUP BY 1, 2
+            ), tot AS (
+                SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+            )
+            SELECT t.lang,
+                   t.n AS n_tokens,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cnt c
+                    WHERE c.lang = t.lang AND c.c > t.n / 33.0) AS n_true_heavy,
+                   CAST(0 AS BIGINT) AS n_missed_heavy,
+                   CAST(0 AS BIGINT) AS n_bound_violations
+            FROM tot t ORDER BY t.lang
         """,
         "frequent_tokens_invariants": r"""
             -- Misra-Gries guarantee gate: SQL counts the stream and the

@@ -994,3 +994,49 @@ def doc_compression_ratios(sf_dir: str) -> pd.DataFrame:
     SQL zlib; determinism + repetition-sensitivity unit-tested)."""
     out = tx.compression_ratios(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def frequent_tokens_by_lang_invariants(sf_dir: str) -> pd.DataFrame:
+    """Per-language Misra-Gries gate (the grouped twin of
+    frequent_tokens_invariants): for EVERY language, the sketch must cover
+    that language's true-heavy tokens (freq > n_lang/(k+1)) within the est
+    bound. One row per language; SQL pins per-lang stream length and
+    true-heavy count, zeros for the violation counters."""
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums
+    from ..ops.sketches import frequent_tokens_by_group
+
+    K = 32
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    mg_rows = frequent_tokens_by_group(docs, "lang", k=K).to_pandas()
+
+    def local(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t.column("text")))
+        offs = toks.combine_chunks().offsets.to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        flat = pa.table({
+            "lang": pa.array(np.repeat(langs, np.diff(offs))),
+            "tok": pc.list_flatten(toks),
+        }).filter(pc.not_equal(pc.list_flatten(toks), ""))
+        agg = flat.group_by(["lang", "tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "tok", "c_part"])
+
+    true_counts = grouped_sums(docs.map_batches(local, batch_format="pyarrow"),
+                               keys=["lang", "tok"], sum_cols={"c": "c_part"})
+    rows = []
+    for lang, sub in true_counts.groupby("lang", sort=True):
+        n_lang = int(sub["c"].sum())
+        bound = n_lang / (K + 1.0)
+        truth = dict(zip(sub["tok"], sub["c"].astype(int)))
+        heavy = {t for t, c in truth.items() if c > bound}
+        cand = dict(zip(mg_rows.loc[mg_rows["lang"] == lang, "key"],
+                        mg_rows.loc[mg_rows["lang"] == lang, "est"]))
+        n_missed = len([t for t in heavy if t not in cand])
+        n_viol = len([t for t, est in cand.items()
+                      if est > truth.get(t, 0) or est < truth.get(t, 0) - bound])
+        rows.append({"lang": lang, "n_tokens": n_lang,
+                     "n_true_heavy": len(heavy), "n_missed_heavy": n_missed,
+                     "n_bound_violations": n_viol})
+    out = pd.DataFrame(rows)
+    return out.astype({c: "int64" for c in out.columns if c != "lang"})
