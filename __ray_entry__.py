@@ -118,6 +118,20 @@ def _kg_conversation_entities(sf_dir: str):
     return conversation_entity_stats(triples)
 
 
+def _transcript_boilerplate(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.transcript_prep import boilerplate_turns
+
+    return boilerplate_turns(_transcripts_for(sf_dir), min_convs=10)
+
+
+def _transcript_boilerplate_removal(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.transcript_prep import (
+        boilerplate_removal_counts,
+    )
+
+    return boilerplate_removal_counts(_transcripts_for(sf_dir), min_convs=10)
+
+
 def _kg_validated(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import validated_triples
 
@@ -601,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_invariants": _approx_distinct_invariants,
         "media_frame_counts": _media_frame_counts,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
+        "transcript_boilerplate": _transcript_boilerplate,
+        "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -901,8 +917,40 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT text) FILTER (p IS NOT NULL) AS n_distinct_subjects
             FROM raw
         """
+    transcript_boilerplate_sql = f"""
+            -- cross-conversation boilerplate turns: texts recurring in >=
+            -- 10 distinct conversations (the C4-style corpus cleaner's
+            -- flag set); SQL reproduces the distinct-conv spread directly
+            SELECT text, min(role) AS role,
+                   count(DISTINCT conv_id) AS n_convs,
+                   CAST(count(*) AS BIGINT) AS n_turns
+            FROM read_parquet('{transcripts_glob}')
+            GROUP BY text
+            HAVING count(DISTINCT conv_id) >= 10
+            ORDER BY text
+        """
+    transcript_boilerplate_removal_sql = f"""
+            -- corpus-cleanup summary: turn counts before/after removing
+            -- boilerplate texts (>= 10 distinct conversations)
+            WITH s AS (
+                SELECT text, count(DISTINCT conv_id) AS nc,
+                       count(*) AS nt
+                FROM read_parquet('{transcripts_glob}')
+                GROUP BY text
+            )
+            SELECT CAST(sum(nt) AS BIGINT) AS n_turns_total,
+                   CAST(coalesce(sum(nt) FILTER (nc >= 10), 0) AS BIGINT)
+                       AS n_turns_removed,
+                   CAST(sum(nt) - coalesce(sum(nt) FILTER (nc >= 10), 0)
+                        AS BIGINT) AS n_turns_kept,
+                   CAST(coalesce(count(*) FILTER (nc >= 10), 0) AS BIGINT)
+                       AS n_boilerplate_texts
+            FROM s
+        """
     return {
         "kg_coverage": kg_coverage_sql,
+        "transcript_boilerplate": transcript_boilerplate_sql,
+        "transcript_boilerplate_removal": transcript_boilerplate_removal_sql,
         "kg_triple_counts": kg_triple_counts_sql,
         "kg_node_counts": kg_node_counts_sql,
         "kg_entity_mentions": kg_entity_mentions_sql,
