@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
+        "inverted_index_terms": corpus.inverted_index_terms,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -951,6 +952,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_coverage": kg_coverage_sql,
         "transcript_boilerplate": transcript_boilerplate_sql,
         "transcript_boilerplate_removal": transcript_boilerplate_removal_sql,
+        "inverted_index_terms": r"""
+            -- exact inverted index, top-25 terms by document frequency:
+            -- same whitespace split as tfidf_top_terms; postings are the
+            -- comma-joined ascending doc ids
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents
+            ), t2 AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), per AS (
+                SELECT term, doc_id, count(*) AS tf FROM t2 GROUP BY 1, 2
+            )
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS tf_total,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM per
+            GROUP BY term
+            ORDER BY df DESC, term
+            LIMIT 25
+        """,
         "kg_triple_counts": kg_triple_counts_sql,
         "kg_node_counts": kg_node_counts_sql,
         "kg_entity_mentions": kg_entity_mentions_sql,

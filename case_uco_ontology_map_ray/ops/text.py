@@ -577,3 +577,70 @@ def compression_ratios(ds, col: str = "text", level: int = 6):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def build_inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
+                         num_parts: int = 64):
+    """Corpus inverted index: Dataset[(term, df, tf_total, postings)] with
+    ``postings`` = comma-joined ascending doc ids (exact, deterministic).
+
+    Shape: one explode pass emits batch-local (term, doc_id, tf) rows —
+    documents never span batches, so rows are globally unique per
+    (term, doc) with exact tf; the shuffle partitions by a term-hash bucket
+    (a term never spans partitions) and each partition builds its posting
+    lists fully vectorized (one sort, Arrow list-offsets join — no per-term
+    Python). 100-TB note: hot stopword terms concentrate one group's
+    postings in one task; production sharding would segment postings as
+    (term, shard_idx) rows — the df/tf aggregates here already come from
+    the same partials and would be unchanged.
+    """
+    from .joins import _mix_bucket
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column(text_col))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, np.diff(offs))
+        pairs = pa.table({"doc_id": pa.array(doc, pa.int64()),
+                          "term": pc.list_flatten(toks)})
+        pairs = pairs.filter(pc.not_equal(pairs.column("term"), ""))
+        tf = pairs.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+        tf = tf.rename_columns(["term", "doc_id", "tf"])
+        return tf.append_column(
+            "__part", _mix_bucket(tf.column("term"), num_parts))
+
+    pre = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"]).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "tf_total": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        idx = pc.sort_indices(t, sort_keys=[("term", "ascending"),
+                                            ("doc_id", "ascending")])
+        t = t.take(idx)
+        terms = t.column("term").combine_chunks()
+        # group boundaries over the sorted term column
+        enc = terms.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        offsets = np.concatenate(([0], bounds, [t.num_rows])).astype(np.int32)
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        df = np.diff(offsets).astype(np.int64)
+        tf_total = _segment_sum(tf.astype(np.int64), offsets.astype(np.int64))
+        id_strs = t.column("doc_id").cast(pa.string()).combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), id_strs)
+        postings = pc.binary_join(lists, ",")
+        return pa.table({
+            "term": terms.take(pa.array(offsets[:-1].astype(np.int64))),
+            "df": pa.array(df, pa.int64()),
+            "tf_total": pa.array(tf_total, pa.int64()),
+            "postings": postings,
+        })
+
+    return pre.groupby("__part").map_groups(finish, batch_format="pyarrow")

@@ -1040,3 +1040,22 @@ def frequent_tokens_by_lang_invariants(sf_dir: str) -> pd.DataFrame:
                      "n_bound_violations": n_viol})
     out = pd.DataFrame(rows)
     return out.astype({c: "int64" for c in out.columns if c != "lang"})
+
+
+def inverted_index_terms(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Top-k inverted-index rows by (df DESC, term ASC): exact posting
+    lists (comma-joined ascending doc ids), document frequency, total term
+    frequency. Oracle: DuckDB unnest + ordered string_agg."""
+    from ..ops.agg import topk_ds
+    from ..ops.text import build_inverted_index
+
+    idx = build_inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+    out = topk_ds(idx, by=["df", "term"], ascending=[False, True], k=k,
+                  columns=["term", "df", "tf_total", "postings"])
+    if out.empty:
+        return pd.DataFrame({"term": pd.Series(dtype="str"),
+                             "df": pd.Series(dtype="int64"),
+                             "tf_total": pd.Series(dtype="int64"),
+                             "postings": pd.Series(dtype="str")})
+    out = out.astype({"df": "int64", "tf_total": "int64"})
+    return out[["term", "df", "tf_total", "postings"]].reset_index(drop=True)

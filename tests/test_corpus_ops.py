@@ -886,3 +886,34 @@ def test_compression_ratios_repetition_signal(ray_session):
     out2 = (compression_ratios(rd.from_arrow(t).repartition(3)).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     assert out.equals(out2)
+
+
+def test_build_inverted_index_exact_postings():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import build_inverted_index
+
+    tab = pa.table({
+        "doc_id": pa.array([7, 3, 9], pa.int64()),
+        "text": ["a b a", "b c", "  a   c  c "],
+    })
+    # two blocks so a term's postings span input batches
+    ds = rd.from_arrow(tab).repartition(2)
+    out = build_inverted_index(ds).to_pandas().set_index("term")
+    got = {t: (r.df, r.tf_total, r.postings) for t, r in out.iterrows()}
+    assert got["a"] == (2, 3, "7,9")
+    assert got["b"] == (2, 2, "3,7")
+    assert got["c"] == (2, 3, "3,9")
+
+
+def test_build_inverted_index_empty_and_whitespace_only_docs():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.text import build_inverted_index
+
+    tab = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": ["", "   "]})
+    out = build_inverted_index(rd.from_arrow(tab)).to_pandas()
+    assert len(out) == 0
