@@ -132,6 +132,14 @@ def _transcript_boilerplate_removal(sf_dir: str):
     return boilerplate_removal_counts(_transcripts_for(sf_dir), min_convs=10)
 
 
+def _kg_entity_pagerank(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import entity_pagerank
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return entity_pagerank(triples, iters=3, k=30)
+
+
 def _kg_validated(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import validated_triples
 
@@ -618,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "inverted_index_terms": corpus.inverted_index_terms,
+        "kg_entity_pagerank": _kg_entity_pagerank,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -867,6 +876,44 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT np) AS n_distinct_paths
             FROM norm
         """
+    # PageRank oracle: the SAME power iteration the engine runs, unrolled as
+    # chained CTEs (one aggregate per round) over the independently
+    # re-extracted mention stream. Both sides quantize each round's rank to
+    # 6dp (round half away from zero) and compute (1.0 - 0.85) + 0.85 * sum
+    # with the same IEEE op order, so the carried doubles stay bit-identical.
+    _pr_rounds = []
+    for i in range(3):
+        _pr_rounds.append(f"""r{i + 1} AS (
+                SELECT e.t AS node,
+                       round((1.0 - 0.85) + 0.85 * sum(r{i}.r / deg.d), 6) AS r
+                FROM edges e
+                JOIN r{i} ON e.s = r{i}.node
+                JOIN deg ON e.s = deg.node
+                GROUP BY e.t
+            )""")
+    kg_entity_pagerank_sql = f"""
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            deg AS (SELECT s AS node, count(*) AS d FROM edges GROUP BY 1),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+            {', '.join(_pr_rounds)}
+            SELECT deg.node AS path,
+                   CAST(deg.d AS BIGINT) AS degree,
+                   r3.r AS rank_norm
+            FROM r3 JOIN deg ON r3.node = deg.node
+            ORDER BY rank_norm DESC, path
+            LIMIT 30
+        """
     kg_conversation_entities_sql = f"""
             -- per-conversation distinct entities: SQL reproduces the full
             -- mention extraction per conv_id, so the engine's pid-hash
@@ -1001,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY t.doc_id
         """,
         "kg_conversation_entities": kg_conversation_entities_sql,
+        "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_validated_counts": kg_validated_counts_sql,
         "kg_entity_link_counts": kg_entity_link_counts_sql,
         "kg_jsonld_counts": f"""

@@ -475,3 +475,143 @@ def conversation_entity_stats(triples: rd.Dataset, salt_k: int = 8) -> pd.DataFr
     counts = pre.groupby("__part").map_groups(count_part, batch_format="pyarrow")
     out = counts.groupby("conv_id").aggregate(Sum("n", alias_name="n_entities")).to_pandas()
     return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def comention_graph(triples: rd.Dataset, num_parts: int = 64,
+                    max_conv_entities: int = 4096):
+    """Symmetric co-mention edge list over canonical path entities:
+    Dataset[(s, t)] of DISTINCT directed pairs (both directions present)
+    where s and t are pid keys of paths mentioned in the same conversation,
+    plus Dataset[(node, deg)] out-degrees.
+
+    Shape: distinct (conv_id, pid) via a per-batch combiner, one shuffle on
+    conv_id, per-conversation pair fan-out (bounded: a conversation
+    contributes C(k,2) pairs — ``max_conv_entities`` caps pathological
+    conversations, dropped pairs are logged in the 100-TB deployment;
+    the synthetic corpus never hits it), then a pid-bucketed global pair
+    dedup (equal s co-locate, so per-partition distinct is exact).
+    """
+    mentions = mentions_from_triples(triples)
+
+    def local(t: pa.Table) -> pa.Table:
+        return (t.select(["conv_id", "pid"])
+                .group_by(["conv_id", "pid"]).aggregate([]))
+
+    pre = mentions.map_batches(local, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column("pid").to_numpy(zero_copy_only=False))
+        k = min(len(ids), max_conv_entities)
+        if k < 2:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        ids = ids[:k]
+        iu, ju = np.triu_indices(k, 1)
+        a, b = ids[iu], ids[ju]
+        return pa.table({"s": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "t": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    raw = pre.groupby("conv_id").map_groups(pairs, batch_format="pyarrow")
+
+    def part(t: pa.Table) -> pa.Table:
+        d = t.group_by(["s", "t"]).aggregate([])
+        b = pc.bit_wise_and(d.column("s"), pa.scalar(num_parts - 1, pa.int64()))
+        return d.append_column("__part", b.cast(pa.int32()))
+
+    def finish(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["__part"]).group_by(["s", "t"]).aggregate([])
+
+    edges = (raw.map_batches(part, batch_format="pyarrow")
+             .groupby("__part").map_groups(finish, batch_format="pyarrow"))
+    edges = edges.materialize()  # reused every PageRank iteration
+
+    from ..ops.agg import grouped_sums_ds
+
+    deg = grouped_sums_ds(edges, keys=["s"], sum_cols={}, count_alias="deg")
+    deg = deg.map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                          batch_format="pyarrow")
+    return edges, deg
+
+
+def entity_pagerank(triples: rd.Dataset, iters: int = 3, d: float = 0.85,
+                    k: int = 30) -> pd.DataFrame:
+    """PageRank over the entity co-mention graph — iterative
+    groupby-aggregate dataflow (the power iteration as Ray Data rounds):
+    each round joins the rank vector onto the edge list (bucketed on the
+    source key), emits rank/deg contributions, and groupby-sums them per
+    target; ranks are normalized so the mean is 1 (rn = (1-d) + d * sum)
+    and QUANTIZED to 6dp each round (round half away from zero) so the
+    distributed float-sum order cannot drift from the SQL oracle's — both
+    sides carry bit-identical doubles into the next round.
+
+    Node set = nodes with at least one co-mention edge (symmetric graph:
+    no dangling mass). Returns top-k (path, degree, rank_norm) by
+    (rank DESC, path ASC) — fully value-oracled: the SQL twin unrolls the
+    same ``iters`` rounds as chained CTEs over the independently
+    re-extracted mention stream (__ray_entry__.oracle_sql).
+
+    Scale shape: ranks and edges stay Datasets throughout; per-round state
+    is one row per node, re-materialized each round exactly like
+    ``propagate_labels``; only the final top-k reaches the driver.
+    """
+    from ..ops.agg import round_away, topk_ds
+    from ..ops.joins import bucket_join
+
+    edges, deg = comention_graph(triples)
+    deg = deg.materialize()
+    if deg.count() == 0:
+        # no co-mention edges anywhere (every conversation mentions at most
+        # one entity): empty graph, schema-stable empty result
+        return pd.DataFrame({"path": pd.Series(dtype="str"),
+                             "degree": pd.Series(dtype="int64"),
+                             "rank_norm": pd.Series(dtype="float64")})
+
+    ranks = deg.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "rank": pa.array(np.ones(t.num_rows), pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        state = bucket_join(deg, ranks, on="node")
+        contrib_src = bucket_join(
+            edges,
+            state.map_batches(lambda t: t.rename_columns(["s", "deg", "rank"]),
+                              batch_format="pyarrow"),
+            on="s")
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            dg = t.column("deg").to_numpy(zero_copy_only=False)
+            return pa.table({"node": t.column("t"),
+                             "c": pa.array(r / dg, pa.float64())})
+
+        parts = contrib_src.map_batches(contrib, batch_format="pyarrow")
+        from ..ops.agg import grouped_sums_ds
+
+        summed = grouped_sums_ds(parts, keys=["node"], sum_cols={"c": "c"})
+
+        def renorm(t: pa.Table) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            r = round_away((1.0 - d) + d * c, 6)
+            return pa.table({"node": t.column("node"),
+                             "rank": pa.array(r, pa.float64())})
+
+        ranks = summed.map_batches(renorm, batch_format="pyarrow").materialize()
+
+    mentions = mentions_from_triples(triples)
+    paths = distinct_paths(mentions)
+    named = bucket_join(ranks, deg, on="node")
+    named = bucket_join(
+        named,
+        paths.map_batches(lambda t: t.rename_columns(["node", "path"]),
+                          batch_format="pyarrow"),
+        on="node")
+    out = topk_ds(named, by=["rank", "path"], ascending=[False, True], k=k,
+                  columns=["node", "rank", "deg", "path"])
+    if out.empty:
+        return pd.DataFrame({"path": pd.Series(dtype="str"),
+                             "degree": pd.Series(dtype="int64"),
+                             "rank_norm": pd.Series(dtype="float64")})
+    out = out.rename(columns={"deg": "degree", "rank": "rank_norm"})
+    out["degree"] = out["degree"].astype("int64")
+    return out[["path", "degree", "rank_norm"]].reset_index(drop=True)

@@ -191,3 +191,91 @@ def test_propagate_labels_chain_converges_logarithmically():
     # one band-step halves distance to the min, the jump step compresses
     # paths: a 47-hop chain must close in far fewer than diameter rounds
     assert rounds <= 10, rounds
+
+
+def _path_triples_table(conv_paths: dict[str, list[str]]):
+    import pyarrow as pa
+
+    rows = {"conv_id": [], "turn_idx": [], "subj": [], "pred": [], "obj": []}
+    for conv, paths in conv_paths.items():
+        for i, p in enumerate(paths):
+            rows["conv_id"].append(conv)
+            rows["turn_idx"].append(i)
+            rows["subj"].append(f"kb:rec-{conv}-{i}")
+            rows["pred"].append("uco-observable:filePath")
+            rows["obj"].append(p)
+    return pa.table({
+        "conv_id": pa.array(rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "subj": pa.array(rows["subj"], pa.string()),
+        "pred": pa.array(rows["pred"], pa.string()),
+        "obj": pa.array(rows["obj"], pa.string()),
+    })
+
+
+def test_comention_graph_edges_and_degrees():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import comention_graph
+
+    # conv1: triangle a,b,c; conv2: edge a,d; edge (a,b) repeats in conv3
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["a", "d"],
+                               "c3": ["a", "b"]})
+    edges, deg = comention_graph(rd.from_arrow(tab))
+    e = edges.to_pandas()
+    assert len(e) == 2 * 4  # {a-b, a-c, b-c, a-d}, both directions, distinct
+    d = deg.to_pandas().set_index("node")["deg"]
+    assert sorted(d.values.tolist()) == [1, 2, 2, 3]
+
+
+def test_entity_pagerank_matches_numpy_power_iteration():
+    import numpy as np
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.agg import round_away
+    from case_uco_ontology_map_ray.pipelines.linking import entity_pagerank
+
+    conv_paths = {"c1": ["a", "b", "c"], "c2": ["a", "d"], "c3": ["b", "e"],
+                  "c4": ["a", "b"]}
+    tab = _path_triples_table(conv_paths)
+    out = entity_pagerank(rd.from_arrow(tab), iters=3, k=10)
+
+    # numpy twin of the quantized power iteration over the same graph
+    nodes = sorted({p for ps in conv_paths.values() for p in ps})
+    ix = {p: i for i, p in enumerate(nodes)}
+    E = set()
+    for ps in conv_paths.values():
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                E.add((ix[ps[i]], ix[ps[j]]))
+                E.add((ix[ps[j]], ix[ps[i]]))
+    deg = np.zeros(len(nodes))
+    for s, _t in E:
+        deg[s] += 1
+    r = np.ones(len(nodes))
+    for _ in range(3):
+        nxt = np.zeros(len(nodes))
+        for s, t in E:
+            nxt[t] += r[s] / deg[s]
+        r = round_away((1.0 - 0.85) + 0.85 * nxt, 6)
+    expect = {p: r[ix[p]] for p in nodes}
+    got = dict(zip(out.path, out.rank_norm))
+    assert got == {p: pytest.approx(expect[p], abs=1e-9) for p in got}
+    assert dict(zip(out.path, out.degree)) == {
+        p: int(deg[ix[p]]) for p in out.path}
+    # ranking is (rank DESC, path ASC)
+    key = sorted(zip(out.rank_norm, out.path),
+                 key=lambda x: (-x[0], x[1]))
+    assert [p for _, p in key] == list(out.path)
+
+
+def test_entity_pagerank_empty_graph_is_schema_stable():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import entity_pagerank
+
+    # single-entity conversations -> no co-mention edges at all
+    tab = _path_triples_table({"c1": ["a"], "c2": ["b"]})
+    out = entity_pagerank(rd.from_arrow(tab), iters=2, k=5)
+    assert len(out) == 0
+    assert list(out.columns) == ["path", "degree", "rank_norm"]
