@@ -140,6 +140,14 @@ def _kg_entity_pagerank(sf_dir: str):
     return entity_pagerank(triples, iters=3, k=30)
 
 
+def _kg_comention_components(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import comention_components
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return comention_components(triples, k=40)
+
+
 def _kg_validated(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import validated_triples
 
@@ -627,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "inverted_index_terms": corpus.inverted_index_terms,
         "kg_entity_pagerank": _kg_entity_pagerank,
+        "kg_comention_components": _kg_comention_components,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -914,6 +923,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_norm DESC, path
             LIMIT 30
         """
+    # connected components oracle: exact transitive closure via recursive
+    # CTE (reach set per node; component label = min reachable path) — the
+    # first FULL value gate over the union-find label-propagation machinery
+    # (the co-mention edges are SQL-derivable, unlike LSH candidates)
+    kg_comention_components_sql = f"""
+            {mention_norm_cte.replace('WITH rec AS', 'WITH RECURSIVE rec AS')}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            nodes AS (SELECT DISTINCT np AS node FROM cm),
+            reach(a, b) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s
+            ),
+            lbl AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a)
+            SELECT comp AS component_path,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM lbl GROUP BY comp
+            ORDER BY n_nodes DESC, component_path
+            LIMIT 40
+        """
     kg_conversation_entities_sql = f"""
             -- per-conversation distinct entities: SQL reproduces the full
             -- mention extraction per conv_id, so the engine's pid-hash
@@ -1049,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_entity_pagerank": kg_entity_pagerank_sql,
+        "kg_comention_components": kg_comention_components_sql,
         "kg_validated_counts": kg_validated_counts_sql,
         "kg_entity_link_counts": kg_entity_link_counts_sql,
         "kg_jsonld_counts": f"""

@@ -615,3 +615,77 @@ def entity_pagerank(triples: rd.Dataset, iters: int = 3, d: float = 0.85,
     out = out.rename(columns={"deg": "degree", "rank": "rank_norm"})
     out["degree"] = out["degree"].astype("int64")
     return out[["path", "degree", "rank_norm"]].reset_index(drop=True)
+
+
+def comention_components(triples: rd.Dataset, k: int = 40,
+                         num_parts: int = 64) -> pd.DataFrame:
+    """Connected components of the entity co-mention graph, as iterative
+    min-label propagation (the north_rule union-find machinery) — and the
+    first FULL value oracle over it: co-mention edges are SQL-derivable
+    (unlike LSH candidates), so the DuckDB twin computes the exact
+    transitive closure (recursive CTE) and the per-component rollup must
+    match row-for-row.
+
+    The incidence is bipartite (conversation, entity): every conversation
+    is a clique over its mentioned entities, so components over the
+    (band=conv, pid) incidence equal components of the pairwise co-mention
+    graph — without materializing the O(k^2) pairs.
+
+    Returns top-``k`` components as (component_path = lexicographic min
+    normalized path in the component, n_nodes), ordered by
+    (n_nodes DESC, component_path ASC). Singleton components (paths never
+    co-mentioned) are included.
+    """
+    from ..ops.agg import topk_ds
+    from ..ops.joins import bucket_join
+
+    mentions = mentions_from_triples(triples).materialize()
+    paths = distinct_paths(mentions).materialize()
+    if paths.count() == 0:
+        return pd.DataFrame({"component_path": pd.Series(dtype="str"),
+                             "n_nodes": pd.Series(dtype="int64")})
+
+    def inc(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        if pa.types.is_dictionary(conv.type):
+            conv = conv.cast(pa.string())
+        band = (content_hash64_arrow(conv) >> np.uint64(1)).astype(np.int64)
+        d = pa.table({"band": pa.array(band, pa.int64()),
+                      "pid": t.column("pid")})
+        return d.group_by(["band", "pid"]).aggregate([])
+
+    incidence = mentions.map_batches(inc, batch_format="pyarrow")
+    labels0 = paths.map_batches(
+        lambda t: pa.table({"pid": t.column("pid"),
+                            "label": t.column("pid")}),
+        batch_format="pyarrow")
+    labels, _rounds, converged = propagate_labels(incidence, labels0)
+    assert converged, "comention_components: label propagation hit the cap"
+
+    named = bucket_join(labels, paths, on="pid")
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = (t.select(["label", "norm_path"]).group_by(["label"])
+               .aggregate([("norm_path", "min"), ([], "count_all")]))
+        agg = agg.rename_columns(["label", "comp_path", "n_part"])
+        part = pc.bit_wise_and(agg.column("label"),
+                               pa.scalar(num_parts - 1, pa.int64()))
+        return agg.append_column("__part", part.cast(pa.int32()))
+
+    pre = named.map_batches(local, batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        agg = (g.drop_columns(["__part"]).group_by(["label"])
+               .aggregate([("comp_path", "min"), ("n_part", "sum")]))
+        return pa.table({"component_path": agg.column("comp_path_min"),
+                         "n_nodes": agg.column("n_part_sum").cast(pa.int64())})
+
+    comps = pre.groupby("__part").map_groups(finish, batch_format="pyarrow")
+    out = topk_ds(comps, by=["n_nodes", "component_path"],
+                  ascending=[False, True], k=k,
+                  columns=["component_path", "n_nodes"])
+    if out.empty:
+        return pd.DataFrame({"component_path": pd.Series(dtype="str"),
+                             "n_nodes": pd.Series(dtype="int64")})
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out[["component_path", "n_nodes"]].reset_index(drop=True)

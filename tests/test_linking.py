@@ -279,3 +279,16 @@ def test_entity_pagerank_empty_graph_is_schema_stable():
     out = entity_pagerank(rd.from_arrow(tab), iters=2, k=5)
     assert len(out) == 0
     assert list(out.columns) == ["path", "degree", "rank_norm"]
+
+
+def test_comention_components_hand_graph():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import comention_components
+
+    # comp1 = {a,b,c} via chained convs; comp2 = {d,e}; singleton f
+    tab = _path_triples_table({"c1": ["a", "b"], "c2": ["b", "c"],
+                               "c3": ["d", "e"], "c4": ["f"]})
+    out = comention_components(rd.from_arrow(tab), k=10)
+    got = list(zip(out.component_path, out.n_nodes))
+    assert got == [("a", 3), ("d", 2), ("f", 1)]
