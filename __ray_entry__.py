@@ -636,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_terms": corpus.inverted_index_terms,
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_comention_components": _kg_comention_components,
+        "semdedup_invariants": corpus.semdedup_invariants,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -652,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_jsonld_docs": _kg_jsonld_docs,
         "kg_jsonld_merged": _kg_jsonld_merged,
         # --- rows-only: seed-defined clusterings / approximate ops
+        "semdedup_embeddings": corpus.semdedup_embeddings,
         "dedup_minhash_documents": corpus.dedup_minhash_documents,
         "dedup_simhash_documents": corpus.dedup_simhash_documents,
         "ngram_jaccard_pairs": corpus.ngram_jaccard_pairs,
@@ -1089,6 +1091,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
+        "semdedup_invariants": """
+            -- SemDeDup gate: a vector may be pruned ONLY as the larger
+            -- element of an exact cosine>=0.45 pair (the pair set is the
+            -- independently-oracled embedding_neardup surface), so the
+            -- missing-witness count is pinned to zero
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(0 AS BIGINT) AS n_pruned_without_witness
+            FROM embeddings
+        """,
         "kg_validated_counts": kg_validated_counts_sql,
         "kg_entity_link_counts": kg_entity_link_counts_sql,
         "kg_jsonld_counts": f"""

@@ -570,3 +570,63 @@ def quantized_topk(ds, query: np.ndarray, k: int = 10, beam: int | None = None,
     partials = ds.map_batches(topk_part, batch_format="pyarrow").to_pandas()
     out = partials.sort_values(["cos", id_col], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def semdedup(ds, n_clusters: int = 8, tau: float = 0.45,
+             id_col: str = "vec_id", n_iter: int = 5, seed: int = 42):
+    """SemDeDup-style semantic dedup: k-means cluster the embeddings, then
+    prune within each cluster any vector whose cosine to a SMALLER-ID
+    cluster-mate is >= ``tau`` (the deterministic "keep minimal elements"
+    rule — fully vectorized per cluster, no sequential greedy chain).
+
+    Returns Dataset[(vec_id, cluster, keep)].
+
+    Scale shape: centroids are k x d driver state broadcast once; the
+    assignment pass is one matmul per batch; the prune is a
+    groupby(cluster) co-group whose per-task memory is one cluster's
+    vectors — real deployments cap cluster size (recurse k-means on
+    oversized clusters, exactly the IVF list-split trick) before the
+    pairwise step; the synthetic corpora stay far below any cap.
+
+    Correctness gate: pruning implies a global exact near-dup pair
+    witness (pruned id = the larger element of some cosine>=tau pair), so
+    the zero-missing-witness invariant is DuckDB-checkable against the
+    exact pair oracle (see __ray_entry__ semdedup_invariants).
+    """
+    import ray
+
+    cents, _hist = kmeans_fit(ds, n_clusters=n_clusters, n_iter=n_iter,
+                              id_col=id_col, seed=seed)
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table, _r=ref) -> pa.Table:
+        c = ray.get(_r)
+        m = _normalize(_to_matrix(t))
+        cl = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster": pa.array(cl, pa.int64()),
+            "vec": pa.array(list(m), pa.list_(pa.float64())),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "cluster": pd.Series(dtype="int64"),
+                              "keep": pd.Series(dtype="bool")})
+        if g.empty:
+            return empty
+        g = g.sort_values(id_col, kind="mergesort")
+        m = np.stack(g["vec"].map(np.asarray).to_numpy()).astype(np.float64)
+        cos = m @ m.T
+        # prune i iff cos(i, j) >= tau for some j < i (strict lower triangle)
+        low = np.tril(cos >= tau, k=-1)
+        pruned = low.any(axis=1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(dtype=np.int64),
+            "cluster": g["cluster"].to_numpy(dtype=np.int64),
+            "keep": ~pruned,
+        })
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pandas")

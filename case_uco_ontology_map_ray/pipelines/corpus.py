@@ -1059,3 +1059,43 @@ def inverted_index_terms(sf_dir: str, k: int = 25) -> pd.DataFrame:
                              "postings": pd.Series(dtype="str")})
     out = out.astype({"df": "int64", "tf_total": "int64"})
     return out[["term", "df", "tf_total", "postings"]].reset_index(drop=True)
+
+
+def semdedup_embeddings(sf_dir: str, n_clusters: int = 8,
+                        tau: float = 0.45) -> pd.DataFrame:
+    """SemDeDup assignment/keep table (rows-only: cluster ids are
+    seed-defined; the external gate is ``semdedup_invariants``)."""
+    out = sim.semdedup(_emb(sf_dir), n_clusters=n_clusters, tau=tau).to_pandas()
+    out = out.astype({"vec_id": "int64", "cluster": "int64", "keep": "bool"})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def semdedup_invariants(sf_dir: str, n_clusters: int = 8,
+                        tau: float = 0.45) -> pd.DataFrame:
+    """DuckDB-oracled SemDeDup invariants: (n_vecs, n_pruned_without_witness)
+    with the witness count pinned to 0 in SQL — a vector may only be pruned
+    if it is the larger element of some EXACT cosine>=tau pair (the pair set
+    itself is the SQL-oracled ``embedding_neardup`` surface), so a buggy
+    clustering or prune rule that drops a vector with no global near-dup
+    breaks the gate."""
+    from ..ops.joins import bucket_semi_join
+
+    marks = sim.semdedup(_emb(sf_dir), n_clusters=n_clusters, tau=tau)
+    marks = marks.materialize()
+    n_vecs = marks.count()
+    pruned = marks.filter(expr="keep == False").select_columns(["vec_id"])
+    pairs = sim.embedding_neardup_pairs(_emb(sf_dir), tau=tau)
+    import ray.data as _rd
+
+    if pairs.empty:
+        n_unwitnessed = pruned.count()
+    else:
+        witnesses = _rd.from_pandas(pairs[["id_b"]].drop_duplicates())
+        orphan = bucket_semi_join(pruned, witnesses, on="vec_id",
+                                  right_on="id_b", negate=True)
+        n_unwitnessed = orphan.count()
+    return pd.DataFrame({
+        "n_vecs": pd.Series([int(n_vecs)], dtype="int64"),
+        "n_pruned_without_witness": pd.Series([int(n_unwitnessed)],
+                                              dtype="int64"),
+    })

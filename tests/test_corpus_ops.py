@@ -917,3 +917,46 @@ def test_build_inverted_index_empty_and_whitespace_only_docs():
                     "text": ["", "   "]})
     out = build_inverted_index(rd.from_arrow(tab)).to_pandas()
     assert len(out) == 0
+
+
+def test_semdedup_prunes_planted_neardups_keeps_min_id():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    # ids 10/11/12 are near-identical; the rest are random
+    base[1] = base[0] + 1e-3 * rng.normal(size=8)
+    base[2] = base[0] + 1e-3 * rng.normal(size=8)
+    tab = pa.table({
+        "vec_id": pa.array([10, 11, 12, 20, 21, 22], pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float32())),
+    })
+    out = (semdedup(rd.from_arrow(tab), n_clusters=2, tau=0.95)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    keep = dict(zip(out.vec_id, out.keep))
+    assert keep[10] and not keep[11] and not keep[12]
+    # near-identical vectors always share a cluster
+    cl = dict(zip(out.vec_id, out.cluster))
+    assert cl[10] == cl[11] == cl[12]
+
+
+def test_semdedup_no_neardups_keeps_everything():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import semdedup
+
+    eye = np.eye(5)
+    tab = pa.table({
+        "vec_id": pa.array(list(range(5)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in eye],
+                              pa.list_(pa.float32())),
+    })
+    out = semdedup(rd.from_arrow(tab), n_clusters=3, tau=0.9).to_pandas()
+    assert out.keep.all() and len(out) == 5
