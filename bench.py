@@ -194,6 +194,33 @@ def run_bench() -> dict:
     extras["n_entity_links"] = link.count()
     queries["kg_canonicalize"] = round(time.perf_counter() - t0, 3)
 
+    # --- graph analytics over the slice (iterative groupby rounds) ---
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        comention_components,
+        entity_pagerank,
+    )
+
+    t0 = time.perf_counter()
+    pr = entity_pagerank(triples_from_transcripts(slice_dir), iters=3, k=30)
+    extras["pagerank_top_degree"] = int(pr.degree.max()) if len(pr) else 0
+    queries["kg_entity_pagerank"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    comps = comention_components(triples_from_transcripts(slice_dir), k=10)
+    extras["comention_giant_component"] = (
+        int(comps.n_nodes.max()) if len(comps) else 0)
+    queries["kg_comention_components"] = round(time.perf_counter() - t0, 3)
+
+    # --- corpus boilerplate cleanup over the slice transcripts ---
+    from case_uco_ontology_map_ray.pipelines.transcript_prep import (
+        boilerplate_removal_counts,
+    )
+
+    t0 = time.perf_counter()
+    bp = boilerplate_removal_counts(slice_dir, min_convs=10)
+    extras["boilerplate_turns_removed"] = int(bp.iloc[0].n_turns_removed)
+    queries["transcript_boilerplate_removal"] = round(time.perf_counter() - t0, 3)
+
     # --- PII redaction over the slice transcripts (map-only RE2 stage) ---
     import pyarrow as pa
     import pyarrow.compute as _pc
@@ -244,6 +271,8 @@ def run_bench() -> dict:
         ("unigram_lm_scores", corpus.unigram_lm_scores),
         ("doc_split_assign", corpus.doc_split_assign),
         ("doc_language_rebalance", corpus.doc_language_rebalance),
+        ("inverted_index_terms", corpus.inverted_index_terms),
+        ("semdedup_embeddings", corpus.semdedup_embeddings),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

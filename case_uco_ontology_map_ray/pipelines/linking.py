@@ -477,6 +477,70 @@ def conversation_entity_stats(triples: rd.Dataset, salt_k: int = 8) -> pd.DataFr
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+# Driver-side bound for the adaptive graph-analytics paths: a collected
+# (band, pid) incidence is 16 B/row -> 20M rows ~ 320 MB, the same bound the
+# dedup components small path documents. Past it, the distributed forms
+# (bucket_join rounds / propagate_labels) take over with identical results
+# (pinned by the small==distributed equivalence tests).
+SMALL_GRAPH_INCIDENCE = 20_000_000
+
+
+def _conv_pid_incidence(mentions: rd.Dataset) -> rd.Dataset:
+    """Distinct (band = conv-id content hash, pid) incidence rows (per-batch
+    combiner; cross-batch duplicates are fine for both consumers: numpy
+    re-uniques, the distributed forms group again)."""
+
+    def inc(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        if pa.types.is_dictionary(conv.type):
+            conv = conv.cast(pa.string())
+        band = (content_hash64_arrow(conv) >> np.uint64(1)).astype(np.int64)
+        d = pa.table({"band": pa.array(band, pa.int64()),
+                      "pid": t.column("pid")})
+        return d.group_by(["band", "pid"]).aggregate([])
+
+    return mentions.map_batches(inc, batch_format="pyarrow")
+
+
+def _collect_incidence(incidence: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """(band, pid) arrays, globally distinct."""
+    df = incidence.to_pandas()
+    band = df["band"].to_numpy(dtype=np.int64)
+    pid = df["pid"].to_numpy(dtype=np.int64)
+    key = np.stack([band, pid], axis=1)
+    key = np.unique(key, axis=0)
+    return key[:, 0], key[:, 1]
+
+
+def _edges_from_incidence(band: np.ndarray, pid: np.ndarray,
+                          max_conv_entities: int = 4096):
+    """Distinct directed co-mention edges (both directions) from collected
+    incidence, plus (nodes, deg) on the compacted id space. Returns
+    (nodes, deg, s_idx, t_idx) with s_idx/t_idx indexing ``nodes``."""
+    order = np.lexsort((pid, band))
+    band, pid = band[order], pid[order]
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(band)) + 1, [len(band)]))
+    srcs, dsts = [], []
+    for i in range(len(bounds) - 1):
+        ids = pid[bounds[i]:bounds[i + 1]][:max_conv_entities]
+        kk = len(ids)
+        if kk < 2:
+            continue
+        iu, ju = np.triu_indices(kk, 1)
+        srcs.append(ids[iu]); dsts.append(ids[ju])
+    if not srcs:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64))
+    a = np.concatenate(srcs); b = np.concatenate(dsts)
+    e = np.unique(np.stack([np.concatenate([a, b]),
+                            np.concatenate([b, a])], axis=1), axis=0)
+    nodes = np.unique(e[:, 0])
+    s_idx = np.searchsorted(nodes, e[:, 0])
+    t_idx = np.searchsorted(nodes, e[:, 1])
+    deg = np.bincount(s_idx, minlength=len(nodes)).astype(np.int64)
+    return nodes, deg, s_idx, t_idx
+
+
 def comention_graph(triples: rd.Dataset, num_parts: int = 64,
                     max_conv_entities: int = 4096):
     """Symmetric co-mention edge list over canonical path entities:
@@ -534,7 +598,9 @@ def comention_graph(triples: rd.Dataset, num_parts: int = 64,
 
 
 def entity_pagerank(triples: rd.Dataset, iters: int = 3, d: float = 0.85,
-                    k: int = 30) -> pd.DataFrame:
+                    k: int = 30,
+                    small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                    ) -> pd.DataFrame:
     """PageRank over the entity co-mention graph — iterative
     groupby-aggregate dataflow (the power iteration as Ray Data rounds):
     each round joins the rank vector onto the edge list (bucketed on the
@@ -550,12 +616,41 @@ def entity_pagerank(triples: rd.Dataset, iters: int = 3, d: float = 0.85,
     same ``iters`` rounds as chained CTEs over the independently
     re-extracted mention stream (__ray_entry__.oracle_sql).
 
-    Scale shape: ranks and edges stay Datasets throughout; per-round state
-    is one row per node, re-materialized each round exactly like
-    ``propagate_labels``; only the final top-k reaches the driver.
+    Scale shape (adaptive, same gate story as the dedup components): below
+    ``small_incidence_rows`` distinct (conv, entity) incidence rows the
+    graph is solved on the driver (numpy bincount power iteration —
+    identical fixpoint: the 6dp per-round quantization makes the float-sum
+    order immaterial, pinned by the small==distributed equivalence test);
+    above it, ranks and edges stay Datasets throughout, per-round state is
+    one row per node re-materialized each round exactly like
+    ``propagate_labels``, and only the final top-k reaches the driver.
     """
     from ..ops.agg import round_away, topk_ds
     from ..ops.joins import bucket_join
+
+    mentions0 = mentions_from_triples(triples).materialize()
+    incidence = _conv_pid_incidence(mentions0).materialize()
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        nodes, degv, s_idx, t_idx = _edges_from_incidence(band, pid)
+        if len(nodes) == 0:
+            return pd.DataFrame({"path": pd.Series(dtype="str"),
+                                 "degree": pd.Series(dtype="int64"),
+                                 "rank_norm": pd.Series(dtype="float64")})
+        r = np.ones(len(nodes))
+        w = 1.0 / degv
+        for _ in range(iters):
+            contrib = np.bincount(t_idx, weights=r[s_idx] * w[s_idx],
+                                  minlength=len(nodes))
+            r = round_away((1.0 - d) + d * contrib, 6)
+        pmap = distinct_paths(mentions0).to_pandas()
+        pmap = dict(zip(pmap.pid, pmap.norm_path))
+        out = pd.DataFrame({"path": [pmap[n] for n in nodes],
+                            "degree": degv, "rank_norm": r})
+        out = (out.sort_values(["rank_norm", "path"], ascending=[False, True])
+               .head(k).reset_index(drop=True))
+        out["degree"] = out["degree"].astype("int64")
+        return out[["path", "degree", "rank_norm"]]
 
     edges, deg = comention_graph(triples)
     deg = deg.materialize()
@@ -618,7 +713,9 @@ def entity_pagerank(triples: rd.Dataset, iters: int = 3, d: float = 0.85,
 
 
 def comention_components(triples: rd.Dataset, k: int = 40,
-                         num_parts: int = 64) -> pd.DataFrame:
+                         num_parts: int = 64,
+                         small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                         ) -> pd.DataFrame:
     """Connected components of the entity co-mention graph, as iterative
     min-label propagation (the north_rule union-find machinery) — and the
     first FULL value oracle over it: co-mention edges are SQL-derivable
@@ -645,16 +742,28 @@ def comention_components(triples: rd.Dataset, k: int = 40,
         return pd.DataFrame({"component_path": pd.Series(dtype="str"),
                              "n_nodes": pd.Series(dtype="int64")})
 
-    def inc(t: pa.Table) -> pa.Table:
-        conv = t.column("conv_id")
-        if pa.types.is_dictionary(conv.type):
-            conv = conv.cast(pa.string())
-        band = (content_hash64_arrow(conv) >> np.uint64(1)).astype(np.int64)
-        d = pa.table({"band": pa.array(band, pa.int64()),
-                      "pid": t.column("pid")})
-        return d.group_by(["band", "pid"]).aggregate([])
+    incidence = _conv_pid_incidence(mentions).materialize()
+    if incidence.count() <= small_incidence_rows:
+        # driver small path: numpy min-label propagation over the collected
+        # incidence (same fixpoint as propagate_labels — min is
+        # order-independent; the small==distributed test pins equality).
+        # Isolated nodes (mentioned, never co-mentioned) are their own
+        # singleton components and _labels_vectorized covers them: every
+        # mention row IS an incidence row, so every pid appears.
+        band, pid = _collect_incidence(incidence)
+        uniq, lab = _labels_vectorized(band, pid, max_rounds=64)
+        pmap = paths.to_pandas()
+        pmap = dict(zip(pmap.pid, pmap.norm_path))
+        df = pd.DataFrame({"label": lab,
+                           "path": [pmap[p] for p in uniq]})
+        comp = (df.groupby("label", sort=False)
+                .agg(component_path=("path", "min"), n_nodes=("path", "size"))
+                .reset_index(drop=True))
+        comp["n_nodes"] = comp["n_nodes"].astype("int64")
+        return (comp.sort_values(["n_nodes", "component_path"],
+                                 ascending=[False, True])
+                .head(k).reset_index(drop=True))
 
-    incidence = mentions.map_batches(inc, batch_format="pyarrow")
     labels0 = paths.map_batches(
         lambda t: pa.table({"pid": t.column("pid"),
                             "label": t.column("pid")}),

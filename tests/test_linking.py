@@ -292,3 +292,33 @@ def test_comention_components_hand_graph():
     out = comention_components(rd.from_arrow(tab), k=10)
     got = list(zip(out.component_path, out.n_nodes))
     assert got == [("a", 3), ("d", 2), ("f", 1)]
+
+
+def test_pagerank_small_matches_distributed():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import entity_pagerank
+
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["a", "d"],
+                               "c3": ["b", "e"], "c4": ["a", "b"],
+                               "c5": ["d", "e", "f"]})
+    small = entity_pagerank(rd.from_arrow(tab), iters=3, k=10)
+    dist = entity_pagerank(rd.from_arrow(tab), iters=3, k=10,
+                           small_incidence_rows=0)
+    pd.testing.assert_frame_equal(small, dist)
+
+
+def test_components_small_matches_distributed():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import comention_components
+
+    tab = _path_triples_table({"c1": ["a", "b"], "c2": ["b", "c"],
+                               "c3": ["d", "e"], "c4": ["f"],
+                               "c5": ["e", "g"], "c6": ["h", "a"]})
+    small = comention_components(rd.from_arrow(tab), k=10)
+    dist = comention_components(rd.from_arrow(tab), k=10,
+                                small_incidence_rows=0)
+    pd.testing.assert_frame_equal(small, dist)
