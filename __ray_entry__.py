@@ -148,6 +148,14 @@ def _kg_comention_components(sf_dir: str):
     return comention_components(triples, k=40)
 
 
+def _kg_entity_timeline(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import entity_timeline
+
+    src = _transcripts_for(sf_dir)
+    return entity_timeline(triples_from_transcripts(src), src)
+
+
 def _kg_validated(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import validated_triples
 
@@ -553,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conversation_entities": _kg_conversation_entities,
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_comention_components": _kg_comention_components,
+        "kg_entity_timeline": _kg_entity_timeline,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -592,13 +601,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": corpus.doc_quality_filter,
         "doc_lang_id": corpus.doc_lang_id,
         "doc_repetition": corpus.doc_repetition,
-        "doc_chunks": corpus.doc_chunks,
         "doc_packing": corpus.doc_packing,
         "doc_stratified_sample": corpus.doc_stratified_sample,
         "similarity_topk": corpus.similarity_topk,
         "inverted_index_terms": corpus.inverted_index_terms,
         "semdedup_invariants": corpus.semdedup_invariants,
         # ---------- driver snapshot cap (50) — oracled overflow ----------
+        "doc_chunks": corpus.doc_chunks,
         "order_priority_counts": analytics.order_priority_counts,
         "distinct_users": analytics.distinct_users,
         "user_event_pivot": analytics.user_event_pivot,
@@ -956,6 +965,38 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_nodes DESC, component_path
             LIMIT 40
         """
+    # per-hour mention/entity rollup: the mention extraction again, but at
+    # TURN granularity with the turn's ts carried through (the engine joins
+    # mentions back to the turn table on a hashed (conv_id, turn_idx) key)
+    kg_entity_timeline_sql = f"""
+            WITH rec AS (
+                SELECT conv_id, ts,
+                       json_extract_string(text, '$.artifact_type') AS t, text
+                FROM read_parquet('{transcripts_glob}')
+                WHERE role = 'tool' AND text <> ''
+            ), raw AS (
+                SELECT ts, json_extract_string(text, '$.record.SourceFilename') AS p
+                FROM rec WHERE t = 'Windows Prefetch execution cache records'
+                UNION ALL
+                SELECT ts, json_extract_string(text, '$.record.ReferencedPaths[0]')
+                FROM rec WHERE t = 'Windows Prefetch execution cache records'
+                UNION ALL
+                SELECT ts, json_extract_string(text, '$.record.ReferencedPaths[1]')
+                FROM rec WHERE t = 'Windows Prefetch execution cache records'
+                UNION ALL
+                SELECT ts, json_extract_string(text, '$.record.FullPath')
+                FROM rec WHERE t = 'MFT Records'
+            ), norm AS (
+                SELECT ts, trim(regexp_replace(regexp_replace(
+                         lower(replace(p, '\\', '/')), '^/+', ''),
+                         '^(.:|c/)', ''), '/') AS np
+                FROM raw WHERE p IS NOT NULL
+            )
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   count(DISTINCT np) AS n_entities
+            FROM norm GROUP BY 1 ORDER BY 1
+        """
     kg_conversation_entities_sql = f"""
             -- per-conversation distinct entities: SQL reproduces the full
             -- mention extraction per conv_id, so the engine's pid-hash
@@ -1092,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
+        "kg_entity_timeline": kg_entity_timeline_sql,
         "semdedup_invariants": """
             -- SemDeDup gate: a vector may be pruned ONLY as the larger
             -- element of an exact cosine>=0.45 pair (the pair set is the

@@ -798,3 +798,84 @@ def comention_components(triples: rd.Dataset, k: int = 40,
                              "n_nodes": pd.Series(dtype="int64")})
     out["n_nodes"] = out["n_nodes"].astype("int64")
     return out[["component_path", "n_nodes"]].reset_index(drop=True)
+
+
+def entity_timeline(triples: rd.Dataset, transcripts_source: "str | rd.Dataset",
+                    ) -> pd.DataFrame:
+    """Per-hour entity-mention activity: (hour, n_mentions, n_entities) —
+    the KG x time-window analytics shape. The triple stream carries no
+    timestamps (pruned at the read), so the mention rows are joined BACK to
+    the turn table on the composite (conv_id, turn_idx) key — hashed to one
+    int64 join key, a bucketed co-group like every other join here — and
+    then rolled up per tumbling hour window (distinct entities counted via
+    per-(hour, pid) co-location).
+
+    Oracle: SQL re-extracts mentions WITH the turn ts and reproduces the
+    rollup (__ray_entry__)."""
+
+    def key_of(conv: pa.Array, turn: pa.Array) -> pa.Array:
+        ch = content_hash64_arrow(conv)
+        t64 = turn.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        # spread turn_idx over all 64 bits BEFORE combining: a plain xor of
+        # the small index touches only low bits and the final >>1 would
+        # collide consecutive turns
+        k = (ch ^ (t64 * np.uint64(0x9E3779B97F4A7C15))) \
+            * np.uint64(0xBF58476D1CE4E5B9) >> np.uint64(1)
+        return pa.array(k.astype(np.int64), pa.int64())
+
+    mentions = mentions_from_triples(triples)
+
+    def mkey(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        if pa.types.is_dictionary(conv.type):
+            conv = conv.cast(pa.string())
+        return pa.table({
+            "__k": key_of(conv, t.column("turn_idx")),
+            "pid": t.column("pid"),
+        })
+
+    left = mentions.map_batches(mkey, batch_format="pyarrow")
+
+    if isinstance(transcripts_source, str):
+        turns = rd.read_parquet(transcripts_source,
+                                columns=["conv_id", "turn_idx", "ts"])
+    else:
+        turns = transcripts_source.select_columns(["conv_id", "turn_idx", "ts"])
+
+    def tkey(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        if pa.types.is_dictionary(conv.type):
+            conv = conv.cast(pa.string())
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({"__k": key_of(conv, t.column("turn_idx")),
+                         "hour": hour})
+
+    right = turns.map_batches(tkey, batch_format="pyarrow")
+
+    joined = bucket_join(left, right, on="__k")
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = (t.select(["hour", "pid"]).group_by(["hour", "pid"])
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns(["hour", "pid", "n_part"])
+
+    pre = joined.map_batches(local, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"hour": pd.Series(dtype="datetime64[us]"),
+                                 "n_mentions": pd.Series(dtype="int64"),
+                                 "n_entities": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "hour": [g["hour"].iloc[0]],
+            "n_mentions": [int(g["n_part"].sum())],
+            "n_entities": [int(g["pid"].nunique())],
+        })
+
+    out = pre.groupby("hour").map_groups(finish, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"hour": pd.Series(dtype="datetime64[us]"),
+                             "n_mentions": pd.Series(dtype="int64"),
+                             "n_entities": pd.Series(dtype="int64")})
+    out = out.astype({"n_mentions": "int64", "n_entities": "int64"})
+    return out.sort_values("hour").reset_index(drop=True)

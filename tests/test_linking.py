@@ -322,3 +322,26 @@ def test_components_small_matches_distributed():
     dist = comention_components(rd.from_arrow(tab), k=10,
                                 small_incidence_rows=0)
     pd.testing.assert_frame_equal(small, dist)
+
+
+def test_entity_timeline_hour_rollup():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import entity_timeline
+
+    # two turns in hour H (3 mentions, 2 distinct paths), one in hour H+1
+    triples = _path_triples_table({"c1": ["a", "b", "a"], "c2": ["c"]})
+    base = np.datetime64("2024-01-01T10:15:00", "us")
+    turns = pa.table({
+        "conv_id": ["c1", "c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+        "ts": pa.array([base, base, base + np.timedelta64(30 * 60, "s"),
+                        base + np.timedelta64(3600, "s")],
+                       pa.timestamp("us")),
+    })
+    out = entity_timeline(rd.from_arrow(triples), rd.from_arrow(turns))
+    assert len(out) == 2
+    assert list(out.n_mentions) == [3, 1]
+    assert list(out.n_entities) == [2, 1]
