@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_invariants": corpus.semdedup_invariants,
         # ---------- driver snapshot cap (50) — oracled overflow ----------
         "doc_chunks": corpus.doc_chunks,
+        "doc_normalize": corpus.doc_normalize,
         "order_priority_counts": analytics.order_priority_counts,
         "distinct_users": analytics.distinct_users,
         "user_event_pivot": analytics.user_event_pivot,
@@ -645,6 +646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh_invariants": corpus.embedding_neardup_lsh_invariants,
         "kmeans_invariants": corpus.kmeans_invariants,
         "approx_distinct_invariants": _approx_distinct_invariants,
+        "approx_users_by_type_invariants":
+            analytics.approx_users_by_type_invariants,
         "media_frame_counts": _media_frame_counts,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
         # --- rows-only: bloom counts include false positives by design;
@@ -1134,6 +1137,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
         "kg_entity_timeline": kg_entity_timeline_sql,
+        "approx_users_by_type_invariants": """
+            -- sketch-inside-groupby gate: per-event-type HLL distinct-user
+            -- estimates must land within 10% of exact (p=12 sigma ~1.6%);
+            -- SQL pins zero violations and the group count
+            SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+                   CAST(0 AS BIGINT) AS n_violations
+            FROM events
+        """,
+        "doc_normalize": """
+            -- byte-exact canonical text normal form: lowercase, collapse
+            -- non-alphanumeric runs to one space, trim
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                       AS norm_text
+            FROM documents
+            ORDER BY doc_id
+        """,
         "semdedup_invariants": """
             -- SemDeDup gate: a vector may be pruned ONLY as the larger
             -- element of an exact cosine>=0.45 pair (the pair set is the

@@ -328,3 +328,42 @@ def frequent_tokens_by_group(ds, group_col: str, col: str = "text",
 
     return parts.groupby(group_col).map_groups(merge_group,
                                                batch_format="pandas")
+
+
+def approx_distinct_by_group(ds, group_col: str, column: str, p: int = 12):
+    """Sketch-inside-groupby HLL: one serialized HLL per (batch, group) ->
+    groupby(group) merge -> per-group estimate. The shuffle carries
+    O(batches x groups) fixed-size sketch rows regardless of value
+    cardinality (the same composition as ``frequent_tokens_by_group``).
+
+    Returns pandas (group_col, approx_distinct float)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vals = t.column(column).to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = t.column(group_col)
+        enc = groups.combine_chunks().dictionary_encode() \
+            if isinstance(groups, pa.ChunkedArray) else groups.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        keys, blobs = [], []
+        for ci in np.unique(codes):
+            h = HyperLogLog(p)
+            h.add_hashes(_hash_ints(vals[codes == ci]))
+            keys.append(enc.dictionary[int(ci)].as_py())
+            blobs.append(h.to_bytes())
+        return pa.table({group_col: keys,
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow")
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = HyperLogLog(p)
+        for raw in g["sketch"]:
+            merged = merged.merge(HyperLogLog.from_bytes(raw, p))
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "approx_distinct": [merged.estimate()]})
+
+    out = parts.groupby(group_col).map_groups(
+        merge_group, batch_format="pandas").to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)

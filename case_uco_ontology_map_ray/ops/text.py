@@ -644,3 +644,18 @@ def build_inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return pre.groupby("__part").map_groups(finish, batch_format="pyarrow")
+
+
+def normalize_texts(ds, id_col: str = "doc_id", col: str = "text"):
+    """Canonical text normal form (the standard pre-dedup/pre-tokenize
+    cleanup): lowercase, collapse every non-alphanumeric run to one space,
+    trim. Map-only, three RE2/utf8 kernels per batch; byte-exact SQL twin
+    (DuckDB regexp_replace with the same class)."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t.column(col))
+        s = pc.replace_substring_regex(s, pattern="[^a-z0-9]+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({id_col: t.column(id_col), "norm_text": s})
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

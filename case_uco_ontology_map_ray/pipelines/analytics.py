@@ -1034,3 +1034,39 @@ def region_nation_cube(sf_dir: str) -> pd.DataFrame:
     out["n_orders"] = out["n_orders"].astype("int64")
     out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
     return out[["r_name", "n_name", "total", "n_orders"]]
+
+
+def approx_users_by_type_invariants(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type HLL distinct-user estimates, gated by their error
+    bound: (n_groups, n_violations) with violations = groups whose HLL
+    estimate misses the EXACT distinct count by more than 10% (p=12 HLL
+    sigma is ~1.6%, so 10% is a hard fail, not noise). SQL pins
+    n_violations = 0 and reproduces n_groups."""
+    from ..ops.agg import grouped_sums
+    from ..ops.sketches import approx_distinct_by_group
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+    approx = approx_distinct_by_group(ds, "event_type", "user_id", p=12)
+
+    # exact distinct users per type: per-batch distinct pairs -> groupby
+    def local(t: pa.Table) -> pa.Table:
+        d = t.group_by(["event_type", "user_id"]).aggregate([])
+        return d.group_by(["event_type"]).aggregate([([], "count_all")]) \
+                .rename_columns(["event_type", "n_part"])
+
+    # NOTE: distinct pairs can straddle batches; group the pairs first
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pre = ds.map_batches(pairs, batch_format="pyarrow")
+    exact = (pre.groupby(["event_type", "user_id"]).count()
+             .groupby("event_type").count().to_pandas())
+    exact = exact.rename(columns={"count()": "exact"})
+
+    m = approx.merge(exact, on="event_type")
+    rel = (m["approx_distinct"] - m["exact"]).abs() / m["exact"].clip(lower=1)
+    return pd.DataFrame({
+        "n_groups": pd.Series([int(len(m))], dtype="int64"),
+        "n_violations": pd.Series([int((rel > 0.10).sum())], dtype="int64"),
+    })

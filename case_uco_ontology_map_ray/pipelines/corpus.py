@@ -1099,3 +1099,9 @@ def semdedup_invariants(sf_dir: str, n_clusters: int = 8,
         "n_pruned_without_witness": pd.Series([int(n_unwitnessed)],
                                               dtype="int64"),
     })
+
+
+def doc_normalize(sf_dir: str) -> pd.DataFrame:
+    """Byte-exact normalized text per document (oracled)."""
+    out = tx.normalize_texts(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -118,3 +118,24 @@ def test_bloom_filter_no_false_negatives_and_merge():
     # false-positive rate stays near theory at this load (~2.4%)
     probe = rng.integers(0, 2**63, 50000, dtype=np.int64).astype(np.uint64)
     assert merged.contains_hashes(probe).mean() < 0.06
+
+
+def test_approx_distinct_by_group_accuracy_and_merge():
+    import numpy as np
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sketches import approx_distinct_by_group
+
+    rng = np.random.default_rng(3)
+    rows = []
+    truth = {"a": 500, "b": 50, "c": 1}
+    for g, n in truth.items():
+        vals = rng.choice(n * 10, size=n, replace=False)
+        for v in vals:
+            rows.append({"g": g, "v": int(v)})
+            rows.append({"g": g, "v": int(v)})  # duplicates must not inflate
+    ds = rd.from_items(rows).repartition(5)  # sketches must merge across blocks
+    out = approx_distinct_by_group(ds, "g", "v", p=12)
+    got = dict(zip(out.g, out.approx_distinct))
+    for g, n in truth.items():
+        assert abs(got[g] - n) / n <= 0.1, (g, got[g], n)
