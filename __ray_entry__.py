@@ -148,6 +148,54 @@ def _kg_comention_components(sf_dir: str):
     return comention_components(triples, k=40)
 
 
+def _kg_incremental_counts(sf_dir: str):
+    """Delta-vs-prior-corpus KG construction gate: prior = conversations
+    with an EVEN numeric suffix (a SQL-reproducible split), delta = the
+    rest; triples are built only for the delta (anti-join BEFORE the triple
+    stage) and counted per (artifact_type, pred) — SQL reproduces the
+    expected counts as odd-suffix tool records x _KG_ARITY."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.agg import grouped_sums
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        TRIPLE_INPUT_COLUMNS,
+        incremental_triples,
+    )
+
+    src = _transcripts_for(sf_dir)
+
+    def even_only(t: pa.Table) -> pa.Table:
+        sfx = pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99)
+        num = sfx.cast(pa.int64())
+        keep = pc.equal(pc.bit_wise_and(num, pa.scalar(1, pa.int64())),
+                        pa.scalar(0, pa.int64()))
+        d = t.filter(keep).select(["conv_id"])
+        return d.group_by(["conv_id"]).aggregate([])
+
+    prior = rd.read_parquet(src, columns=["conv_id"]).map_batches(
+        even_only, batch_format="pyarrow")
+    triples = incremental_triples(src, prior)
+
+    def local(t: pa.Table) -> pa.Table:
+        for i, f in enumerate(t.schema):
+            if pa.types.is_dictionary(f.type):
+                t = t.set_column(i, pa.field(f.name, f.type.value_type),
+                                 t.column(i).cast(f.type.value_type))
+        agg = (t.select(["artifact_type", "pred"])
+               .group_by(["artifact_type", "pred"])
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns(["artifact_type", "pred", "n_part"])
+
+    pre = triples.map_batches(local, batch_format="pyarrow")
+    out = grouped_sums(pre, keys=["artifact_type", "pred"],
+                       sum_cols={"n": "n_part"})
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["artifact_type", "pred"])
+            .reset_index(drop=True))
+
+
 def _kg_entity_timeline(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import entity_timeline
@@ -562,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_comention_components": _kg_comention_components,
         "kg_entity_timeline": _kg_entity_timeline,
+        "kg_incremental_counts": _kg_incremental_counts,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -1137,6 +1186,26 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
         "kg_entity_timeline": kg_entity_timeline_sql,
+        "kg_incremental_counts": f"""
+            -- delta KG construction gate: triples per (type, pred) for the
+            -- ODD-numeric-suffix conversations only (the SQL-reproducible
+            -- "new since prior run" split) = records x _KG_ARITY
+            WITH rec AS (
+                SELECT json_extract_string(text, '$.artifact_type') AS artifact_type
+                FROM read_parquet('{transcripts_glob}')
+                WHERE role = 'tool' AND text <> ''
+                  AND CAST(substr(conv_id, 6) AS BIGINT) % 2 = 1
+            ), nrec AS (
+                SELECT artifact_type, count(*) AS n_records
+                FROM rec GROUP BY 1
+            ), arity(artifact_type, pred, per_record) AS (VALUES
+                {arity_values}
+            )
+            SELECT a.artifact_type, a.pred,
+                   CAST(n.n_records * a.per_record AS BIGINT) AS n
+            FROM arity a JOIN nrec n ON a.artifact_type = n.artifact_type
+            ORDER BY a.artifact_type, a.pred
+        """,
         "approx_users_by_type_invariants": """
             -- sketch-inside-groupby gate: per-event-type HLL distinct-user
             -- estimates must land within 10% of exact (p=12 sigma ~1.6%);

@@ -431,3 +431,27 @@ def write_triples(triples: rd.Dataset, out_dir: str, min_rows_per_file: int = 20
     """Partitioned parquet sink — a directory of part files, resumable via
     the lineage manifest written next to it (state/lineage.py)."""
     triples.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+
+
+def incremental_triples(source: "str | rd.Dataset", prior_conv_ids: rd.Dataset,
+                        concurrency=None, batch_size: int = 2048) -> rd.Dataset:
+    """Delta KG construction: build triples ONLY for conversations not in
+    ``prior_conv_ids`` (a Dataset with a ``conv_id`` column — typically the
+    conversation set recorded by a previous run's lineage manifests).
+
+    The prior set is excluded by a bucketed ANTI join on conv_id BEFORE the
+    triple stage, so no parse/mapping work is spent on already-processed
+    conversations and the prior set is never collected or broadcast (at
+    10^12 turns the prior corpus is arbitrarily large). uuid5 determinism
+    makes the union of prior + delta outputs identical to a full rebuild
+    (the same reuse-equals-recompute argument as state/lineage resume).
+    """
+    from ..ops.joins import bucket_semi_join
+
+    if isinstance(source, str):
+        ds = rd.read_parquet(source, columns=TRIPLE_INPUT_COLUMNS)
+    else:
+        ds = source
+    fresh = bucket_semi_join(ds, prior_conv_ids, on="conv_id", negate=True)
+    return triples_from_transcripts(fresh, concurrency=concurrency,
+                                    batch_size=batch_size)

@@ -118,3 +118,41 @@ def test_pipeline_end_to_end(tmp_path):
     assert set(map(tuple, br[tkey].values.tolist())) == set(
         map(tuple, df[tkey].values.tolist())
     )
+
+
+def test_incremental_triples_union_equals_full_rebuild():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        incremental_triples,
+        triples_from_transcripts,
+    )
+    from case_uco_ontology_map_ray.sources.transcripts import conversations_table
+
+    tab = conversations_table(range(8), 10)
+    ds = rd.from_arrow(tab)
+    full = triples_from_transcripts(ds, concurrency=2).to_pandas()
+
+    convs = sorted(set(tab.column("conv_id").to_pylist()))
+    prior_set = convs[::2]
+    prior = rd.from_arrow(pa.table({"conv_id": pa.array(prior_set, pa.string())}))
+    prior_triples = full[full.conv_id.isin(prior_set)]
+    delta = incremental_triples(ds, prior, concurrency=2).to_pandas()
+
+    # the delta covers exactly the non-prior conversations...
+    assert set(delta.conv_id) == set(convs) - set(prior_set)
+    # ...and prior + delta reproduces the full rebuild bit-for-bit (uuid5
+    # determinism: reuse == recompute)
+    cols = list(full.columns)
+
+    def plain(df):
+        # dictionary-encoded Arrow columns arrive as categoricals with
+        # per-frame category sets; compare as plain strings
+        out = df[cols].astype({c: "str" for c in cols if df[c].dtype.name
+                               == "category"})
+        return out.sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        plain(pd.concat([prior_triples, delta])), plain(full))
