@@ -196,6 +196,34 @@ def _kg_incremental_counts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _kg_conversation_triple_counts(sf_dir: str):
+    """Per-conversation triple counts — the finest-grained external gate on
+    the construction stage (400 rows at sf0.01 vs the per-type totals):
+    SQL reproduces each conversation's expected count as its tool records
+    per type x the type's total arity."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.agg import grouped_sums
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+
+    def local(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        if pa.types.is_dictionary(conv.type):
+            t = t.set_column(t.column_names.index("conv_id"), "conv_id",
+                             conv.cast(pa.string()))
+        agg = (t.select(["conv_id"]).group_by(["conv_id"])
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns(["conv_id", "n_part"])
+
+    pre = triples.map_batches(local, batch_format="pyarrow")
+    out = grouped_sums(pre, keys=["conv_id"], sum_cols={"n_triples": "n_part"})
+    out["n_triples"] = out["n_triples"].astype("int64")
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def _kg_entity_timeline(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import entity_timeline
@@ -611,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_comention_components": _kg_comention_components,
         "kg_entity_timeline": _kg_entity_timeline,
         "kg_incremental_counts": _kg_incremental_counts,
+        "kg_conversation_triple_counts": _kg_conversation_triple_counts,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -1186,6 +1215,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
         "kg_entity_timeline": kg_entity_timeline_sql,
+        "kg_conversation_triple_counts": f"""
+            -- per-conversation expected triple count = the conv's tool
+            -- records per type (SQL JSON parsing) x the type's TOTAL
+            -- per-record arity (sum over _KG_ARITY rows)
+            WITH rec AS (
+                SELECT conv_id,
+                       json_extract_string(text, '$.artifact_type') AS artifact_type
+                FROM read_parquet('{transcripts_glob}')
+                WHERE role = 'tool' AND text <> ''
+            ), arity(artifact_type, pred, per_record) AS (VALUES
+                {arity_values}
+            ), tot AS (
+                SELECT artifact_type, sum(per_record) AS per_rec
+                FROM arity GROUP BY 1
+            )
+            SELECT r.conv_id,
+                   CAST(sum(t.per_rec) AS BIGINT) AS n_triples
+            FROM rec r JOIN tot t USING (artifact_type)
+            GROUP BY r.conv_id
+            ORDER BY r.conv_id
+        """,
         "kg_incremental_counts": f"""
             -- delta KG construction gate: triples per (type, pred) for the
             -- ODD-numeric-suffix conversations only (the SQL-reproducible
