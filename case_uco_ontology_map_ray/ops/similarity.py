@@ -265,6 +265,10 @@ def _sample_centroids(ds, n_centroids: int, id_col: str, seed: int) -> np.ndarra
             "__h", pa.array(h[np.sort(part)], pa.int64()))
 
     sample = ds.map_batches(sample_rows, batch_format="pyarrow").to_pandas()
+    if sample.empty or "__h" not in sample.columns:
+        # empty corpus: no batches at all -> columnless frame (the ADVICE-r4
+        # empty-lineage edge); callers treat zero centroids as "no data"
+        return np.zeros((0, 0))
     sample = sample.nsmallest(target, "__h")  # global bottom-k by hash rank
     sm = _normalize(np.stack(sample["embedding"].map(np.asarray).to_numpy()).astype(np.float64))
     rng = np.random.RandomState(seed)
@@ -426,6 +430,9 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
     import ray
 
     cents = _sample_centroids(ds, n_clusters, id_col, seed)
+    if len(cents) == 0:
+        # empty corpus: nothing to fit (the ADVICE-r4 empty-lineage edge)
+        return cents, []
     k = len(cents)
     history = []
 
@@ -597,10 +604,24 @@ def semdedup(ds, n_clusters: int = 8, tau: float = 0.45,
 
     cents, _hist = kmeans_fit(ds, n_clusters=n_clusters, n_iter=n_iter,
                               id_col=id_col, seed=seed)
+    if len(cents) == 0:
+        # empty corpus: no centroids to assign against — schema-stable empty
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_()),
+        }))
     ref = ray.put(cents)
 
     def assign(t: pa.Table, _r=ref) -> pa.Table:
         c = ray.get(_r)
+        if t.num_rows == 0:
+            # empty blocks: reshape(0, -1) cannot infer the dim (ADVICE r4)
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
         m = _normalize(_to_matrix(t))
         cl = np.argmax(m @ c.T, axis=1).astype(np.int64)
         return pa.table({

@@ -352,7 +352,9 @@ def approx_distinct_by_group(ds, group_col: str, column: str, p: int = 12):
             h.add_hashes(_hash_ints(vals[codes == ci]))
             keys.append(enc.dictionary[int(ci)].as_py())
             blobs.append(h.to_bytes())
-        return pa.table({group_col: keys,
+        # explicit types: a plain [] would infer null and drift the schema
+        # on empty blocks
+        return pa.table({group_col: pa.array(keys, pa.string()),
                          "sketch": pa.array(blobs, pa.binary())})
 
     parts = ds.map_batches(sketch, batch_format="pyarrow")

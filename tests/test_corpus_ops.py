@@ -960,3 +960,17 @@ def test_semdedup_no_neardups_keeps_everything():
     })
     out = semdedup(rd.from_arrow(tab), n_clusters=3, tau=0.9).to_pandas()
     assert out.keep.all() and len(out) == 5
+
+
+def test_semdedup_empty_corpus_is_schema_stable():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import semdedup
+
+    tab = pa.table({"vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32()))})
+    out = semdedup(rd.from_arrow(tab), n_clusters=4, tau=0.9).to_pandas()
+    # no crash, zero rows; Ray may drop the schema of a fully-empty lineage
+    assert len(out) == 0
+    assert set(out.columns) <= {"vec_id", "cluster", "keep"}
