@@ -196,6 +196,14 @@ def _kg_incremental_counts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _kg_comention_triangles(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import comention_triangles
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return comention_triangles(triples)
+
+
 def _kg_conversation_triple_counts(sf_dir: str):
     """Per-conversation triple counts — the finest-grained external gate on
     the construction stage (400 rows at sf0.01 vs the per-type totals):
@@ -640,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_timeline": _kg_entity_timeline,
         "kg_incremental_counts": _kg_incremental_counts,
         "kg_conversation_triple_counts": _kg_conversation_triple_counts,
+        "kg_comention_triangles": _kg_comention_triangles,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -1078,6 +1087,37 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT np) AS n_entities
             FROM norm GROUP BY 1 ORDER BY 1
         """
+    kg_comention_triangles_sql = f"""
+            -- triangle census: ordered 3-way self-join (a.s<a.t<b.t closes
+            -- with edge (a.s,b.t)); wedges = sum C(deg,2); clustering =
+            -- round(3*tri/wedges, 6) — same arithmetic as the engine
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            deg AS (SELECT s AS node, count(*) AS d FROM edges GROUP BY 1),
+            tri AS (
+                SELECT count(*) AS n FROM p0 a
+                JOIN p0 b ON b.s = a.t
+                JOIN p0 c ON c.s = a.s AND c.t = b.t
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p0) AS n_edges,
+                   (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+                       AS n_wedges,
+                   (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles,
+                   round(3.0 * (SELECT n FROM tri)
+                         / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+                       AS global_clustering
+        """
     kg_conversation_entities_sql = f"""
             -- per-conversation distinct entities: SQL reproduces the full
             -- mention extraction per conv_id, so the engine's pid-hash
@@ -1215,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
         "kg_entity_timeline": kg_entity_timeline_sql,
+        "kg_comention_triangles": kg_comention_triangles_sql,
         "kg_conversation_triple_counts": f"""
             -- per-conversation expected triple count = the conv's tool
             -- records per type (SQL JSON parsing) x the type's TOTAL

@@ -879,3 +879,106 @@ def entity_timeline(triples: rd.Dataset, transcripts_source: "str | rd.Dataset",
                              "n_entities": pd.Series(dtype="int64")})
     out = out.astype({"n_mentions": "int64", "n_entities": "int64"})
     return out.sort_values("hour").reset_index(drop=True)
+
+
+def comention_triangles(triples: rd.Dataset,
+                        small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                        ) -> pd.DataFrame:
+    """Triangle count + global clustering coefficient of the co-mention
+    graph — one row (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering): n_edges counts undirected edges, wedges =
+    sum-over-nodes C(deg, 2), clustering = 3*triangles/wedges (6dp,
+    round half away from zero). Fully value-oracled: the SQL twin counts
+    triangles with the ordered 3-way self-join (a.s<a.t<b.t).
+
+    Adaptive: below the incidence gate the ordered-adjacency forward count
+    runs on the driver (per-edge sorted-neighbor intersection); above it,
+    the distributed form builds wedges with one bucket_join (ordered edges
+    joined on mid vertex) and closes them with a bucketed semi-join on the
+    hashed (lo, hi) pair key — the standard two-exchange triangle plan.
+    """
+    from ..ops.agg import round_away
+
+    mentions0 = mentions_from_triples(triples).materialize()
+    incidence = _conv_pid_incidence(mentions0).materialize()
+
+    def result(n_nodes, n_edges, n_wedges, n_tri):
+        cc = 0.0 if n_wedges == 0 else float(
+            round_away(3.0 * n_tri / n_wedges, 6))
+        return pd.DataFrame({
+            "n_nodes": pd.Series([int(n_nodes)], dtype="int64"),
+            "n_edges": pd.Series([int(n_edges)], dtype="int64"),
+            "n_wedges": pd.Series([int(n_wedges)], dtype="int64"),
+            "n_triangles": pd.Series([int(n_tri)], dtype="int64"),
+            "global_clustering": pd.Series([cc], dtype="float64"),
+        })
+
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        nodes, degv, s_idx, t_idx = _edges_from_incidence(band, pid)
+        if len(nodes) == 0:
+            return result(0, 0, 0, 0)
+        n_edges = len(s_idx) // 2  # symmetric directed pairs -> undirected
+        n_wedges = int((degv * (degv - 1) // 2).sum())
+        # forward algorithm on the ordered adjacency: for each edge u<v,
+        # count common neighbors w with w>v (each triangle found once)
+        fwd = s_idx < t_idx
+        fs, ft = s_idx[fwd], t_idx[fwd]
+        order = np.lexsort((ft, fs))
+        fs, ft = fs[order], ft[order]
+        starts = np.searchsorted(fs, np.arange(len(nodes)))
+        ends = np.searchsorted(fs, np.arange(len(nodes)) + 1)
+        n_tri = 0
+        for u, v in zip(fs, ft):
+            nu = ft[starts[u]:ends[u]]
+            nv = ft[starts[v]:ends[v]]
+            n_tri += len(np.intersect1d(nu[nu > v], nv, assume_unique=True))
+        return result(len(nodes), n_edges, n_wedges, n_tri)
+
+    # ---- distributed path ----
+    from ..ops.agg import grouped_sums
+    from ..ops.joins import bucket_semi_join
+
+    edges, deg = comention_graph(triples)
+
+    def ordered_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("s"), t.column("t")))
+
+    oe = edges.map_batches(ordered_only, batch_format="pyarrow").materialize()
+    n_edges = oe.count()
+    degp = deg.map_batches(
+        lambda t: pa.table({"w": pa.array(
+            (lambda d: d * (d - 1) // 2)(
+                t.column("deg").to_numpy(zero_copy_only=False)), pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    sums = grouped_sums(degp.map_batches(
+        lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow"), keys=["g"], sum_cols={"w": "w", "n": "one"})
+    n_wedges = int(sums["w"].iloc[0]) if len(sums) else 0
+    n_nodes = int(sums["n"].iloc[0]) if len(sums) else 0
+
+    def _pairkey(a: pa.ChunkedArray | pa.Array, b) -> pa.Array:
+        x = np.asarray(a.to_numpy(zero_copy_only=False), np.uint64)
+        y = np.asarray(b.to_numpy(zero_copy_only=False), np.uint64)
+        k = ((x * np.uint64(0x9E3779B97F4A7C15)) ^
+             (y * np.uint64(0xBF58476D1CE4E5B9))) >> np.uint64(1)
+        return pa.array(k.astype(np.int64), pa.int64())
+
+    # wedges (a.s < a.t < b.t): ordered edges joined on the mid vertex
+    lhs = oe.map_batches(lambda t: t.rename_columns(["lo", "mid"]),
+                         batch_format="pyarrow")
+    rhs = oe.map_batches(lambda t: t.rename_columns(["mid", "hi"]),
+                         batch_format="pyarrow")
+    wedges = bucket_join(lhs, rhs, on="mid")
+
+    def wkey(t: pa.Table) -> pa.Table:
+        return pa.table({"__pk": _pairkey(t.column("lo"), t.column("hi"))})
+
+    wk = wedges.map_batches(wkey, batch_format="pyarrow")
+    ek = oe.map_batches(
+        lambda t: pa.table({"__pk": _pairkey(t.column("s"), t.column("t"))}),
+        batch_format="pyarrow")
+    closed = bucket_semi_join(wk, ek, on="__pk")
+    n_tri = closed.count()
+    return result(n_nodes, n_edges, n_wedges, n_tri)

@@ -345,3 +345,22 @@ def test_entity_timeline_hour_rollup():
     assert len(out) == 2
     assert list(out.n_mentions) == [3, 1]
     assert list(out.n_entities) == [2, 1]
+
+
+def test_triangles_hand_graph_and_small_matches_distributed():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import comention_triangles
+
+    # triangle a-b-c (conv clique) + pendant edge c-d + isolated e
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["c", "d"],
+                               "c3": ["e"]})
+    small = comention_triangles(rd.from_arrow(tab))
+    row = small.iloc[0]
+    # nodes with edges: a,b,c,d; edges: ab,ac,bc,cd; wedges: deg 2,2,3,1 ->
+    # 1+1+3+0 = 5; one triangle; clustering = 3/5
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 4, 5, 1)
+    assert row.global_clustering == 0.6
+    dist = comention_triangles(rd.from_arrow(tab), small_incidence_rows=0)
+    pd.testing.assert_frame_equal(small, dist)
