@@ -196,6 +196,14 @@ def _kg_incremental_counts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _kg_top_comention_pairs(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import top_comention_pairs
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return top_comention_pairs(triples, k=25)
+
+
 def _kg_comention_triangles(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import comention_triangles
@@ -649,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_counts": _kg_incremental_counts,
         "kg_conversation_triple_counts": _kg_conversation_triple_counts,
         "kg_comention_triangles": _kg_comention_triangles,
+        "kg_top_comention_pairs": _kg_top_comention_pairs,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -1256,6 +1265,19 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_components": kg_comention_components_sql,
         "kg_entity_timeline": kg_entity_timeline_sql,
         "kg_comention_triangles": kg_comention_triangles_sql,
+        "kg_top_comention_pairs": f"""
+            -- weighted co-mention edges: pair support over distinct
+            -- conversations, top-25 by (n_convs DESC, path_a, path_b)
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm)
+            SELECT a.np AS path_a, b.np AS path_b,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM cm a JOIN cm b
+              ON a.conv_id = b.conv_id AND a.np < b.np
+            GROUP BY a.np, b.np
+            ORDER BY n_convs DESC, path_a, path_b
+            LIMIT 25
+        """,
         "kg_conversation_triple_counts": f"""
             -- per-conversation expected triple count = the conv's tool
             -- records per type (SQL JSON parsing) x the type's TOTAL

@@ -982,3 +982,67 @@ def comention_triangles(triples: rd.Dataset,
     closed = bucket_semi_join(wk, ek, on="__pk")
     n_tri = closed.count()
     return result(n_nodes, n_edges, n_wedges, n_tri)
+
+
+def top_comention_pairs(triples: rd.Dataset, k: int = 25,
+                        num_parts: int = 64) -> pd.DataFrame:
+    """Top-k entity pairs by co-mention weight (= number of DISTINCT
+    conversations mentioning both), ties broken by (path_a, path_b) — the
+    weighted-edge view of the co-mention graph (association mining's pair
+    support). Per-conversation distinct pair fan-out -> pair-key-bucketed
+    count -> distributed top-k; paths carried with the pair rows (strings
+    ride the shuffle once per (pair, conv))."""
+    from ..ops.agg import topk_ds
+
+    mentions = mentions_from_triples(triples)
+
+    def local(t: pa.Table) -> pa.Table:
+        return (t.select(["conv_id", "pid", "norm_path"])
+                .group_by(["conv_id", "pid"])
+                .aggregate([("norm_path", "min")])
+                .rename_columns(["conv_id", "pid", "norm_path"]))
+
+    pre = mentions.map_batches(local, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        d = (g.group_by(["pid"]).aggregate([("norm_path", "min")])
+             .rename_columns(["pid", "norm_path"]))
+        paths = np.array(d.column("norm_path").to_pylist())
+        order = np.argsort(paths, kind="stable")
+        paths = paths[order]
+        kk = len(paths)
+        if kk < 2:
+            return pa.table({"path_a": pa.array([], pa.string()),
+                             "path_b": pa.array([], pa.string())})
+        iu, ju = np.triu_indices(kk, 1)
+        return pa.table({"path_a": pa.array(paths[iu], pa.string()),
+                         "path_b": pa.array(paths[ju], pa.string())})
+
+    raw = pre.groupby("conv_id").map_groups(pairs, batch_format="pyarrow")
+
+    def part(t: pa.Table) -> pa.Table:
+        d = (t.group_by(["path_a", "path_b"]).aggregate([([], "count_all")])
+             .rename_columns(["path_a", "path_b", "n_part"]))
+        a = content_hash64_arrow(d.column("path_a"))
+        return d.append_column(
+            "__part", pa.array((a % np.uint64(num_parts)).astype(np.int64),
+                               pa.int64()))
+
+    def finish(g: pa.Table) -> pa.Table:
+        agg = (g.drop_columns(["__part"])
+               .group_by(["path_a", "path_b"]).aggregate([("n_part", "sum")]))
+        return pa.table({"path_a": agg.column("path_a"),
+                         "path_b": agg.column("path_b"),
+                         "n_convs": agg.column("n_part_sum").cast(pa.int64())})
+
+    counts = (raw.map_batches(part, batch_format="pyarrow")
+              .groupby("__part").map_groups(finish, batch_format="pyarrow"))
+    out = topk_ds(counts, by=["n_convs", "path_a", "path_b"],
+                  ascending=[False, True, True], k=k,
+                  columns=["path_a", "path_b", "n_convs"])
+    if out.empty:
+        return pd.DataFrame({"path_a": pd.Series(dtype="str"),
+                             "path_b": pd.Series(dtype="str"),
+                             "n_convs": pd.Series(dtype="int64")})
+    out["n_convs"] = out["n_convs"].astype("int64")
+    return out[["path_a", "path_b", "n_convs"]].reset_index(drop=True)
