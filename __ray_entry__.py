@@ -703,6 +703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_terms": corpus.inverted_index_terms,
         "semdedup_invariants": corpus.semdedup_invariants,
         # ---------- driver snapshot cap (50) — oracled overflow ----------
+        "crosscorpus_contamination_pairs":
+            corpus.crosscorpus_contamination_pairs,
         "doc_chunks": corpus.doc_chunks,
         "doc_normalize": corpus.doc_normalize,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1897,6 +1899,34 @@ def oracle_sql() -> dict[str, str]:
         # functions/hashing.py word_shingles_batch: whitespace tokens,
         # 3-gram shingles joined by ' ', whole-text fallback for 1-2-token
         # docs, empty set for empty docs; both-empty pairs score 1.0.
+        "crosscorpus_contamination_pairs": r"""
+            -- document-level fuzzy decontamination: cross-side (holdout x
+            -- train) pairs with word 3-gram Jaccard >= 0.3 (same shingles
+            -- as ngram_jaccard_exact)
+            WITH tok AS (
+              SELECT doc_id, source, regexp_extract_all(text, '\S+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, source, list_distinct(CASE
+                  WHEN len(toks) >= 3 THEN
+                      [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                       for i in generate_series(1, len(toks) - 2)]
+                  WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
+                  ELSE [] END) AS s
+              FROM tok
+            ), pairs AS (
+              SELECT a.doc_id AS test_id, b.doc_id AS train_id,
+                     CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                          ELSE len(list_intersect(a.s, b.s)) * 1.0
+                               / len(list_distinct(list_concat(a.s, b.s)))
+                     END AS jac
+              FROM sh a JOIN sh b
+                ON a.source = 'src0' AND b.source <> 'src0'
+            )
+            SELECT test_id, train_id, round(jac, 4) AS jac
+            FROM pairs WHERE jac >= 0.3
+            ORDER BY test_id, train_id
+        """,
         "ngram_jaccard_exact": r"""
             WITH tok AS (
               SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

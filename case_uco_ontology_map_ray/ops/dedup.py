@@ -855,3 +855,102 @@ def incremental_exact_dedup(new_ds, prior_ds, text_col: str = "text",
 
     out = fresh.groupby("__h").aggregate(Min(id_col, alias_name=id_col))
     return out.select_columns([id_col])
+
+
+def crosscorpus_jaccard_exact(train_ds, holdout_ds, shingle_k: int = 3,
+                              tau: float = 0.3, num_buckets: int = 8,
+                              id_col: str = "doc_id") -> pd.DataFrame:
+    """Fuzzy train/holdout decontamination, exact form: ALL cross-corpus
+    pairs (test_id, train_id, jac) with word n-gram Jaccard >= tau — the
+    document-level near-duplicate contamination check (vs the gram-overlap
+    scoring of ``ngram_contamination``). Value-oracled: SQL reproduces the
+    cross-side pair join with the same shingles.
+
+    Same bucket-pair plan as ``ngram_jaccard_exact`` over the UNION of the
+    two corpora with a side tag; pair groups emit only cross-side pairs, so
+    within-corpus work is skipped at the source. The exact form is
+    O(|train| x |holdout|) by contract; the LSH banding path
+    (``ngram_jaccard_pairs`` machinery) is the sublinear scale variant.
+    """
+    from .similarity import _mix64
+
+    B = num_buckets
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t.column(id_col),
+                "text": t.column("text"),
+                "__side": pa.array(np.full(t.num_rows, side, np.int8),
+                                   pa.int8()),
+            })
+        return fn
+
+    union = (train_ds.map_batches(tag(0), batch_format="pyarrow")
+             .union(holdout_ds.map_batches(tag(1), batch_format="pyarrow"))
+             .materialize())
+
+    def shingle_payload(t: pa.Table) -> pa.Table:
+        vals, offs = word_shingles_batch(t.column("text").to_pylist(), shingle_k)
+        return pa.table({
+            "doc_id": t.column(id_col),
+            "shingles": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(vals, pa.uint64())),
+        })
+
+    payload = union.map_batches(shingle_payload, batch_format="pyarrow")
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        side = t.column("__side").to_numpy(zero_copy_only=False).astype(np.int8)
+        bkt = (_mix64(ids) % B).astype(np.int64)
+        n = len(ids)
+        pair_ids = np.empty(n * B, dtype=np.int64)
+        for o in range(B):
+            lo = np.minimum(bkt, o)
+            hi = np.maximum(bkt, o)
+            pair_ids[o * n:(o + 1) * n] = lo * B + hi
+        return pa.table({id_col: pa.array(np.tile(ids, B), pa.int64()),
+                         "__side": pa.array(np.tile(side, B), pa.int8()),
+                         "__bkt": pa.array(np.tile(bkt, B), pa.int64()),
+                         "__pair": pa.array(pair_ids, pa.int64())})
+
+    rep = union.map_batches(replicate, batch_format="pyarrow")
+
+    def pair_edges(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"test_id": pd.Series(dtype="int64"),
+                              "train_id": pd.Series(dtype="int64")})
+        if g.empty:
+            return empty
+        pair = int(g["__pair"].iloc[0])
+        i, j = pair // B, pair % B
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        side = g["__side"].to_numpy(dtype=np.int8)
+        bkt = g["__bkt"].to_numpy(dtype=np.int64)
+        if i == j:
+            mask_i = mask_j = np.ones(len(ids), bool)
+        else:
+            mask_i, mask_j = bkt == i, bkt == j
+        # cross-side only: test (side 1) from one mask x train (side 0)
+        # from the other; for i==j this covers every in-bucket cross pair
+        outs = []
+        for mi, mj in ([(mask_i, mask_j)] if i == j
+                       else [(mask_i, mask_j), (mask_j, mask_i)]):
+            te = ids[mi & (side == 1)]
+            tr = ids[mj & (side == 0)]
+            if len(te) and len(tr):
+                outs.append((np.repeat(te, len(tr)), np.tile(tr, len(te))))
+        if not outs:
+            return empty
+        u = np.concatenate([o[0] for o in outs])
+        v = np.concatenate([o[1] for o in outs])
+        return pd.DataFrame({"test_id": u, "train_id": v})
+
+    pairs = rep.groupby("__pair").map_groups(pair_edges, batch_format="pandas")
+    out = _verify_jaccard(pairs, payload, tau, emit_jac=True).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"test_id": pd.Series(dtype="int64"),
+                             "train_id": pd.Series(dtype="int64"),
+                             "jac": pd.Series(dtype="float64")})
+    out = out.astype({"test_id": "int64", "train_id": "int64"})
+    return out.sort_values(["test_id", "train_id"]).reset_index(drop=True)

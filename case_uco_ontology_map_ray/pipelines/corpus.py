@@ -1105,3 +1105,14 @@ def doc_normalize(sf_dir: str) -> pd.DataFrame:
     """Byte-exact normalized text per document (oracled)."""
     out = tx.normalize_texts(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def crosscorpus_contamination_pairs(sf_dir: str, holdout_source: str = "src0",
+                                    tau: float = 0.3) -> pd.DataFrame:
+    """Document-level fuzzy decontamination: every (holdout doc, train doc)
+    pair with word 3-gram Jaccard >= tau (oracled — SQL reproduces the
+    cross-side pair join)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    holdout = ds.filter(expr=f"source == '{holdout_source}'")
+    train = ds.filter(expr=f"source != '{holdout_source}'")
+    return dd.crosscorpus_jaccard_exact(train, holdout, shingle_k=3, tau=tau)

@@ -974,3 +974,24 @@ def test_semdedup_empty_corpus_is_schema_stable():
     # no crash, zero rows; Ray may drop the schema of a fully-empty lineage
     assert len(out) == 0
     assert set(out.columns) <= {"vec_id", "cluster", "keep"}
+
+
+def test_crosscorpus_jaccard_exact_only_cross_pairs():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.dedup import crosscorpus_jaccard_exact
+
+    train = rd.from_items([
+        {"doc_id": 1, "text": "a b c d e f g h"},       # near-copy of holdout 10
+        {"doc_id": 2, "text": "x y z q w e r t"},
+        {"doc_id": 3, "text": "a b c d e f g h"},       # exact copy of train 1
+    ])
+    holdout = rd.from_items([
+        {"doc_id": 10, "text": "a b c d e f g zz"},
+        {"doc_id": 11, "text": "totally different words here now ok fine yes"},
+    ])
+    out = crosscorpus_jaccard_exact(train, holdout, shingle_k=3, tau=0.3)
+    got = set(zip(out.test_id, out.train_id))
+    # cross pairs only: the train-train exact dup (1,3) must NOT appear
+    assert got == {(10, 1), (10, 3)}
+    assert (out.jac > 0.3).all()
