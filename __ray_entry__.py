@@ -196,6 +196,26 @@ def _kg_incremental_counts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _kg_entity_pagerank_weighted(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        entity_pagerank_weighted,
+    )
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return entity_pagerank_weighted(triples, iters=3, k=30)
+
+
+def _kg_degree_histogram(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        comention_degree_histogram,
+    )
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return comention_degree_histogram(triples)
+
+
 def _kg_top_comention_pairs(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import top_comention_pairs
@@ -658,6 +678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conversation_triple_counts": _kg_conversation_triple_counts,
         "kg_comention_triangles": _kg_comention_triangles,
         "kg_top_comention_pairs": _kg_top_comention_pairs,
+        "kg_degree_histogram": _kg_degree_histogram,
+        "kg_entity_pagerank_weighted": _kg_entity_pagerank_weighted,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -1098,6 +1120,43 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT np) AS n_entities
             FROM norm GROUP BY 1 ORDER BY 1
         """
+    _wpr_rounds = []
+    for i in range(3):
+        _wpr_rounds.append(f"""w{i + 1} AS (
+                SELECT e.t AS node,
+                       round((1.0 - 0.85)
+                             + 0.85 * sum(w{i}.r * e.w / st.st), 6) AS r
+                FROM wedges e
+                JOIN w{i} ON e.s = w{i}.node
+                JOIN strength st ON e.s = st.node
+                GROUP BY e.t
+            )""")
+    kg_entity_pagerank_weighted_sql = f"""
+            -- weighted PageRank: rank flows proportional to the pair's
+            -- conversation-count weight; same per-round 6dp quantization
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT a.np AS s, b.np AS t, count(*) AS w
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+                GROUP BY a.np, b.np
+            ),
+            wedges AS (
+                SELECT s, t, w FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t, w FROM p0
+            ),
+            strength AS (SELECT s AS node, sum(w) AS st FROM wedges GROUP BY 1),
+            w0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM strength),
+            {', '.join(_wpr_rounds)}
+            SELECT st.node AS path,
+                   CAST(st.st AS BIGINT) AS strength,
+                   w3.r AS rank_norm
+            FROM w3 JOIN strength st ON w3.node = st.node
+            ORDER BY rank_norm DESC, path
+            LIMIT 30
+        """
     kg_comention_triangles_sql = f"""
             -- triangle census: ordered 3-way self-join (a.s<a.t<b.t closes
             -- with edge (a.s,b.t)); wedges = sum C(deg,2); clustering =
@@ -1267,6 +1326,26 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_components": kg_comention_components_sql,
         "kg_entity_timeline": kg_entity_timeline_sql,
         "kg_comention_triangles": kg_comention_triangles_sql,
+        "kg_entity_pagerank_weighted": kg_entity_pagerank_weighted_sql,
+        "kg_degree_histogram": f"""
+            -- co-mention degree distribution (degree, n_nodes)
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            deg AS (SELECT s AS node, count(*) AS d FROM edges GROUP BY 1)
+            SELECT CAST(d AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY d ORDER BY degree
+        """,
         "kg_top_comention_pairs": f"""
             -- weighted co-mention edges: pair support over distinct
             -- conversations, top-25 by (n_convs DESC, path_a, path_b)

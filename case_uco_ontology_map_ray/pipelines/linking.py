@@ -1046,3 +1046,196 @@ def top_comention_pairs(triples: rd.Dataset, k: int = 25,
                              "n_convs": pd.Series(dtype="int64")})
     out["n_convs"] = out["n_convs"].astype("int64")
     return out[["path_a", "path_b", "n_convs"]].reset_index(drop=True)
+
+
+def comention_degree_histogram(triples: rd.Dataset,
+                               small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                               ) -> pd.DataFrame:
+    """Degree distribution of the co-mention graph: (degree, n_nodes)
+    ascending — the first thing anyone plots about a graph, and a cheap
+    extra external gate on the edge builder (SQL reproduces it from the
+    re-derived edges)."""
+    mentions0 = mentions_from_triples(triples).materialize()
+    incidence = _conv_pid_incidence(mentions0).materialize()
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        nodes, degv, _s, _t = _edges_from_incidence(band, pid)
+        if len(nodes) == 0:
+            return pd.DataFrame({"degree": pd.Series(dtype="int64"),
+                                 "n_nodes": pd.Series(dtype="int64")})
+        deg_vals, counts = np.unique(degv, return_counts=True)
+        return pd.DataFrame({"degree": deg_vals.astype("int64"),
+                             "n_nodes": counts.astype("int64")})
+    # distributed: degree table -> count per degree (two tiny groupbys)
+    from ..ops.agg import grouped_sums
+
+    _edges, deg = comention_graph(triples)
+    one = deg.map_batches(
+        lambda t: pa.table({"degree": t.column("deg"),
+                            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    out = grouped_sums(one, keys=["degree"], sum_cols={"n_nodes": "one"})
+    out = out.astype({"degree": "int64", "n_nodes": "int64"})
+    return out.sort_values("degree").reset_index(drop=True)
+
+
+def _weighted_edges_from_incidence(band: np.ndarray, pid: np.ndarray,
+                                   max_conv_entities: int = 4096):
+    """Directed co-mention edges with conversation-count weights, from
+    collected incidence: (nodes, strength, s_idx, t_idx, w). Each
+    conversation contributes each unordered pair once, so the weight is
+    the number of distinct conversations co-mentioning the pair."""
+    order = np.lexsort((pid, band))
+    band, pid = band[order], pid[order]
+    bounds = np.concatenate(([0], np.flatnonzero(np.diff(band)) + 1, [len(band)]))
+    srcs, dsts = [], []
+    for i in range(len(bounds) - 1):
+        ids = pid[bounds[i]:bounds[i + 1]][:max_conv_entities]
+        kk = len(ids)
+        if kk < 2:
+            continue
+        iu, ju = np.triu_indices(kk, 1)
+        a, b = ids[iu], ids[ju]
+        srcs.append(np.concatenate([a, b]))
+        dsts.append(np.concatenate([b, a]))
+    if not srcs:
+        z = np.empty(0, np.int64)
+        return z, np.empty(0, np.float64), z, z, np.empty(0, np.float64)
+    e = np.stack([np.concatenate(srcs), np.concatenate(dsts)], axis=1)
+    uniq, w = np.unique(e, axis=0, return_counts=True)
+    nodes = np.unique(uniq[:, 0])
+    s_idx = np.searchsorted(nodes, uniq[:, 0])
+    t_idx = np.searchsorted(nodes, uniq[:, 1])
+    w = w.astype(np.float64)
+    strength = np.bincount(s_idx, weights=w, minlength=len(nodes))
+    return nodes, strength, s_idx, t_idx, w
+
+
+def entity_pagerank_weighted(triples: rd.Dataset, iters: int = 3,
+                             d: float = 0.85, k: int = 30,
+                             small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                             ) -> pd.DataFrame:
+    """Weighted PageRank: rank flows along co-mention edges in proportion
+    to their conversation-count weight (r_v <- (1-d) + d * sum
+    r_u * w(u,v) / strength(u), strength = sum of u's edge weights), 6dp
+    quantization per round (same SQL-resync argument as the unweighted
+    form). Integer weights make strength sums exact on both sides.
+
+    Returns top-k (path, strength, rank_norm). Adaptive small path below
+    the incidence gate; the distributed form is the unweighted plan with
+    the weight column carried through the same joins.
+    """
+    from ..ops.agg import round_away, topk_ds
+    from ..ops.joins import bucket_join
+
+    mentions0 = mentions_from_triples(triples).materialize()
+    incidence = _conv_pid_incidence(mentions0).materialize()
+
+    def empty():
+        return pd.DataFrame({"path": pd.Series(dtype="str"),
+                             "strength": pd.Series(dtype="int64"),
+                             "rank_norm": pd.Series(dtype="float64")})
+
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        nodes, strength, s_idx, t_idx, w = _weighted_edges_from_incidence(band, pid)
+        if len(nodes) == 0:
+            return empty()
+        r = np.ones(len(nodes))
+        frac = w / strength[s_idx]
+        for _ in range(iters):
+            contrib = np.bincount(t_idx, weights=r[s_idx] * frac,
+                                  minlength=len(nodes))
+            r = round_away((1.0 - d) + d * contrib, 6)
+        pmap = distinct_paths(mentions0).to_pandas()
+        pmap = dict(zip(pmap.pid, pmap.norm_path))
+        out = pd.DataFrame({"path": [pmap[n] for n in nodes],
+                            "strength": strength.astype(np.int64),
+                            "rank_norm": r})
+        out = (out.sort_values(["rank_norm", "path"], ascending=[False, True])
+               .head(k).reset_index(drop=True))
+        out["strength"] = out["strength"].astype("int64")
+        return out[["path", "strength", "rank_norm"]]
+
+    # ---- distributed path: weighted edges + strength via groupbys ----
+    from ..ops.agg import grouped_sums_ds
+
+    def local(t: pa.Table) -> pa.Table:
+        return (t.select(["band", "pid"]).group_by(["band", "pid"])
+                .aggregate([]))
+
+    pre = incidence.map_batches(local, batch_format="pyarrow")
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column("pid").to_numpy(zero_copy_only=False))
+        kk = len(ids)
+        if kk < 2:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        iu, ju = np.triu_indices(kk, 1)
+        a, b = ids[iu], ids[ju]
+        return pa.table({"s": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "t": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    raw = pre.groupby("band").map_groups(pairs, batch_format="pyarrow")
+
+    def cnt(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["s", "t"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["s", "t", "w"])
+
+    partial = raw.map_batches(cnt, batch_format="pyarrow")
+    wedges = grouped_sums_ds(partial, keys=["s", "t"], sum_cols={"w": "w"})
+    wedges = wedges.materialize()
+    strength = grouped_sums_ds(wedges, keys=["s"], sum_cols={"strength": "w"})
+    strength = strength.map_batches(
+        lambda t: t.rename_columns(["node", "strength"]),
+        batch_format="pyarrow").materialize()
+    if strength.count() == 0:
+        return empty()
+
+    ranks = strength.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "rank": pa.array(np.ones(t.num_rows), pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        state = bucket_join(strength, ranks, on="node")
+        joined = bucket_join(
+            wedges,
+            state.map_batches(
+                lambda t: t.rename_columns(["s", "strength", "rank"]),
+                batch_format="pyarrow"),
+            on="s")
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            ww = t.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+            st = t.column("strength").to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({"node": t.column("t"),
+                             "c": pa.array(r * (ww / st), pa.float64())})
+
+        parts = joined.map_batches(contrib, batch_format="pyarrow")
+        summed = grouped_sums_ds(parts, keys=["node"], sum_cols={"c": "c"})
+
+        def renorm(t: pa.Table) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            return pa.table({"node": t.column("node"),
+                             "rank": pa.array(round_away((1.0 - d) + d * c, 6),
+                                              pa.float64())})
+
+        ranks = summed.map_batches(renorm, batch_format="pyarrow").materialize()
+
+    paths = distinct_paths(mentions0)
+    named = bucket_join(ranks, strength, on="node")
+    named = bucket_join(
+        named,
+        paths.map_batches(lambda t: t.rename_columns(["node", "path"]),
+                          batch_format="pyarrow"),
+        on="node")
+    out = topk_ds(named, by=["rank", "path"], ascending=[False, True], k=k,
+                  columns=["node", "rank", "strength", "path"])
+    if out.empty:
+        return empty()
+    out = out.rename(columns={"rank": "rank_norm"})
+    out["strength"] = out["strength"].astype("int64")
+    return out[["path", "strength", "rank_norm"]].reset_index(drop=True)

@@ -364,3 +364,40 @@ def test_triangles_hand_graph_and_small_matches_distributed():
     assert row.global_clustering == 0.6
     dist = comention_triangles(rd.from_arrow(tab), small_incidence_rows=0)
     pd.testing.assert_frame_equal(small, dist)
+
+
+def test_weighted_pagerank_small_matches_distributed_and_weights_matter():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        entity_pagerank, entity_pagerank_weighted)
+
+    # edge a-b repeats in 3 convs, a-c in 1: weighted rank must favor b
+    conv_paths = {"c1": ["a", "b"], "c2": ["a", "b"], "c3": ["a", "b"],
+                  "c4": ["a", "c"], "c5": ["b", "d"]}
+    tab = _path_triples_table(conv_paths)
+    small = entity_pagerank_weighted(rd.from_arrow(tab), iters=3, k=10)
+    dist = entity_pagerank_weighted(rd.from_arrow(tab), iters=3, k=10,
+                                    small_incidence_rows=0)
+    pd.testing.assert_frame_equal(small, dist)
+    ranks = dict(zip(small.path, small.rank_norm))
+    assert ranks["b"] > ranks["c"]  # weight pulls rank toward b
+    st = dict(zip(small.path, small.strength))
+    assert st["a"] == 4 and st["b"] == 4 and st["c"] == 1 and st["d"] == 1
+    # unweighted treats b and c asymmetrically only via degree, weighted
+    # must differ from it on this graph
+    unw = entity_pagerank(rd.from_arrow(tab), iters=3, k=10)
+    assert dict(zip(unw.path, unw.rank_norm)) != ranks
+
+
+def test_degree_histogram_hand_graph():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        comention_degree_histogram)
+
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["c", "d"]})
+    out = comention_degree_histogram(rd.from_arrow(tab))
+    # degrees: a=2, b=2, c=3, d=1 -> (1,1), (2,2), (3,1)
+    assert list(zip(out.degree, out.n_nodes)) == [(1, 1), (2, 2), (3, 1)]
