@@ -727,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------- driver snapshot cap (50) — oracled overflow ----------
         "crosscorpus_contamination_pairs":
             corpus.crosscorpus_contamination_pairs,
+        "dedup_exact_size_histogram": corpus.dedup_exact_size_histogram,
         "doc_chunks": corpus.doc_chunks,
         "doc_normalize": corpus.doc_normalize,
         "order_priority_counts": analytics.order_priority_counts,
@@ -1978,6 +1979,16 @@ def oracle_sql() -> dict[str, str]:
         # functions/hashing.py word_shingles_batch: whitespace tokens,
         # 3-gram shingles joined by ' ', whole-text fallback for 1-2-token
         # docs, empty set for empty docs; both-empty pairs score 1.0.
+        "dedup_exact_size_histogram": """
+            -- exact-duplicate group-size distribution
+            WITH g AS (
+                SELECT text, count(*) AS group_size
+                FROM documents GROUP BY text
+            )
+            SELECT CAST(group_size AS BIGINT) AS group_size,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM g GROUP BY group_size ORDER BY group_size
+        """,
         "crosscorpus_contamination_pairs": r"""
             -- document-level fuzzy decontamination: cross-side (holdout x
             -- train) pairs with word 3-gram Jaccard >= 0.3 (same shingles

@@ -1116,3 +1116,33 @@ def crosscorpus_contamination_pairs(sf_dir: str, holdout_source: str = "src0",
     holdout = ds.filter(expr=f"source == '{holdout_source}'")
     train = ds.filter(expr=f"source != '{holdout_source}'")
     return dd.crosscorpus_jaccard_exact(train, holdout, shingle_k=3, tau=tau)
+
+
+def dedup_exact_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate group-size distribution: (group_size, n_groups) —
+    the dedup report surface (how much of the corpus is exact-dup mass).
+    Engine: content-hash groupby sizes -> size histogram (two tiny
+    exchanges); oracle: SQL text groupby twice."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import content_hash128_arrow
+    from ..ops.agg import grouped_sums
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = content_hash128_arrow(t.column("text"))
+        d = pa.table({"h": h}).group_by(["h"]).aggregate([([], "count_all")])
+        return d.rename_columns(["h", "n_part"])
+
+    pre = ds.map_batches(keyed, batch_format="pyarrow")
+    from ..ops.agg import grouped_sums_ds
+
+    sizes = grouped_sums_ds(pre, keys=["h"], sum_cols={"group_size": "n_part"})
+    ones = sizes.map_batches(
+        lambda t: pa.table({"group_size": t.column("group_size").cast(pa.int64()),
+                            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    out = grouped_sums(ones, keys=["group_size"], sum_cols={"n_groups": "one"})
+    out = out.astype({"group_size": "int64", "n_groups": "int64"})
+    return out.sort_values("group_size").reset_index(drop=True)
