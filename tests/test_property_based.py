@@ -180,3 +180,44 @@ def test_quantization_roundtrip_bound(vectors):
     recon = codes * scale[:, None]
     err = np.abs(recon - m)
     assert (err <= scale[:, None] / 2 + 1e-9).all()
+
+
+def test_normalize_texts_matches_scalar_reference():
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from case_uco_ontology_map_ray.ops.text import normalize_texts
+
+    def scalar(x: str) -> str:
+        return re.sub(r"[^a-z0-9]+", " ", x.lower()).strip()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=8))
+    def check(texts):
+        tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        out = (normalize_texts(rd.from_arrow(tab)).to_pandas()
+               .sort_values("doc_id"))
+        assert list(out.norm_text) == [scalar(t) for t in texts]
+
+    check()
+
+
+def test_pagerank_quantized_iteration_is_scale_free():
+    """rank_norm is normalized to mean ~1: on a k-regular graph every node
+    must get exactly rank 1.0 at every iteration (fixed point)."""
+    import ray.data as rd
+
+    from tests.test_linking import _path_triples_table
+    from case_uco_ontology_map_ray.pipelines.linking import entity_pagerank
+
+    # 4-cycle via two conversations -> 2-regular
+    tab = _path_triples_table({"c1": ["a", "b"], "c2": ["b", "c"],
+                               "c3": ["c", "d"], "c4": ["d", "a"]})
+    out = entity_pagerank(rd.from_arrow(tab), iters=3, k=10)
+    assert (out.rank_norm == 1.0).all()
+    assert (out.degree == 2).all()
