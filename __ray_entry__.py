@@ -196,6 +196,47 @@ def _kg_incremental_counts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _kg_pipeline_report(sf_dir: str):
+    """The flagship end-to-end composition under ONE external gate:
+    boilerplate cleanup -> KG construction on the CLEANED corpus ->
+    validation -> entity linking -> graph stats, one summary row. SQL
+    reproduces every number independently (the cleaned record set is
+    SQL-derivable: tool records whose text recurs in < 10 conversations)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        TRIPLE_INPUT_COLUMNS,
+        triples_from_transcripts,
+    )
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        comention_component_stats,
+        distinct_paths,
+        mentions_from_triples,
+    )
+    from case_uco_ontology_map_ray.pipelines.transcript_prep import (
+        remove_boilerplate_turns,
+    )
+
+    src = _transcripts_for(sf_dir)
+    base = rd.read_parquet(src, columns=TRIPLE_INPUT_COLUMNS)
+    cleaned = remove_boilerplate_turns(base, min_convs=10).materialize()
+    n_turns_kept = cleaned.count()
+    triples = triples_from_transcripts(cleaned).materialize()
+    n_triples = triples.count()
+    mentions = mentions_from_triples(triples)
+    n_mentions = mentions.count()
+    n_entities, n_components, giant = comention_component_stats(triples)
+    return pd.DataFrame({
+        "n_turns_kept": pd.Series([int(n_turns_kept)], dtype="int64"),
+        "n_triples": pd.Series([int(n_triples)], dtype="int64"),
+        "n_mentions": pd.Series([int(n_mentions)], dtype="int64"),
+        "n_entities": pd.Series([int(n_entities)], dtype="int64"),
+        "n_components": pd.Series([int(n_components)], dtype="int64"),
+        "giant_component": pd.Series([int(giant)], dtype="int64"),
+    })
+
+
 def _kg_entity_pagerank_weighted(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import (
@@ -680,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_comention_pairs": _kg_top_comention_pairs,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_entity_pagerank_weighted": _kg_entity_pagerank_weighted,
+        "kg_pipeline_report": _kg_pipeline_report,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -1158,6 +1200,68 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank_norm DESC, path
             LIMIT 30
         """
+    kg_pipeline_report_sql = f"""
+            -- END-TO-END gate: cleanup -> construction -> linking -> graph
+            -- stats, every number re-derived by SQL on the cleaned corpus
+            WITH RECURSIVE bp AS (
+                SELECT text FROM read_parquet('{transcripts_glob}')
+                GROUP BY text HAVING count(DISTINCT conv_id) >= 10
+            ), kept AS (
+                SELECT * FROM read_parquet('{transcripts_glob}')
+                WHERE text NOT IN (SELECT text FROM bp)
+            ), rec AS (
+                SELECT conv_id,
+                       json_extract_string(text, '$.artifact_type') AS t, text
+                FROM kept WHERE role = 'tool' AND text <> ''
+            ), nrec AS (
+                SELECT t AS artifact_type, count(*) AS n FROM rec GROUP BY 1
+            ), arity(artifact_type, pred, per_record) AS (VALUES
+                {arity_values}
+            ), tot AS (
+                SELECT artifact_type, sum(per_record) AS per_rec
+                FROM arity GROUP BY 1
+            ), raw AS (
+                SELECT conv_id, json_extract_string(text, '$.record.SourceFilename') AS p
+                FROM rec WHERE t = 'Windows Prefetch execution cache records'
+                UNION ALL
+                SELECT conv_id, json_extract_string(text, '$.record.ReferencedPaths[0]')
+                FROM rec WHERE t = 'Windows Prefetch execution cache records'
+                UNION ALL
+                SELECT conv_id, json_extract_string(text, '$.record.ReferencedPaths[1]')
+                FROM rec WHERE t = 'Windows Prefetch execution cache records'
+                UNION ALL
+                SELECT conv_id, json_extract_string(text, '$.record.FullPath')
+                FROM rec WHERE t = 'MFT Records'
+            ), norm AS (
+                SELECT conv_id, trim(regexp_replace(regexp_replace(
+                         lower(replace(p, '\\', '/')), '^/+', ''),
+                         '^(.:|c/)', ''), '/') AS np
+                FROM raw WHERE p IS NOT NULL
+            ), cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0 UNION ALL SELECT t AS s, s AS t FROM p0
+            ),
+            nodes AS (SELECT DISTINCT np AS node FROM cm),
+            reach(a, b) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s
+            ),
+            lbl AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+            comps AS (SELECT comp, count(*) AS sz FROM lbl GROUP BY comp)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_turns_kept,
+                   (SELECT CAST(coalesce(sum(n.n * t2.per_rec), 0) AS BIGINT)
+                    FROM nrec n JOIN tot t2 USING (artifact_type)) AS n_triples,
+                   (SELECT CAST(count(*) AS BIGINT) FROM norm) AS n_mentions,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lbl) AS n_entities,
+                   (SELECT CAST(count(*) AS BIGINT) FROM comps) AS n_components,
+                   (SELECT CAST(max(sz) AS BIGINT) FROM comps) AS giant_component
+        """
     kg_comention_triangles_sql = f"""
             -- triangle census: ordered 3-way self-join (a.s<a.t<b.t closes
             -- with edge (a.s,b.t)); wedges = sum C(deg,2); clustering =
@@ -1328,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_timeline": kg_entity_timeline_sql,
         "kg_comention_triangles": kg_comention_triangles_sql,
         "kg_entity_pagerank_weighted": kg_entity_pagerank_weighted_sql,
+        "kg_pipeline_report": kg_pipeline_report_sql,
         "kg_degree_histogram": f"""
             -- co-mention degree distribution (degree, n_nodes)
             {mention_norm_cte}

@@ -1239,3 +1239,44 @@ def entity_pagerank_weighted(triples: rd.Dataset, iters: int = 3,
     out = out.rename(columns={"rank": "rank_norm"})
     out["strength"] = out["strength"].astype("int64")
     return out[["path", "strength", "rank_norm"]].reset_index(drop=True)
+
+
+def comention_component_stats(triples: rd.Dataset,
+                              small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                              ) -> tuple[int, int, int]:
+    """(n_entities, n_components, giant_component_size) of the co-mention
+    graph — the rollup form of ``comention_components`` (same fixpoint)."""
+    mentions0 = mentions_from_triples(triples).materialize()
+    incidence = _conv_pid_incidence(mentions0).materialize()
+    if incidence.count() == 0:
+        return 0, 0, 0
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        uniq, lab = _labels_vectorized(band, pid, max_rounds=64)
+        _, sizes = np.unique(lab, return_counts=True)
+        return int(len(uniq)), int(len(sizes)), int(sizes.max())
+    # distributed: label table -> per-label counts -> (count, max) partials
+    paths = distinct_paths(mentions0).materialize()
+    labels0 = paths.map_batches(
+        lambda t: pa.table({"pid": t.column("pid"), "label": t.column("pid")}),
+        batch_format="pyarrow")
+    labels, _r, converged = propagate_labels(incidence, labels0)
+    assert converged
+    from ..ops.agg import grouped_sums, grouped_sums_ds
+
+    one = labels.map_batches(
+        lambda t: pa.table({"label": t.column("label"),
+                            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    sizes = grouped_sums_ds(one, keys=["label"], sum_cols={"sz": "one"})
+
+    def partial(t: pa.Table) -> pa.Table:
+        sz = t.column("sz").to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(sz)], pa.int64()),
+                         "tot": pa.array([int(sz.sum())], pa.int64()),
+                         "mx": pa.array([int(sz.max()) if len(sz) else 0],
+                                        pa.int64())})
+
+    parts = sizes.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (int(parts["tot"].sum()), int(parts["n"].sum()),
+            int(parts["mx"].max()))
