@@ -196,6 +196,14 @@ def _kg_incremental_counts(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _kg_similar_conversations(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import similar_conversations
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return similar_conversations(triples, tau=0.5)
+
+
 def _kg_pipeline_report(sf_dir: str):
     """The flagship end-to-end composition under ONE external gate:
     boilerplate cleanup -> KG construction on the CLEANED corpus ->
@@ -722,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_entity_pagerank_weighted": _kg_entity_pagerank_weighted,
         "kg_pipeline_report": _kg_pipeline_report,
+        "kg_similar_conversations": _kg_similar_conversations,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -1433,6 +1442,26 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_triangles": kg_comention_triangles_sql,
         "kg_entity_pagerank_weighted": kg_entity_pagerank_weighted_sql,
         "kg_pipeline_report": kg_pipeline_report_sql,
+        "kg_similar_conversations": f"""
+            -- related-case discovery: conversation pairs whose entity sets
+            -- (distinct normalized paths) have Jaccard >= 0.5
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            sets AS (
+                SELECT conv_id, list_distinct(array_agg(np)) AS s
+                FROM cm GROUP BY conv_id
+            ),
+            pairs AS (
+                SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                       len(list_intersect(a.s, b.s)) * 1.0
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS jac
+                FROM sets a JOIN sets b ON a.conv_id < b.conv_id
+            )
+            SELECT conv_a, conv_b, round(jac, 4) AS jac
+            FROM pairs WHERE jac >= 0.5
+            ORDER BY conv_a, conv_b
+        """,
         "kg_degree_histogram": f"""
             -- co-mention degree distribution (degree, n_nodes)
             {mention_norm_cte}

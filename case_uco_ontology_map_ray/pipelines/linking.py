@@ -1280,3 +1280,96 @@ def comention_component_stats(triples: rd.Dataset,
     parts = sizes.map_batches(partial, batch_format="pyarrow").to_pandas()
     return (int(parts["tot"].sum()), int(parts["n"].sum()),
             int(parts["mx"].max()))
+
+
+def similar_conversations(triples: rd.Dataset, tau: float = 0.5,
+                          num_buckets: int = 8) -> pd.DataFrame:
+    """Related-case discovery: all conversation pairs whose ENTITY SETS
+    (distinct normalized paths mentioned) have Jaccard >= tau —
+    (conv_a, conv_b, jac) with conv_a < conv_b, jac rounded 4dp.
+
+    Exact all-pairs by contract (the bucket-pair self-join plan of
+    ops/similarity.embedding_neardup_pairs: each conversation's entity set
+    is replicated to its B pair-groups, per-task memory 2n/B sets); the
+    sublinear scale path is MinHash banding over the same sets (the
+    ops/dedup machinery applies unchanged — entity sets are just shingle
+    sets). Value-oracled: SQL reproduces the pair join with
+    list_intersect on the per-conversation entity arrays.
+    """
+    from ..ops.agg import round_away
+    from ..ops.similarity import _mix64
+
+    B = num_buckets
+    mentions = mentions_from_triples(triples)
+
+    def local(t: pa.Table) -> pa.Table:
+        return (t.select(["conv_id", "pid"])
+                .group_by(["conv_id", "pid"]).aggregate([]))
+
+    pre = mentions.map_batches(local, batch_format="pyarrow")
+
+    def to_sets(g: pa.Table) -> pa.Table:
+        conv = g.column("conv_id").to_pylist()[0]
+        ids = np.unique(g.column("pid").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "conv_id": pa.array([conv], pa.string()),
+            "pids": pa.array([ids.tolist()], pa.list_(pa.int64())),
+        })
+
+    sets = pre.groupby("conv_id").map_groups(
+        to_sets, batch_format="pyarrow").materialize()
+
+    def replicate(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        h = (content_hash64_arrow(conv) >> np.uint64(1)).astype(np.int64)
+        bkt = (_mix64(h) % B).astype(np.int64)
+        n = t.num_rows
+        idx = np.tile(np.arange(n, dtype=np.int64), B)
+        pair_ids = np.empty(n * B, dtype=np.int64)
+        for o in range(B):
+            lo = np.minimum(bkt, o)
+            hi = np.maximum(bkt, o)
+            pair_ids[o * n:(o + 1) * n] = lo * B + hi
+        rep = t.take(pa.array(idx))
+        return (rep.append_column("__pair", pa.array(pair_ids, pa.int64()))
+                .append_column("__bkt", pa.array(np.tile(bkt, B), pa.int64())))
+
+    rep = sets.map_batches(replicate, batch_format="pyarrow")
+
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"conv_a": pd.Series(dtype="str"),
+                              "conv_b": pd.Series(dtype="str"),
+                              "jac": pd.Series(dtype="float64")})
+        if g.empty:
+            return empty
+        pair = int(g["__pair"].iloc[0])
+        i, j = pair // B, pair % B
+        convs = g["conv_id"].to_numpy()
+        bkt = g["__bkt"].to_numpy(dtype=np.int64)
+        pids = [np.asarray(p, dtype=np.int64) for p in g["pids"]]
+        if i == j:
+            cand = [(a, b) for a in range(len(convs))
+                    for b in range(a + 1, len(convs))]
+        else:
+            ii = np.flatnonzero(bkt == i)
+            jj = np.flatnonzero(bkt == j)
+            cand = [(a, b) for a in ii for b in jj]
+        rows = []
+        for a, b in cand:
+            inter = len(np.intersect1d(pids[a], pids[b], assume_unique=True))
+            union = len(pids[a]) + len(pids[b]) - inter
+            jac = 1.0 if union == 0 else inter / union
+            if jac >= tau:
+                ca, cb = sorted((convs[a], convs[b]))
+                rows.append((ca, cb, float(round_away(jac, 4))))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["conv_a", "conv_b", "jac"])
+
+    out = rep.groupby("__pair").map_groups(
+        pair_jaccard, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"conv_a": pd.Series(dtype="str"),
+                             "conv_b": pd.Series(dtype="str"),
+                             "jac": pd.Series(dtype="float64")})
+    return out.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)

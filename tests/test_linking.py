@@ -401,3 +401,19 @@ def test_degree_histogram_hand_graph():
     out = comention_degree_histogram(rd.from_arrow(tab))
     # degrees: a=2, b=2, c=3, d=1 -> (1,1), (2,2), (3,1)
     assert list(zip(out.degree, out.n_nodes)) == [(1, 1), (2, 2), (3, 1)]
+
+
+def test_similar_conversations_jaccard():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import similar_conversations
+
+    # c1={a,b,c}, c2={a,b,c,d} -> J=3/4; c3={x,y} disjoint
+    tab = _path_triples_table({"c1": ["a", "b", "c"],
+                               "c2": ["a", "b", "c", "d"],
+                               "c3": ["x", "y"]})
+    out = similar_conversations(rd.from_arrow(tab), tau=0.5)
+    assert list(zip(out.conv_a, out.conv_b, out.jac)) == [("c1", "c2", 0.75)]
+    # below-threshold tau excludes it
+    none = similar_conversations(rd.from_arrow(tab), tau=0.8)
+    assert len(none) == 0
