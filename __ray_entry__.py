@@ -204,6 +204,40 @@ def _kg_similar_conversations(sf_dir: str):
     return similar_conversations(triples, tau=0.5)
 
 
+def _kg_similar_conversations_lsh_invariants(sf_dir: str):
+    """Subset invariant for the LSH conversation-similarity path: every
+    LSH-verified pair must appear in the exact all-pairs result with the
+    identical jac (the verify filter is exact; only candidate PROPOSAL is
+    seed-defined/approximate). SQL pins both violation counts to 0 and
+    independently counts the conversation universe."""
+    import pandas as pd
+
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        similar_conversations,
+        similar_conversations_lsh,
+    )
+
+    src = _transcripts_for(sf_dir)
+    lsh = similar_conversations_lsh(triples_from_transcripts(src), tau=0.5)
+    exact = similar_conversations(triples_from_transcripts(src), tau=0.5)
+    merged = lsh.merge(exact, on=["conv_a", "conv_b"], how="left",
+                       suffixes=("", "_exact"))
+    n_not_in_exact = int(merged["jac_exact"].isna().sum())
+    hit = merged.dropna(subset=["jac_exact"])
+    n_mismatch = int((hit["jac"] != hit["jac_exact"]).sum())
+    import duckdb  # count convs exactly as the oracle does
+
+    n_convs = duckdb.sql(
+        f"SELECT count(DISTINCT conv_id) FROM read_parquet('{src}/*.parquet')"
+    ).fetchone()[0]
+    return pd.DataFrame({
+        "n_convs": pd.Series([int(n_convs)], dtype="int64"),
+        "n_not_in_exact": pd.Series([n_not_in_exact], dtype="int64"),
+        "n_jac_mismatch": pd.Series([n_mismatch], dtype="int64"),
+    })
+
+
 def _kg_pipeline_report(sf_dir: str):
     """The flagship end-to-end composition under ONE external gate:
     boilerplate cleanup -> KG construction on the CLEANED corpus ->
@@ -731,6 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank_weighted": _kg_entity_pagerank_weighted,
         "kg_pipeline_report": _kg_pipeline_report,
         "kg_similar_conversations": _kg_similar_conversations,
+        "kg_similar_conversations_lsh_invariants":
+            _kg_similar_conversations_lsh_invariants,
         "transcript_boilerplate": _transcript_boilerplate,
         "transcript_boilerplate_removal": _transcript_boilerplate_removal,
         "pii_redaction": _pii_redaction,
@@ -1442,6 +1478,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_triangles": kg_comention_triangles_sql,
         "kg_entity_pagerank_weighted": kg_entity_pagerank_weighted_sql,
         "kg_pipeline_report": kg_pipeline_report_sql,
+        "kg_similar_conversations_lsh_invariants": f"""
+            -- LSH-candidates-subset gate: verified LSH pairs must be a
+            -- subset of the exact all-pairs result with identical jac
+            SELECT (SELECT CAST(count(DISTINCT conv_id) AS BIGINT)
+                    FROM read_parquet('{transcripts_glob}')) AS n_convs,
+                   CAST(0 AS BIGINT) AS n_not_in_exact,
+                   CAST(0 AS BIGINT) AS n_jac_mismatch
+        """,
         "kg_similar_conversations": f"""
             -- related-case discovery: conversation pairs whose entity sets
             -- (distinct normalized paths) have Jaccard >= 0.5

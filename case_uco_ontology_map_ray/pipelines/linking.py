@@ -1373,3 +1373,91 @@ def similar_conversations(triples: rd.Dataset, tau: float = 0.5,
                              "conv_b": pd.Series(dtype="str"),
                              "jac": pd.Series(dtype="float64")})
     return out.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+
+
+def similar_conversations_lsh(triples: rd.Dataset, tau: float = 0.5,
+                              num_perm: int = 32, bands: int = 16,
+                              ) -> pd.DataFrame:
+    """The sublinear scale path of ``similar_conversations``: MinHash-LSH
+    banding over the conversation entity sets proposes candidate pairs,
+    the exact Jaccard filter verifies them (ops/dedup machinery — entity
+    sets are just shingle sets). Candidates are seed-defined, so the
+    external gate is the subset invariant vs the exact all-pairs result
+    (kg_similar_conversations_lsh_invariants)."""
+    from ..functions.hashing import MinHasher
+    from ..ops.dedup import (
+        _band_groups,
+        _distinct_edges,
+        _explode_bands,
+        _verify_jaccard,
+    )
+    from ..ops.joins import bucket_semi_join
+
+    mh = MinHasher(num_perm=num_perm, seed=42)
+    mentions = mentions_from_triples(triples)
+
+    def local(t: pa.Table) -> pa.Table:
+        return (t.select(["conv_id", "pid"])
+                .group_by(["conv_id", "pid"]).aggregate([]))
+
+    pre = mentions.map_batches(local, batch_format="pyarrow")
+
+    def to_payload(g: pa.Table) -> pa.Table:
+        conv = g.column("conv_id").to_pylist()[0]
+        cid = int((content_hash64_arrow(pa.array([conv], pa.string()))
+                   >> np.uint64(1)).astype(np.int64)[0])
+        ids = np.unique(g.column("pid").to_numpy(zero_copy_only=False))
+        sig = mh.signature(ids.astype(np.uint64))
+        return pa.table({
+            "doc_id": pa.array([cid], pa.int64()),
+            "conv_id": pa.array([conv], pa.string()),
+            "shingles": pa.array([ids.astype(np.uint64).tolist()],
+                                 pa.list_(pa.uint64())),
+            "sig": pa.array([sig.tobytes()], pa.binary()),
+        })
+
+    sets = pre.groupby("conv_id").map_groups(
+        to_payload, batch_format="pyarrow").materialize()
+    payload = sets.select_columns(["doc_id", "shingles"])
+    bands_ds = sets.select_columns(["doc_id", "sig"]).map_batches(
+        _explode_bands(mh, bands), batch_format="pyarrow")
+
+    def pair_edges(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        seg = g["__seg"].to_numpy()
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if len(doc) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        lens = np.diff(np.r_[starts, len(seg)])
+        us, vs = [], []
+        for s, n in zip(starts[lens >= 2], lens[lens >= 2]):
+            ids = doc[s:s + min(n, 64)]
+            a, b = np.triu_indices(len(ids), k=1)
+            us.append(ids[a]); vs.append(ids[b])
+        if not us:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(us),
+                             "id_b": np.concatenate(vs)})
+
+    pairs = _distinct_edges(_band_groups(bands_ds, pair_edges))
+    verified = _verify_jaccard(pairs, payload, tau, emit_jac=True).to_pandas()
+    if verified.empty:
+        return pd.DataFrame({"conv_a": pd.Series(dtype="str"),
+                             "conv_b": pd.Series(dtype="str"),
+                             "jac": pd.Series(dtype="float64")})
+    # map result cids back to conversation ids: semi-filter the (one row
+    # per conv) sets table down to the RESULT endpoints, collect only those
+    cids = pd.unique(pd.concat([verified["id_a"], verified["id_b"]]))
+    endpoint_ds = rd.from_pandas(pd.DataFrame({"doc_id": cids}))
+    names = bucket_semi_join(
+        sets.select_columns(["doc_id", "conv_id"]), endpoint_ds,
+        on="doc_id").to_pandas()
+    cmap = dict(zip(names.doc_id, names.conv_id))
+    a = verified["id_a"].map(cmap)
+    b = verified["id_b"].map(cmap)
+    out = pd.DataFrame({"conv_a": np.minimum(a, b),
+                        "conv_b": np.maximum(a, b),
+                        "jac": verified["jac"]})
+    return out.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)

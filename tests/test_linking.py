@@ -417,3 +417,23 @@ def test_similar_conversations_jaccard():
     # below-threshold tau excludes it
     none = similar_conversations(rd.from_arrow(tab), tau=0.8)
     assert len(none) == 0
+
+
+def test_similar_conversations_lsh_finds_identical_sets():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        similar_conversations, similar_conversations_lsh)
+
+    # identical entity sets MUST be found by LSH (identical signatures ->
+    # identical bands -> candidate -> jac 1.0); plus a near pair
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["a", "b", "c"],
+                               "c3": ["a", "b", "c", "d"], "c4": ["x", "y"]})
+    lsh = similar_conversations_lsh(rd.from_arrow(tab), tau=0.5)
+    got = set(zip(lsh.conv_a, lsh.conv_b))
+    assert ("c1", "c2") in got
+    exact = similar_conversations(rd.from_arrow(tab), tau=0.5)
+    ex = set(zip(exact.conv_a, exact.conv_b))
+    assert got <= ex  # candidates-subset contract
+    j = dict(zip(zip(lsh.conv_a, lsh.conv_b), lsh.jac))
+    assert j[("c1", "c2")] == 1.0
