@@ -204,6 +204,16 @@ def _kg_similar_conversations(sf_dir: str):
     return similar_conversations(triples, tau=0.5)
 
 
+def _kg_similar_conversations_lsh(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        similar_conversations_lsh,
+    )
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return similar_conversations_lsh(triples, tau=0.5)
+
+
 def _kg_similar_conversations_lsh_invariants(sf_dir: str):
     """Subset invariant for the LSH conversation-similarity path: every
     LSH-verified pair must appear in the exact all-pairs result with the
@@ -861,6 +871,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
+        # --- rows-only: LSH candidate sets are seed-defined; the subset
+        # invariant above is the external gate
+        "kg_similar_conversations_lsh": _kg_similar_conversations_lsh,
         "doc_compression_ratios": corpus.doc_compression_ratios,
         # --- rows-only: KG family (golden/unit-gated; uuid5 not in SQL)
         "kg_triples": _kg_triples,
