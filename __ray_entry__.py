@@ -317,6 +317,22 @@ def _kg_top_comention_pairs(sf_dir: str):
     return top_comention_pairs(triples, k=25)
 
 
+def _kg_entity_bfs(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import entity_bfs
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return entity_bfs(triples, max_hops=6)
+
+
+def _kg_link_prediction(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import link_prediction_aa
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return link_prediction_aa(triples, k=20)
+
+
 def _kg_comention_triangles(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import comention_triangles
@@ -773,6 +789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_comention_pairs": _kg_top_comention_pairs,
         "kg_degree_histogram": _kg_degree_histogram,
         "kg_entity_pagerank_weighted": _kg_entity_pagerank_weighted,
+        "kg_entity_bfs": _kg_entity_bfs,
+        "kg_link_prediction": _kg_link_prediction,
         "kg_pipeline_report": _kg_pipeline_report,
         "kg_similar_conversations": _kg_similar_conversations,
         "kg_similar_conversations_lsh_invariants":
@@ -1487,6 +1505,83 @@ def oracle_sql() -> dict[str, str]:
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
+        "kg_entity_bfs": f"""
+            -- single-source BFS hop-distance histogram over the co-mention
+            -- graph; source = min normalized path among edge endpoints,
+            -- dist -1 = not reached within 6 hops (isolated paths incl.)
+            {mention_norm_cte.replace('WITH rec AS', 'WITH RECURSIVE rec AS')}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            deg AS (SELECT s AS node, count(*) AS d FROM edges GROUP BY 1),
+            nodes AS (SELECT DISTINCT np AS node FROM cm),
+            src AS (SELECT min(node) AS node FROM deg),
+            bfs(node, dist) AS (
+                SELECT node, 0 FROM src
+                UNION
+                SELECT e.t, b.dist + 1
+                FROM bfs b JOIN edges e ON e.s = b.node
+                WHERE b.dist < 6
+            ),
+            md AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node),
+            lab AS (
+                SELECT n.node, coalesce(md.dist, -1) AS dist
+                FROM nodes n LEFT JOIN md ON n.node = md.node
+            )
+            SELECT CAST(dist AS BIGINT) AS dist,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM lab GROUP BY dist ORDER BY dist
+        """,
+        "kg_link_prediction": f"""
+            -- Adamic-Adar link prediction: top-20 NON-adjacent pairs by
+            -- sum(1/ln(deg(z))) over common neighbors z; contributions
+            -- quantized to integer nanos (identical IEEE divide + half-
+            -- away round both sides) so pair sums are exact integers
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            deg AS (SELECT s AS node, count(*) AS d FROM edges GROUP BY 1),
+            w AS (
+                SELECT node,
+                       CAST(round(1000000000.0 / ln(d), 0) AS BIGINT) AS wn
+                FROM deg WHERE d >= 2
+            ),
+            wedge AS (
+                SELECT e1.t AS u, e2.t AS v, w.wn
+                FROM edges e1
+                JOIN edges e2 ON e1.s = e2.s AND e1.t < e2.t
+                JOIN w ON w.node = e1.s
+            ),
+            cand AS (
+                SELECT u, v, CAST(sum(wn) AS BIGINT) AS aa_nano
+                FROM wedge
+                WHERE NOT EXISTS (SELECT 1 FROM p0
+                                  WHERE p0.s = wedge.u AND p0.t = wedge.v)
+                GROUP BY u, v
+            )
+            SELECT u AS path_a, v AS path_b, aa_nano,
+                   round(aa_nano / 1000000000.0, 4) AS aa_score
+            FROM cand
+            ORDER BY aa_nano DESC, path_a, path_b
+            LIMIT 20
+        """,
         "kg_entity_timeline": kg_entity_timeline_sql,
         "kg_comention_triangles": kg_comention_triangles_sql,
         "kg_entity_pagerank_weighted": kg_entity_pagerank_weighted_sql,

@@ -1461,3 +1461,308 @@ def similar_conversations_lsh(triples: rd.Dataset, tau: float = 0.5,
                         "conv_b": np.maximum(a, b),
                         "jac": verified["jac"]})
     return out.sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+
+
+def _csr_from_edges(nodes: np.ndarray, s_idx: np.ndarray, t_idx: np.ndarray):
+    """CSR adjacency (indptr, nbrs) over the compacted node index space of
+    ``_edges_from_incidence`` (edges already hold both directions)."""
+    order = np.argsort(s_idx, kind="stable")
+    nbrs = t_idx[order]
+    indptr = np.searchsorted(s_idx[order], np.arange(len(nodes) + 1))
+    return indptr, nbrs
+
+
+def entity_bfs(triples: rd.Dataset, max_hops: int = 6,
+               num_parts: int = 64,
+               small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+               ) -> pd.DataFrame:
+    """Single-source BFS hop distances over the entity co-mention graph —
+    the KG "blast radius" primitive (how far does an artifact's co-mention
+    neighborhood extend?).
+
+    Source = the lexicographically smallest normalized path among edge
+    ENDPOINTS (deterministic, no degree-tie ambiguity; isolated paths can
+    never seed a traversal the oracle can express). Returns the hop-
+    distance histogram (dist, n_nodes) for dist 0..``max_hops`` plus one
+    dist = -1 row counting paths not reached within the cap (isolated
+    nodes included), ordered by dist ascending.
+
+    Adaptive like every graph op here: numpy frontier sweep over the
+    collected incidence under the small gate; past it, iterative
+    frontier-expansion rounds (bucket join on the frontier key, anti
+    semi-join against the visited set, exact pid distinct per round) —
+    each round is one bounded exchange, rounds <= max_hops. Oracle:
+    DuckDB recursive CTE over the re-derived edges (min dist per node).
+    """
+    mentions = mentions_from_triples(triples).materialize()
+    paths = distinct_paths(mentions).materialize()
+    n_paths = paths.count()
+    empty = pd.DataFrame({"dist": pd.Series(dtype="int64"),
+                          "n_nodes": pd.Series(dtype="int64")})
+    if n_paths == 0:
+        return empty
+
+    def result(counts: list[tuple[int, int]], n_reached: int) -> pd.DataFrame:
+        rows = list(counts)
+        if n_paths - n_reached > 0:
+            rows.append((-1, n_paths - n_reached))
+        rows.sort()
+        return pd.DataFrame({"dist": pd.Series([r[0] for r in rows], dtype="int64"),
+                             "n_nodes": pd.Series([r[1] for r in rows], dtype="int64")})
+
+    incidence = _conv_pid_incidence(mentions).materialize()
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        nodes, _deg, s_idx, t_idx = _edges_from_incidence(band, pid)
+        if len(nodes) == 0:
+            return result([], 0)
+        pmap_df = paths.to_pandas()
+        pmap = dict(zip(pmap_df.pid, pmap_df.norm_path))
+        node_paths = np.array([pmap[p] for p in nodes])
+        src = int(np.argmin(node_paths))
+        indptr, nbrs = _csr_from_edges(nodes, s_idx, t_idx)
+        dist = np.full(len(nodes), -1, np.int64)
+        dist[src] = 0
+        frontier = np.array([src], np.int64)
+        counts = [(0, 1)]
+        for h in range(1, max_hops + 1):
+            starts, ends = indptr[frontier], indptr[frontier + 1]
+            lens = ends - starts
+            total = int(lens.sum())
+            if total == 0:
+                break
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            gather = (np.arange(total) - np.repeat(offs, lens)
+                      + np.repeat(starts, lens))
+            cand = np.unique(nbrs[gather])
+            new = cand[dist[cand] == -1]
+            if len(new) == 0:
+                break
+            dist[new] = h
+            counts.append((h, int(len(new))))
+            frontier = new
+        return result(counts, int((dist >= 0).sum()))
+
+    # distributed path
+    edges, deg = comention_graph(triples, num_parts=num_parts)
+    from ..ops.joins import bucket_semi_join
+
+    endpoints = deg.map_batches(
+        lambda t: t.select(["node"]).rename_columns(["pid"]),
+        batch_format="pyarrow")
+    named = bucket_semi_join(paths, endpoints, on="pid")
+
+    def pmin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "norm_path": pa.array([], pa.string())})
+        i = pc.index(pc.equal(t.column("norm_path"),
+                              pc.min(t.column("norm_path"))), True).as_py()
+        return t.select(["pid", "norm_path"]).slice(i, 1)
+
+    mins = named.map_batches(pmin, batch_format="pyarrow").to_pandas()
+    if mins.empty:
+        return result([], 0)
+    src_pid = int(mins.loc[mins.norm_path.idxmin(), "pid"])
+
+    def _distinct_pids(ds: rd.Dataset) -> rd.Dataset:
+        def part(t: pa.Table) -> pa.Table:
+            d = t.select(["pid"]).group_by(["pid"]).aggregate([])
+            b = pc.bit_wise_and(d.column("pid"),
+                                pa.scalar(num_parts - 1, pa.int64()))
+            return d.append_column("__part", b.cast(pa.int32()))
+
+        def fin(g: pa.Table) -> pa.Table:
+            return (g.drop_columns(["__part"])
+                    .group_by(["pid"]).aggregate([]))
+
+        return (ds.map_batches(part, batch_format="pyarrow")
+                .groupby("__part").map_groups(fin, batch_format="pyarrow"))
+
+    frontier = rd.from_pandas(pd.DataFrame({"pid": [src_pid]}))
+    visited = frontier
+    counts = [(0, 1)]
+    n_reached = 1
+    edge_pt = edges.map_batches(
+        lambda t: t.rename_columns(["pid", "t"]), batch_format="pyarrow")
+    for h in range(1, max_hops + 1):
+        hop = bucket_join(edge_pt, frontier, on="pid")
+        cand = hop.map_batches(
+            lambda t: (t.select(["t"]).rename_columns(["pid"])
+                       .group_by(["pid"]).aggregate([])),
+            batch_format="pyarrow")
+        new = _distinct_pids(
+            bucket_semi_join(cand, visited, on="pid", negate=True)
+        ).materialize()
+        n_new = new.count()
+        if n_new == 0:
+            break
+        counts.append((h, int(n_new)))
+        n_reached += int(n_new)
+        visited = visited.union(new).materialize()
+        frontier = new
+    return result(counts, n_reached)
+
+
+def link_prediction_aa(triples: rd.Dataset, k: int = 20,
+                       num_parts: int = 64,
+                       small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                       ) -> pd.DataFrame:
+    """Adamic-Adar link prediction over the co-mention graph: score every
+    NON-adjacent node pair (u, v) by sum(1/ln(deg(z))) over common
+    neighbors z, return the top-``k`` — "which artifacts are likely related
+    despite never being co-mentioned?" (the related-case discovery shape).
+
+    Determinism contract with the SQL oracle: each wedge contribution is
+    quantized ONCE to integer nanos (round_away(1e9 / ln(deg)), identical
+    IEEE divide + away-round both sides), so pair scores are exact integer
+    sums — order-independent under any shuffle. Output carries the exact
+    ``aa_nano`` plus the display ``aa_score`` (nanos / 1e9 at 4dp).
+
+    Shapes: wedges are generated per center (groupby(s) over the edge
+    list — a conversation-clique graph keeps per-center fan-out bounded by
+    the same max_conv_entities cap as the edge builder), adjacency
+    exclusion + pair aggregation happen in ONE exchange (wedge rows union
+    edge-marker rows, hash-routed on the unordered pair key, exact
+    two-column group per partition), and paths join onto the CANDIDATE
+    table (#non-adjacent co-wedge pairs), never onto the wedge stream.
+    """
+    from ..ops.agg import round_away, topk_ds
+
+    cols = ["path_a", "path_b", "aa_nano", "aa_score"]
+    empty = pd.DataFrame({"path_a": pd.Series(dtype="str"),
+                          "path_b": pd.Series(dtype="str"),
+                          "aa_nano": pd.Series(dtype="int64"),
+                          "aa_score": pd.Series(dtype="float64")})
+
+    def finish_frame(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        df = df.copy()
+        df["aa_nano"] = df["aa_nano"].astype("int64")
+        df["aa_score"] = round_away(df["aa_nano"].to_numpy() / 1e9, 4)
+        return (df.sort_values(["aa_nano", "path_a", "path_b"],
+                               ascending=[False, True, True])
+                .head(k)[cols].reset_index(drop=True))
+
+    mentions = mentions_from_triples(triples).materialize()
+    paths = distinct_paths(mentions).materialize()
+    if paths.count() == 0:
+        return empty
+
+    incidence = _conv_pid_incidence(mentions).materialize()
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        nodes, deg, s_idx, t_idx = _edges_from_incidence(band, pid)
+        if len(nodes) == 0:
+            return empty
+        indptr, nbrs = _csr_from_edges(nodes, s_idx, t_idx)
+        with np.errstate(divide="ignore"):
+            w_nano = round_away(1e9 / np.log(deg.astype(np.float64)), 0)
+        us, vs, ws = [], [], []
+        for z in range(len(nodes)):
+            nb = np.sort(nbrs[indptr[z]:indptr[z + 1]])
+            kk = len(nb)
+            if kk < 2:
+                continue
+            iu, ju = np.triu_indices(kk, 1)
+            us.append(nb[iu]); vs.append(nb[ju])
+            ws.append(np.full(len(iu), np.int64(w_nano[z])))
+        if not us:
+            return empty
+        u = np.concatenate(us); v = np.concatenate(vs)
+        w = np.concatenate(ws)
+        # exclude adjacent pairs: edges as ordered (lo, hi) index pairs
+        lo, hi = np.minimum(s_idx, t_idx), np.maximum(s_idx, t_idx)
+        ekeys = np.unique(lo.astype(np.int64) * len(nodes) + hi)
+        pkey = u.astype(np.int64) * len(nodes) + v
+        keep = ~np.isin(pkey, ekeys)
+        df = pd.DataFrame({"key": pkey[keep], "w": w[keep]})
+        agg = df.groupby("key", sort=False)["w"].sum().reset_index()
+        pu = (agg["key"] // len(nodes)).to_numpy()
+        pv = (agg["key"] % len(nodes)).to_numpy()
+        pmap_df = paths.to_pandas()
+        pmap = dict(zip(pmap_df.pid, pmap_df.norm_path))
+        pa_ = np.array([pmap[nodes[i]] for i in pu])
+        pb_ = np.array([pmap[nodes[i]] for i in pv])
+        swap = pa_ > pb_
+        return finish_frame(pd.DataFrame({
+            "path_a": np.where(swap, pb_, pa_),
+            "path_b": np.where(swap, pa_, pb_),
+            "aa_nano": agg["w"].to_numpy()}))
+
+    # distributed path
+    edges, _deg = comention_graph(triples, num_parts=num_parts)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nb = np.sort(g.column("t").to_numpy(zero_copy_only=False))
+        kk = len(nb)
+        if kk < 2:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "is_edge": pa.array([], pa.int8())})
+        wn = np.int64(round_away(1e9 / np.log(float(kk)), 0))
+        iu, ju = np.triu_indices(kk, 1)
+        n = len(iu)
+        return pa.table({"u": pa.array(nb[iu], pa.int64()),
+                         "v": pa.array(nb[ju], pa.int64()),
+                         "w": pa.array(np.full(n, wn), pa.int64()),
+                         "is_edge": pa.array(np.zeros(n, np.int8), pa.int8())})
+
+    wedge_ds = edges.groupby("s").map_groups(wedges, batch_format="pyarrow")
+
+    def edge_markers(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        m = s < tt
+        n = int(m.sum())
+        return pa.table({"u": pa.array(s[m], pa.int64()),
+                         "v": pa.array(tt[m], pa.int64()),
+                         "w": pa.array(np.zeros(n, np.int64), pa.int64()),
+                         "is_edge": pa.array(np.ones(n, np.int8), pa.int8())})
+
+    marker_ds = edges.map_batches(edge_markers, batch_format="pyarrow")
+
+    def route(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column("u").to_numpy(zero_copy_only=False), np.uint64)
+        y = np.asarray(t.column("v").to_numpy(zero_copy_only=False), np.uint64)
+        pk = ((x * np.uint64(0x9E3779B97F4A7C15))
+              ^ (y * np.uint64(0xBF58476D1CE4E5B9))) % np.uint64(num_parts)
+        # local combiner: pre-sum wedge weights / OR edge markers per pair
+        d = t.append_column("__part", pa.array(pk.astype(np.int64), pa.int64()))
+        agg = (d.group_by(["__part", "u", "v"])
+               .aggregate([("w", "sum"), ("is_edge", "max")]))
+        return agg.rename_columns(["__part", "u", "v", "w", "is_edge"])
+
+    routed = wedge_ds.union(marker_ds).map_batches(route, batch_format="pyarrow")
+
+    def reduce_pairs(g: pa.Table) -> pa.Table:
+        agg = (g.drop_columns(["__part"]).group_by(["u", "v"])
+               .aggregate([("w", "sum"), ("is_edge", "max")]))
+        agg = agg.rename_columns(["u", "v", "aa_nano", "is_edge"])
+        keep = agg.filter(pc.equal(agg.column("is_edge"), pa.scalar(0, pa.int8())))
+        return keep.select(["u", "v", "aa_nano"])
+
+    cand = routed.groupby("__part").map_groups(reduce_pairs,
+                                               batch_format="pyarrow")
+    pa_paths = paths.map_batches(
+        lambda t: t.rename_columns(["u", "path_u"]), batch_format="pyarrow")
+    j1 = bucket_join(cand, pa_paths, on="u")
+    pb_paths = paths.map_batches(
+        lambda t: t.rename_columns(["v", "path_v"]), batch_format="pyarrow")
+    j2 = bucket_join(j1, pb_paths, on="v")
+
+    def order_pair(t: pa.Table) -> pa.Table:
+        a = t.column("path_u")
+        b = t.column("path_v")
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        return pa.table({"path_a": lo, "path_b": hi,
+                         "aa_nano": t.column("aa_nano")})
+
+    scored = j2.map_batches(order_pair, batch_format="pyarrow")
+    out = topk_ds(scored, by=["aa_nano", "path_a", "path_b"],
+                  ascending=[False, True, True], k=k,
+                  columns=["path_a", "path_b", "aa_nano"])
+    return finish_frame(out)

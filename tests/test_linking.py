@@ -437,3 +437,74 @@ def test_similar_conversations_lsh_finds_identical_sets():
     assert got <= ex  # candidates-subset contract
     j = dict(zip(zip(lsh.conv_a, lsh.conv_b), lsh.jac))
     assert j[("c1", "c2")] == 1.0
+
+
+def test_entity_bfs_hand_chain_and_hop_cap():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import entity_bfs
+
+    # chain a-b-c-d-e plus isolated f: source = 'a' (min path among edge
+    # endpoints), so dists are 0..4 and f is unreachable (-1)
+    tab = _path_triples_table({"c1": ["a", "b"], "c2": ["b", "c"],
+                               "c3": ["c", "d"], "c4": ["d", "e"],
+                               "c5": ["f"]})
+    out = entity_bfs(rd.from_arrow(tab), max_hops=6)
+    assert list(zip(out.dist, out.n_nodes)) == [
+        (-1, 1), (0, 1), (1, 1), (2, 1), (3, 1), (4, 1)]
+    # hop cap: with max_hops=2 nodes d, e fall into the -1 bucket with f
+    capped = entity_bfs(rd.from_arrow(tab), max_hops=2)
+    assert list(zip(capped.dist, capped.n_nodes)) == [
+        (-1, 3), (0, 1), (1, 1), (2, 1)]
+
+
+def test_entity_bfs_small_matches_distributed():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import entity_bfs
+
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["c", "d"],
+                               "c3": ["d", "e"], "c4": ["x", "y"],
+                               "c5": ["z"]})
+    small = entity_bfs(rd.from_arrow(tab), max_hops=4)
+    dist = entity_bfs(rd.from_arrow(tab), max_hops=4,
+                      small_incidence_rows=0)
+    pd.testing.assert_frame_equal(small, dist)
+
+
+def test_link_prediction_aa_hand_graph():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import link_prediction_aa
+
+    # path a-b-c: only non-adjacent co-wedge pair is (a, c) via center b
+    # (deg 2) -> aa_nano = round_away(1e9 / ln 2) = 1442695041
+    tab = _path_triples_table({"c1": ["a", "b"], "c2": ["b", "c"]})
+    out = link_prediction_aa(rd.from_arrow(tab), k=10)
+    assert list(zip(out.path_a, out.path_b, out.aa_nano)) == [
+        ("a", "c", 1442695041)]
+    assert out.aa_score.tolist() == [1.4427]
+
+    # square a-b-c-d-a: two candidates (a,c) and (b,d), each with TWO
+    # deg-2 common neighbors -> 2 * 1442695041
+    sq = _path_triples_table({"c1": ["a", "b"], "c2": ["b", "c"],
+                              "c3": ["c", "d"], "c4": ["d", "a"]})
+    out2 = link_prediction_aa(rd.from_arrow(sq), k=10)
+    assert list(zip(out2.path_a, out2.path_b, out2.aa_nano)) == [
+        ("a", "c", 2 * 1442695041), ("b", "d", 2 * 1442695041)]
+
+
+def test_link_prediction_aa_small_matches_distributed():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import link_prediction_aa
+
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["a", "d"],
+                               "c3": ["b", "e"], "c4": ["d", "e", "f"],
+                               "c5": ["c", "f"]})
+    small = link_prediction_aa(rd.from_arrow(tab), k=25)
+    dist = link_prediction_aa(rd.from_arrow(tab), k=25,
+                              small_incidence_rows=0)
+    pd.testing.assert_frame_equal(small, dist)
