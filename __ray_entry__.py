@@ -823,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
         # --- corpus / dedup / similarity (DuckDB-oracled)
         "tfidf_top_terms": corpus.tfidf_top_terms,
+        "bm25_search": corpus.bm25_search,
         "unigram_lm_scores": corpus.unigram_lm_scores,
         "ngram_contamination": corpus.ngram_contamination,
         "dedup_exact_documents": corpus.dedup_exact_documents,
@@ -1481,6 +1482,48 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_counts": kg_node_counts_sql,
         "kg_entity_mentions": kg_entity_mentions_sql,
         "pii_redaction": _pii_redaction_sql(transcripts_glob),
+        "bm25_search": r"""
+            -- BM25 top-15 for query terms (spark, merge, vector); Lucene-form
+            -- idf, k1=1.2 b=0.75, per-(doc,term) contribution quantized to
+            -- integer nanos with the IDENTICAL IEEE expression order as the
+            -- Ray kernel (1.2+1.0 == 2.2 bit-exact), so scores compare as
+            -- exact integer sums. Same whitespace split as tfidf_top_terms.
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM toks WHERE tok <> '' GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1
+            ), stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT sum(dl) FROM dl) AS sum_dl
+            ), qdf AS (
+                SELECT tok, count(*) AS df FROM tf
+                WHERE tok IN ('spark', 'merge', 'vector') GROUP BY 1
+            ), idf AS (
+                SELECT q.tok, ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0) AS idf,
+                       s.sum_dl * 1.0 / s.n AS avgdl
+                FROM qdf q, stats s WHERE q.df > 0
+            ), contrib AS (
+                SELECT t.doc_id,
+                       CAST(round(i.idf * (t.tf * (1.2 + 1.0))
+                            / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / i.avgdl))
+                            * 1000000000.0, 0) AS BIGINT) AS nano
+                FROM tf t JOIN idf i ON t.tok = i.tok
+                JOIN dl d ON d.doc_id = t.doc_id
+            ), scores AS (
+                SELECT doc_id, CAST(sum(nano) AS BIGINT) AS score_nano
+                FROM contrib GROUP BY 1
+            )
+            SELECT doc_id, score_nano,
+                   round(score_nano / 1000000000.0, 4) AS bm25
+            FROM scores WHERE score_nano > 0
+            ORDER BY score_nano DESC, doc_id
+            LIMIT 15
+        """,
         "unigram_lm_scores": r"""
             -- corpus unigram LM fit + per-doc avg -ln(c/N) score; same
             -- whitespace split as tfidf_top_terms, 4dp away-from-zero round

@@ -50,6 +50,12 @@ def grouped_sums(
     aggs = [Sum(out, alias_name=out) for out in sum_cols]
     aggs.append(Sum(count_col, alias_name=count_col))
     out = partial.groupby(keys).aggregate(*aggs).to_pandas()
+    if count_col not in out.columns and out.empty:
+        # Ray loses the schema of a fully-empty lineage; rebuild it so
+        # callers can select/sort the expected columns (ADVICE r4 pattern).
+        out = pd.DataFrame({c: pd.Series(dtype="object") for c in keys}
+                           | {c: pd.Series(dtype="int64")
+                              for c in list(sum_cols) + [count_col]})
     if count_alias is None:
         out = out.drop(columns=[count_col])
     return out

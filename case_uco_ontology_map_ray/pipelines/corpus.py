@@ -1146,3 +1146,110 @@ def dedup_exact_size_histogram(sf_dir: str) -> pd.DataFrame:
     out = grouped_sums(ones, keys=["group_size"], sum_cols={"n_groups": "one"})
     out = out.astype({"group_size": "int64", "n_groups": "int64"})
     return out.sort_values("group_size").reset_index(drop=True)
+
+
+def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge", "vector"),
+                k: int = 15, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """BM25 top-k retrieval over the documents corpus — the classic IR
+    scoring the reference's search surface would need at corpus scale.
+
+    Two streaming passes, no full materialization: (A) one explode pass
+    reduces to |terms|+1 rows of global stats (N, sum dl, per-term df —
+    per-batch partials, tiny groupby); (B) a map-only scoring pass with
+    the stats broadcast in the task closure, per-batch top-k pruned, then
+    a distributed top-k merge. Determinism contract with the DuckDB twin:
+    each (doc, term) contribution is computed with the IDENTICAL IEEE
+    expression order (Lucene-form idf, k1/b literals) and quantized once
+    to integer nanos, so per-doc scores are exact integer sums.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums, round_away, topk_ds
+
+    term_list = list(terms)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tok_layout(t: pa.Table):
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.values
+        doc_ix = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                           np.diff(offs))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_docs = len(offs) - 1
+        dl = np.bincount(doc_ix[nonempty], minlength=n_docs).astype(np.int64)
+        return flat, doc_ix, n_docs, dl
+
+    def stats_part(t: pa.Table) -> pa.Table:
+        flat, doc_ix, n_docs, dl = tok_layout(t)
+        rows_t, rows_df = ["__corpus__"], [0]
+        for term in term_list:
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_ix[m], minlength=n_docs)
+            rows_t.append(term)
+            rows_df.append(int((tf > 0).sum()))
+        return pa.table({
+            "term": pa.array(rows_t, pa.string()),
+            "df_part": pa.array(rows_df, pa.int64()),
+            "dl_part": pa.array([int(dl.sum())] + [0] * len(term_list),
+                                pa.int64()),
+            "n_part": pa.array([n_docs] + [0] * len(term_list), pa.int64()),
+        })
+
+    st = grouped_sums(ds.map_batches(stats_part, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      keys=["term"], sum_cols={"df": "df_part",
+                                               "dl": "dl_part",
+                                               "n": "n_part"})
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score_nano": pd.Series(dtype="int64"),
+                          "bm25": pd.Series(dtype="float64")})
+    if st.empty:
+        return empty
+    srow = st[st.term == "__corpus__"]
+    n_total = int(srow.n.iloc[0])
+    sum_dl = int(srow.dl.iloc[0])
+    if n_total == 0:
+        return empty
+    avgdl = sum_dl * 1.0 / n_total
+    dfs = dict(zip(st.term, st.df.astype("int64")))
+    idf = {t: float(np.log((n_total - dfs.get(t, 0) + 0.5)
+                           / (dfs.get(t, 0) + 0.5) + 1.0))
+           for t in term_list if dfs.get(t, 0) > 0}
+    if not idf:
+        return empty
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, doc_ix, n_docs, dl = tok_layout(t)
+        nano = np.zeros(n_docs, np.int64)
+        dlf = dl.astype(np.float64)
+        for term, idf_t in idf.items():
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_ix[m], minlength=n_docs).astype(np.float64)
+            hit = tf > 0
+            if not hit.any():
+                continue
+            c = (idf_t * (tf[hit] * (k1 + 1.0))
+                 / (tf[hit] + k1 * (1.0 - b + b * dlf[hit] / avgdl))
+                 * 1000000000.0)
+            nano[hit] += round_away(c, 0).astype(np.int64)
+        keep = nano > 0
+        out = pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "score_nano": pa.array(nano[keep], pa.int64()),
+        })
+        return out
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = topk_ds(scored, by=["score_nano", "doc_id"],
+                  ascending=[False, True], k=k,
+                  columns=["doc_id", "score_nano"])
+    if out.empty:
+        return empty
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score_nano"] = out["score_nano"].astype("int64")
+    out["bm25"] = round_away(out["score_nano"].to_numpy() / 1e9, 4)
+    return out[["doc_id", "score_nano", "bm25"]].reset_index(drop=True)

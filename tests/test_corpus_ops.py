@@ -995,3 +995,57 @@ def test_crosscorpus_jaccard_exact_only_cross_pairs():
     # cross pairs only: the train-train exact dup (1,3) must NOT appear
     assert got == {(10, 1), (10, 3)}
     assert (out.jac > 0.3).all()
+
+
+def test_bm25_search_hand_computed(ray_session, tmp_path):
+    """Four-doc corpus with hand-computable BM25: the doc that repeats a
+    query term beats a single mention of the same term; a shorter doc
+    beats a longer one at equal tf; docs with no query term are absent."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import bm25_search
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["spark spark filler",          # tf=2, dl=3
+                           "spark filler filler",          # tf=1, dl=3
+                           "spark alpha beta gamma delta", # tf=1, dl=5
+                           "alpha beta"]})                 # no query term
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = bm25_search(str(tmp_path), terms=("spark",), k=10)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+
+    n, df, k1, b = 4, 3, 1.2, 0.75
+    avgdl = (3 + 3 + 5 + 2) / n
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def nano(tf, dl):
+        c = (idf * (tf * (k1 + 1.0))
+             / (tf + k1 * (1.0 - b + b * dl / avgdl)) * 1e9)
+        return math.floor(c + 0.5) if c >= 0 else -math.floor(-c + 0.5)
+
+    assert out["score_nano"].tolist() == [nano(2, 3), nano(1, 3), nano(1, 5)]
+    assert out["bm25"].tolist() == [round(s / 1e9, 4)
+                                    for s in out["score_nano"]]
+
+
+def test_bm25_search_no_hits_and_empty_corpus(ray_session, tmp_path):
+    """A term absent from every doc and an empty corpus both return a
+    schema-stable empty frame."""
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import bm25_search
+
+    t = pa.table({"doc_id": [1], "text": ["alpha beta"]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = bm25_search(str(tmp_path), terms=("zzz_missing",))
+    assert list(out.columns) == ["doc_id", "score_nano", "bm25"]
+    assert out.empty
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    pq.write_table(empty, tmp_path / "documents.parquet")
+    out2 = bm25_search(str(tmp_path))
+    assert list(out2.columns) == ["doc_id", "score_nano", "bm25"]
+    assert out2.empty
