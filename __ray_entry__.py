@@ -824,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus / dedup / similarity (DuckDB-oracled)
         "tfidf_top_terms": corpus.tfidf_top_terms,
         "bm25_search": corpus.bm25_search,
+        "pmi_collocations": corpus.pmi_collocations,
         "unigram_lm_scores": corpus.unigram_lm_scores,
         "ngram_contamination": corpus.ngram_contamination,
         "dedup_exact_documents": corpus.dedup_exact_documents,
@@ -1523,6 +1524,44 @@ def oracle_sql() -> dict[str, str]:
             FROM scores WHERE score_nano > 0
             ORDER BY score_nano DESC, doc_id
             LIMIT 15
+        """,
+        "pmi_collocations": r"""
+            -- top-15 PMI collocations (adjacent word pairs, c_ab >= 5);
+            -- ln(p(a,b)/(p(a)p(b))) quantized to integer nanos with the
+            -- identical IEEE expression order as the Ray kernel. Same
+            -- whitespace split + boundary-masked adjacency as top_bigrams.
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), uni AS (
+                SELECT tok AS a, count(*) AS c FROM toks
+                WHERE tok <> '' GROUP BY 1
+            ), tl AS (
+                SELECT string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), pairs AS (
+                SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+                FROM tl WHERE len(t) >= 2
+            ), bi AS (
+                SELECT z[1] AS a, z[2] AS b, count(*) AS c_ab
+                FROM pairs WHERE z[1] <> '' AND z[2] <> '' GROUP BY 1, 2
+            ), tot AS (
+                SELECT (SELECT sum(c) FROM uni) AS nu,
+                       (SELECT sum(c_ab) FROM bi) AS nb
+            ), scored AS (
+                SELECT b.a || ' ' || b.b AS bigram, b.c_ab,
+                       CAST(round(ln((CAST(b.c_ab AS DOUBLE) * t.nu * t.nu)
+                                     / (CAST(t.nb AS DOUBLE) * ua.c * ub.c))
+                                  * 1000000000.0, 0) AS BIGINT) AS pmi_nano
+                FROM bi b
+                CROSS JOIN tot t
+                JOIN uni ua ON ua.a = b.a
+                JOIN uni ub ON ub.a = b.b
+                WHERE b.c_ab >= 5
+            )
+            SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, pmi_nano,
+                   round(pmi_nano / 1000000000.0, 4) AS pmi
+            FROM scored ORDER BY pmi_nano DESC, bigram LIMIT 15
         """,
         "unigram_lm_scores": r"""
             -- corpus unigram LM fit + per-doc avg -ln(c/N) score; same

@@ -1253,3 +1253,123 @@ def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge", "vector
     out["score_nano"] = out["score_nano"].astype("int64")
     out["bm25"] = round_away(out["score_nano"].to_numpy() / 1e9, 4)
     return out[["doc_id", "score_nano", "bm25"]].reset_index(drop=True)
+
+
+def pmi_collocations(sf_dir: str, k: int = 15,
+                     min_count: int = 5) -> pd.DataFrame:
+    """Top-k PMI collocations over the corpus: adjacent word pairs ranked
+    by pointwise mutual information ln(p(a,b) / (p(a) p(b))) — classic
+    collocation mining for training-data analysis.
+
+    One fused explode pass emits unigram AND bigram partial counts (one
+    corpus read, one shuffle; unigram rows use the b='' sentinel, which no
+    real bigram can carry). The counts dataset is materialized once
+    (vocab-sized, far smaller than the corpus) and feeds the totals, the
+    candidate filter (c_ab >= min_count prunes before any join) and two
+    adaptive joins that attach c(a) and c(b) — broadcast when the vocab is
+    measured small, hash-bucketed otherwise. Scores are quantized to
+    integer nanos with the same IEEE expression order as the DuckDB twin.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums_ds, round_away, topk_ds
+    from ..ops.joins import adaptive_join
+
+    ds = _docs(sf_dir, ["text"])
+    empty = pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                          "c_ab": pd.Series(dtype="int64"),
+                          "pmi_nano": pd.Series(dtype="int64"),
+                          "pmi": pd.Series(dtype="float64")})
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        vals = toks.values
+        n = len(vals)
+        out_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                                ("n_part", pa.int64())])
+        parts = []
+        if n:
+            lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+            uni = pa.table({"a": vals.filter(pa.array(lens > 0))})
+            agg_u = uni.group_by(["a"]).aggregate([([], "count_all")])
+            agg_u = agg_u.rename_columns(["a", "n_part"])
+            agg_u = agg_u.add_column(1, "b", pa.array([""] * agg_u.num_rows,
+                                                      pa.string()))
+            parts.append(agg_u.select(["a", "b", "n_part"]))
+        if n >= 2:
+            a = vals.slice(0, n - 1)
+            b = vals.slice(1, n - 1)
+            valid = np.ones(n - 1, dtype=bool)
+            inner = offs[1:-1] - 1
+            valid[inner[(inner >= 0) & (inner < n - 1)]] = False
+            mask = pa.array(valid & (lens[:-1] > 0) & (lens[1:] > 0))
+            pairs = pa.table({"a": a.filter(mask), "b": b.filter(mask)})
+            agg_b = pairs.group_by(["a", "b"]).aggregate([([], "count_all")])
+            parts.append(agg_b.rename_columns(["a", "b", "n_part"]))
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables([p.cast(out_schema) for p in parts])
+
+    counts = grouped_sums_ds(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["a", "b"], sum_cols={"n": "n_part"}).materialize()
+
+    def split_kind(want_uni: bool, rename: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("b"), "")
+            if not want_uni:
+                m = pc.and_(pc.invert(m),
+                            pc.greater_equal(t.column("n"), min_count))
+            out = t.filter(m)
+            if want_uni:
+                out = out.select(["a", "n"])
+            return out.rename_columns(rename)
+        return f
+
+    n_uni = counts.map_batches(split_kind(True, ["a", "c"]),
+                               batch_format="pyarrow").sum("c") or 0
+    def bi_total(t: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(t.column("b"), ""))
+        return t.filter(m)
+    n_bi = counts.map_batches(bi_total, batch_format="pyarrow").sum("n") or 0
+    if n_uni == 0 or n_bi == 0:
+        return empty
+
+    bi = counts.map_batches(split_kind(False, ["a", "b", "c_ab"]),
+                            batch_format="pyarrow")
+    uni_a = counts.map_batches(split_kind(True, ["a", "c_a"]),
+                               batch_format="pyarrow")
+    uni_b = counts.map_batches(
+        lambda t: split_kind(True, ["b", "c_b"])(t), batch_format="pyarrow")
+    j = adaptive_join(adaptive_join(bi, uni_a, on="a"), uni_b, on="b")
+
+    nu, nb = float(n_uni), float(n_bi)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("bigram", pa.string()), ("c_ab", pa.int64()),
+                              ("pmi_nano", pa.int64())]).empty_table()
+        c_ab = t.column("c_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = t.column("c_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = t.column("c_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((c_ab * nu * nu) / (nb * c_a * c_b))
+        nano = round_away(pmi * 1000000000.0, 0).astype(np.int64)
+        bigram = pc.binary_join_element_wise(
+            t.column("a").combine_chunks().cast(pa.string()),
+            t.column("b").combine_chunks().cast(pa.string()), " ")
+        return pa.table({"bigram": bigram,
+                         "c_ab": t.column("c_ab").cast(pa.int64()),
+                         "pmi_nano": pa.array(nano, pa.int64())})
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    out = topk_ds(scored, by=["pmi_nano", "bigram"], ascending=[False, True],
+                  k=k, columns=["bigram", "c_ab", "pmi_nano"])
+    if out.empty:
+        return empty
+    out["c_ab"] = out["c_ab"].astype("int64")
+    out["pmi_nano"] = out["pmi_nano"].astype("int64")
+    out["pmi"] = round_away(out["pmi_nano"].to_numpy() / 1e9, 4)
+    return out[["bigram", "c_ab", "pmi_nano", "pmi"]].reset_index(drop=True)

@@ -1049,3 +1049,50 @@ def test_bm25_search_no_hits_and_empty_corpus(ray_session, tmp_path):
     out2 = bm25_search(str(tmp_path))
     assert list(out2.columns) == ["doc_id", "score_nano", "bm25"]
     assert out2.empty
+
+
+def test_pmi_collocations_hand_computed(ray_session, tmp_path):
+    """Tiny corpus where one pair always co-occurs and another never does:
+    the always-together pair gets the max PMI; pairs under min_count are
+    pruned; document boundaries never form pairs."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import pmi_collocations
+
+    # "x y" appears in every doc (5 times); "x z" never adjacent.
+    docs = ["x y z w"] * 5 + ["w z"]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = pmi_collocations(str(tmp_path), k=10, min_count=5)
+    # bigrams with c_ab >= 5: "x y", "y z", "z w" (5 each)
+    assert sorted(out["bigram"]) == ["x y", "y z", "z w"]
+    n_uni, n_bi = 22, 16  # 5*4 + 2 tokens; 5*3 + 1 pairs
+    c = {"x": 5, "y": 5, "z": 6, "w": 6}
+
+    def pmi(a, b):
+        return math.log((5.0 * n_uni * n_uni) / (float(n_bi) * c[a] * c[b]))
+
+    exp = {f"{a} {b}": pmi(a, b) for a, b in [("x", "y"), ("y", "z"),
+                                              ("z", "w")]}
+    got = dict(zip(out["bigram"], out["pmi_nano"]))
+    for bg, p in exp.items():
+        assert got[bg] == int(math.floor(p * 1e9 + 0.5))
+    # "x y" (rarer unigrams) outranks "z w"
+    assert out["bigram"].iloc[0] == "x y"
+    # boundary: last token of doc i and first of doc i+1 never pair
+    assert "w w" not in set(out["bigram"])
+
+
+def test_pmi_collocations_empty_corpus(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import pmi_collocations
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    pq.write_table(empty, tmp_path / "documents.parquet")
+    out = pmi_collocations(str(tmp_path))
+    assert list(out.columns) == ["bigram", "c_ab", "pmi_nano", "pmi"]
+    assert out.empty
