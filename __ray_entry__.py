@@ -148,6 +148,14 @@ def _kg_comention_components(sf_dir: str):
     return comention_components(triples, k=40)
 
 
+def _kg_kcore(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import entity_kcore
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return entity_kcore(triples, kk=3, rounds=12, k=40)
+
+
 def _kg_incremental_counts(sf_dir: str):
     """Delta-vs-prior-corpus KG construction gate: prior = conversations
     with an EVEN numeric suffix (a SQL-reproducible split), delta = the
@@ -782,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conversation_entities": _kg_conversation_entities,
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_comention_components": _kg_comention_components,
+        "kg_kcore": _kg_kcore,
         "kg_entity_timeline": _kg_entity_timeline,
         "kg_incremental_counts": _kg_incremental_counts,
         "kg_conversation_triple_counts": _kg_conversation_triple_counts,
@@ -1209,6 +1218,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_nodes DESC, component_path
             LIMIT 40
         """
+    # k-core oracle: the SAME monotone peel the engine runs, unrolled as
+    # chained CTEs (a{i+1} = alive nodes with >= kk alive neighbors).
+    # Monotonicity makes the engine's fixpoint early-stop equal the exact
+    # 12-round value the SQL computes. Every round CTE is MATERIALIZED:
+    # each references its predecessor twice (both join endpoints), so
+    # DuckDB 1.0's default inlining would expand 2^12 copies of the whole
+    # chain back to the parquet scan and fail the bind with a spurious
+    # "No files found" IO error.
+    _kc_rounds = []
+    for i in range(12):
+        _kc_rounds.append(f"""a{i + 1} AS MATERIALIZED (
+                SELECT e.s AS node
+                FROM edges e
+                JOIN a{i} x ON e.s = x.node
+                JOIN a{i} y ON e.t = y.node
+                GROUP BY e.s HAVING count(*) >= 3
+            )""")
+    kg_kcore_sql = f"""
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS MATERIALIZED (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM edges),
+            {', '.join(_kc_rounds)}
+            SELECT x.node AS path,
+                   CAST(count(*) AS BIGINT) AS core_degree
+            FROM edges e
+            JOIN a12 x ON e.s = x.node
+            JOIN a12 y ON e.t = y.node
+            GROUP BY x.node
+            ORDER BY core_degree DESC, path
+            LIMIT 40
+        """
     # per-hour mention/entity rollup: the mention extraction again, but at
     # TURN granularity with the turn's ts carried through (the engine joins
     # mentions back to the turn table on a hashed (conv_id, turn_idx) key)
@@ -1587,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
+        "kg_kcore": kg_kcore_sql,
         "kg_entity_bfs": f"""
             -- single-source BFS hop-distance histogram over the co-mention
             -- graph; source = min normalized path among edge endpoints,

@@ -1766,3 +1766,114 @@ def link_prediction_aa(triples: rd.Dataset, k: int = 20,
                   ascending=[False, True, True], k=k,
                   columns=["path_a", "path_b", "aa_nano"])
     return finish_frame(out)
+
+
+def entity_kcore(triples: rd.Dataset, kk: int = 3, rounds: int = 12,
+                 k: int = 40,
+                 small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                 ) -> pd.DataFrame:
+    """k-core of the entity co-mention graph: iteratively peel nodes whose
+    degree within the surviving subgraph is < ``kk``, up to ``rounds``
+    times (reference analog: the graph-pruning step of tools.py's entity
+    summary views; here a first-class distributed graph operator).
+
+    Contract: the exact ``rounds``-round peel. The peel is monotone (the
+    alive set only shrinks), so a fixpoint reached early makes every later
+    round a no-op — the engine early-stops there (equal alive COUNTS imply
+    equal sets under shrink-only), and the result still equals the
+    ``rounds``-round peel the SQL twin unrolls as chained CTEs. Whenever
+    the peel converges inside the bound (every corpus tested), this IS the
+    classical k-core.
+
+    Returns top-``k`` core members (path, core_degree) ordered by
+    (core_degree DESC, path ASC); core_degree is the node's degree inside
+    the peeled subgraph.
+
+    Scale shape — same adaptive gate as the other graph analytics: below
+    ``small_incidence_rows`` collected incidence rows the peel is numpy
+    bincounts on the driver; above it each round is two bucketed semi
+    joins (edge endpoints against the surviving node set, co-located by
+    key hash) + a partial-agg degree count, with only the per-round alive
+    COUNT touching the driver. Per-round cost is O(E_alive) exchanged
+    rows, and E_alive shrinks monotonically.
+    """
+    from ..ops.agg import grouped_sums_ds, topk_ds
+    from ..ops.joins import bucket_join, bucket_semi_join
+
+    empty = pd.DataFrame({"path": pd.Series(dtype="str"),
+                          "core_degree": pd.Series(dtype="int64")})
+
+    mentions = mentions_from_triples(triples).materialize()
+    incidence = _conv_pid_incidence(mentions).materialize()
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        nodes, _deg, s_idx, t_idx = _edges_from_incidence(band, pid)
+        if len(nodes) == 0:
+            return empty
+        alive = np.ones(len(nodes), dtype=bool)
+        for _ in range(rounds):
+            live = alive[s_idx] & alive[t_idx]
+            d = np.bincount(s_idx[live], minlength=len(nodes))
+            new_alive = alive & (d >= kk)
+            if new_alive.sum() == alive.sum():
+                break
+            alive = new_alive
+        live = alive[s_idx] & alive[t_idx]
+        core_deg = np.bincount(s_idx[live], minlength=len(nodes))[alive]
+        core_nodes = nodes[alive]
+        if len(core_nodes) == 0:
+            return empty
+        pmap = distinct_paths(mentions).to_pandas()
+        pmap = dict(zip(pmap.pid, pmap.norm_path))
+        out = pd.DataFrame({"path": [pmap[n] for n in core_nodes],
+                            "core_degree": core_deg.astype("int64")})
+        return (out.sort_values(["core_degree", "path"],
+                                ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    edges, deg = comention_graph(triples)
+    deg = deg.materialize()
+    if deg.count() == 0:
+        return empty
+
+    def nodes_only(t: pa.Table) -> pa.Table:
+        return t.select(["node"])
+
+    alive_ds = deg.map_batches(nodes_only, batch_format="pyarrow").materialize()
+    n_alive = alive_ds.count()
+
+    def to_node(t: pa.Table) -> pa.Table:
+        return t.select(["s"]).rename_columns(["node"])
+
+    for _ in range(rounds):
+        sa = bucket_semi_join(edges, alive_ds, on="s", right_on="node")
+        sb = bucket_semi_join(sa, alive_ds, on="t", right_on="node")
+        cnt = grouped_sums_ds(sb, keys=["s"], sum_cols={}, count_alias="d")
+        nxt = (cnt.filter(expr=f"d >= {kk}")
+               .map_batches(to_node, batch_format="pyarrow").materialize())
+        n_next = nxt.count()
+        alive_ds = nxt
+        if n_next == 0:
+            return empty
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+
+    sa = bucket_semi_join(edges, alive_ds, on="s", right_on="node")
+    sb = bucket_semi_join(sa, alive_ds, on="t", right_on="node")
+    core = grouped_sums_ds(sb, keys=["s"], sum_cols={},
+                           count_alias="core_degree")
+    core = core.map_batches(
+        lambda t: t.rename_columns(["pid", "core_degree"]),
+        batch_format="pyarrow")
+    named = bucket_join(core, distinct_paths(mentions), on="pid")
+    out = topk_ds(named, by=["core_degree", "norm_path"],
+                  ascending=[False, True], k=k,
+                  columns=["pid", "core_degree", "norm_path"])
+    if out.empty:
+        return empty
+    out = out.rename(columns={"norm_path": "path"})
+    out["core_degree"] = out["core_degree"].astype("int64")
+    return (out[["path", "core_degree"]]
+            .sort_values(["core_degree", "path"], ascending=[False, True])
+            .reset_index(drop=True))

@@ -508,3 +508,43 @@ def test_link_prediction_aa_small_matches_distributed():
     dist = link_prediction_aa(rd.from_arrow(tab), k=25,
                               small_incidence_rows=0)
     pd.testing.assert_frame_equal(small, dist)
+
+
+def test_entity_kcore_hand_graph():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import entity_kcore
+
+    # 2-core: conversation clique {a,b,c} survives (triangle, all deg 2);
+    # the d-e-f chain peels away (endpoints deg 1, then e loses both)
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["d", "e"],
+                               "c3": ["e", "f"]})
+    out = entity_kcore(rd.from_arrow(tab), kk=2, rounds=12, k=10)
+    assert list(zip(out.path, out.core_degree)) == [
+        ("a", 2), ("b", 2), ("c", 2)]
+
+
+def test_entity_kcore_peels_transitively():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import entity_kcore
+
+    # star: the leaves die in round 1 (deg 1 < 2), the hub only in round 2
+    # (its neighbors are gone) — a 1-round peel would wrongly keep the hub
+    tab = _path_triples_table({f"c{i}": ["h", f"x{i}"] for i in range(4)})
+    out = entity_kcore(rd.from_arrow(tab), kk=2, rounds=12, k=10)
+    assert out.empty
+
+
+def test_entity_kcore_small_matches_distributed():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import entity_kcore
+
+    tab = _path_triples_table({"c1": ["a", "b", "c", "d"], "c2": ["a", "e"],
+                               "c3": ["b", "e"], "c4": ["e", "f"]})
+    small = entity_kcore(rd.from_arrow(tab), kk=2, rounds=12, k=10)
+    dist = entity_kcore(rd.from_arrow(tab), kk=2, rounds=12, k=10,
+                        small_incidence_rows=0)
+    pd.testing.assert_frame_equal(small, dist)
