@@ -836,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": corpus.pmi_collocations,
         "unigram_lm_scores": corpus.unigram_lm_scores,
         "ngram_contamination": corpus.ngram_contamination,
+        "dup_ngram_coverage": corpus.dup_ngram_coverage,
         "dedup_exact_documents": corpus.dedup_exact_documents,
         "dedup_incremental_documents": corpus.dedup_incremental_documents,
         "dedup_minhash_invariants": corpus.dedup_minhash_invariants,
@@ -2153,6 +2154,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE text NOT IN (SELECT text FROM prior)
             GROUP BY text
             ORDER BY doc_id
+        """,
+        "dup_ngram_coverage": r"""
+            -- duplicate word-5-gram coverage per document (Lee et al.
+            -- suffix-array dedup signal at word-gram granularity): a
+            -- position is duplicated when its gram occurs >1 time in the
+            -- whole corpus; docs with < 5 tokens contribute no grams
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS a
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       array_to_string(a[CAST(i AS INT):CAST(i + 4 AS INT)],
+                                       ' ') AS gram
+                FROM toks, LATERAL unnest(range(1, len(a) - 3)) AS t(i)
+            ), perdoc AS (
+                SELECT doc_id, gram, count(*) AS cnt
+                FROM grams GROUP BY doc_id, gram
+            ), tot AS (
+                SELECT gram, sum(cnt) AS c FROM perdoc GROUP BY gram
+            )
+            SELECT p.doc_id,
+                   CAST(sum(p.cnt) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (t.c > 1) AS BIGINT) AS n_dup_grams,
+                   CAST(coalesce(sum(p.cnt) FILTER (t.c > 1), 0) AS BIGINT)
+                       AS n_dup_positions
+            FROM perdoc p JOIN tot t USING (gram)
+            GROUP BY p.doc_id
+            ORDER BY p.doc_id
         """,
         "ngram_contamination": r"""
             WITH toks AS (

@@ -491,12 +491,14 @@ def kmeans_invariants(sf_dir: str, n_clusters: int = 8,
         "inertia_nonincreasing": pd.array([monotone], dtype="bool")})
 
 
-def _word_grams(t: pa.Table, k_gram: int, with_doc: bool) -> pa.Table:
+def _word_grams(t: pa.Table, k_gram: int, with_doc: bool,
+                counted: bool = False) -> pa.Table:
     """Distinct word k-grams per batch: Arrow whitespace split -> flatten ->
     drop empty edge tokens -> vectorized sliding-window join (k shifted
     numpy string views concatenated, masked at document boundaries).
     Documents never span batches, so the in-batch distinct is globally
-    exact for (doc_id, gram)."""
+    exact for (doc_id, gram). ``counted`` adds the per-key occurrence
+    count ``cnt`` (exact for the same reason)."""
     import pyarrow.compute as pc
 
     toks_list = pc.utf8_split_whitespace(t.column("text"))
@@ -508,8 +510,13 @@ def _word_grams(t: pa.Table, k_gram: int, with_doc: bool) -> pa.Table:
     doc = doc[keep]
     n = len(words)
     if n < k_gram:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "gram": pa.array([], pa.string())})
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string())}
+        if counted:
+            cols["cnt"] = pa.array([], pa.int64())
+        out = pa.table(cols)
+        return out if with_doc else out.select(
+            ["gram", "cnt"] if counted else ["gram"])
     m = n - k_gram + 1
     ok = doc[:m] == doc[k_gram - 1:]          # window stays inside one doc
     grams = words[:m].copy()
@@ -518,6 +525,9 @@ def _word_grams(t: pa.Table, k_gram: int, with_doc: bool) -> pa.Table:
     out = pa.table({"doc_id": pa.array(doc[:m][ok], pa.int64()),
                     "gram": pa.array(grams[ok], pa.string())})
     keys = ["doc_id", "gram"] if with_doc else ["gram"]
+    if counted:
+        agg = out.group_by(keys).aggregate([([], "count_all")])
+        return agg.rename_columns(keys + ["cnt"])
     agg = out.group_by(keys).aggregate([])
     return agg.select(keys)
 
@@ -1373,3 +1383,53 @@ def pmi_collocations(sf_dir: str, k: int = 15,
     out["pmi_nano"] = out["pmi_nano"].astype("int64")
     out["pmi"] = round_away(out["pmi_nano"].to_numpy() / 1e9, 4)
     return out[["bigram", "c_ab", "pmi_nano", "pmi"]].reset_index(drop=True)
+
+
+def dup_ngram_coverage(sf_dir: str, k_gram: int = 5) -> pd.DataFrame:
+    """Per-document duplicate-n-gram coverage — the corpus-level repetition
+    signal behind suffix-array training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), here at
+    word n-gram granularity: a gram POSITION is duplicated when its gram
+    occurs more than once in the whole corpus (in another document or
+    again in the same one). Per doc: total gram positions, distinct
+    duplicated grams, and duplicated positions (the numerator of the
+    dup-coverage fraction used as a filter threshold).
+
+    Scale shape: one explode pass with a per-batch (doc_id, gram, cnt)
+    combiner (documents never span batches, so in-batch counts are exact
+    and the exchange carries distinct grams x docs, not positions); gram
+    totals via a partial-agg groupby on the gram string; the duplicated
+    subset flows back through a bucketed semi join (no driver gram set,
+    no broadcast of the vocabulary); per-doc rollups are partial-agg
+    groupbys; docs whose grams are all unique are restored by a LEFT
+    bucket join (ops/joins.bucket_join how='left') with zero-fill.
+    """
+    from ..ops.agg import grouped_sums_ds
+    from ..ops.joins import bucket_join, bucket_semi_join
+
+    per = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _word_grams(t, k_gram, with_doc=True, counted=True),
+        batch_format="pyarrow").materialize()  # reused by 3 consumers
+    totals = grouped_sums_ds(per, keys=["gram"], sum_cols={"c": "cnt"})
+    dup = totals.filter(expr="c > 1")
+    shared = bucket_semi_join(per, dup, on="gram")
+    dups = grouped_sums_ds(shared, keys=["doc_id"],
+                           sum_cols={"n_dup_positions": "cnt"},
+                           count_alias="n_dup_grams")
+    tot = grouped_sums_ds(per, keys=["doc_id"], sum_cols={"n_grams": "cnt"})
+    joined = bucket_join(tot, dups, on="doc_id", how="left")
+
+    def fill(t: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_dup_grams", "n_dup_positions"):
+            t[c] = t[c].fillna(0).astype("int64")
+        t["n_grams"] = t["n_grams"].astype("int64")
+        return t
+
+    out = joined.map_batches(fill, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_grams": pd.Series(dtype="int64"),
+                             "n_dup_grams": pd.Series(dtype="int64"),
+                             "n_dup_positions": pd.Series(dtype="int64")})
+    return (out[["doc_id", "n_grams", "n_dup_grams", "n_dup_positions"]]
+            .sort_values("doc_id").reset_index(drop=True))

@@ -1096,3 +1096,41 @@ def test_pmi_collocations_empty_corpus(ray_session, tmp_path):
     out = pmi_collocations(str(tmp_path))
     assert list(out.columns) == ["bigram", "c_ab", "pmi_nano", "pmi"]
     assert out.empty
+
+
+def test_dup_ngram_coverage_hand_computed(ray_session, tmp_path):
+    """Three-doc corpus with hand-countable word-2-gram duplication:
+    doc1/doc2 share a gram, doc3 is all-unique (exercises the LEFT-join
+    zero-fill), and doc4 repeats a gram WITHIN itself (self-duplication
+    counts, per the Lee-et-al contract)."""
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import dup_ngram_coverage
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b c",        # grams: "a b", "b c"
+                           "a b x",        # grams: "a b", "b x"
+                           "p q r",        # grams: "p q", "q r" (unique)
+                           "z w z w"]})    # grams: "z w" x2, "w z"
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dup_ngram_coverage(str(tmp_path), k_gram=2)
+    got = {r.doc_id: (r.n_grams, r.n_dup_grams, r.n_dup_positions)
+           for r in out.itertuples()}
+    assert got == {1: (2, 1, 1),   # "a b" duplicated via doc2
+                   2: (2, 1, 1),
+                   3: (2, 0, 0),   # all-unique -> zero-filled
+                   4: (3, 1, 2)}   # "z w" occurs twice inside doc4
+
+
+def test_dup_ngram_coverage_short_docs_excluded(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import dup_ngram_coverage
+
+    t = pa.table({"doc_id": [1, 2], "text": ["only", "a b a b a b"]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dup_ngram_coverage(str(tmp_path), k_gram=3)
+    # doc1 has no 3-grams and is absent; doc2: "a b a" x2, "b a b" x2
+    assert out["doc_id"].tolist() == [2]
+    assert out.iloc[0][["n_grams", "n_dup_grams",
+                        "n_dup_positions"]].tolist() == [4, 2, 4]
