@@ -827,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type": analytics.props_k_by_type,
         "event_value_quantiles": analytics.event_value_quantiles,
         "user_funnel": analytics.user_funnel,
+        "user_day_click_purchase": analytics.user_day_click_purchase,
         "orders_above_customer_avg": analytics.orders_above_customer_avg,
         "brand_price_band_pairs": analytics.brand_price_band_pairs,
         "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
@@ -2205,6 +2206,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tr.doc_id
             ORDER BY n_shared_grams DESC, tr.doc_id
             LIMIT 100
+        """,
+        "user_day_click_purchase": """
+            -- FULL OUTER join gate: user-days with clicks and no purchase
+            -- (and vice versa) both survive, zero-filled
+            WITH c AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       count(*) AS n_clicks
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ), p AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       count(*) AS n_purchases
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                   coalesce(c.day, p.day) AS day,
+                   CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+                   CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases
+            FROM c FULL OUTER JOIN p
+              ON c.user_id = p.user_id AND c.day = p.day
+            ORDER BY 1, 2
         """,
         "user_funnel": """
             WITH v AS (

@@ -340,10 +340,27 @@ def asof_join(left, right, on: str, ts: str, right_ts_name: str,
     return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
-def bucket_join(left, right, on: str, num_buckets: int | None = None,
-                how: str = "inner"):
+def _mix_bucket_multi(t: pa.Table, on: list[str], num_buckets: int) -> pa.Array:
+    """Composite-key bucket routing: pandas' deterministic per-row hash over
+    the key columns (fixed key, identical across worker processes). Equal
+    composite keys always share a bucket; collisions merely co-locate."""
+    import numpy as np
+
+    h = pd.util.hash_pandas_object(
+        t.select(on).to_pandas(), index=False).to_numpy(np.uint64)
+    return pa.array(((h & np.uint64((1 << 62) - 1))
+                     % np.uint64(num_buckets)).astype(np.int64))
+
+
+def bucket_join(left, right, on: "str | list[str]",
+                num_buckets: int | None = None, how: str = "inner"):
+    """Distributed hash join: both sides bucket on the key(s), equal keys
+    co-locate, one pandas merge per bucket (``how`` passes through — inner/
+    left/outer all supported; outer keeps both unmatched sides with the key
+    columns coalesced by the merge)."""
     if num_buckets is None:
         num_buckets = auto_num_buckets(left, right)
+    on_list = [on] if isinstance(on, str) else list(on)
     lschema, rschema = left.schema(), right.schema()
     left_cols = list(lschema.names)
     right_cols = list(rschema.names)
@@ -362,7 +379,11 @@ def bucket_join(left, right, on: str, num_buckets: int | None = None,
                 else:
                     arrays.append(pa.nulls(t.num_rows, type=col_types[c]))
             out = pa.table(dict(zip(names, arrays)))
-            out = out.append_column("__bucket", _mix_bucket(t.column(on), num_buckets))
+            if len(on_list) == 1:
+                bucket = _mix_bucket(t.column(on_list[0]), num_buckets)
+            else:
+                bucket = _mix_bucket_multi(t, on_list, num_buckets)
+            out = out.append_column("__bucket", bucket)
             out = out.append_column("__side", pa.array([side_tag] * t.num_rows, pa.int8()))
             return out
 
@@ -378,7 +399,7 @@ def bucket_join(left, right, on: str, num_buckets: int | None = None,
         side = g.column("__side")
         lg = g.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
         rg = g.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
-        out = lg.merge(rg, on=on, how=how)
+        out = lg.merge(rg, on=on_list, how=how)
         want = {}
         for c in out.columns:
             t = col_types.get(c)

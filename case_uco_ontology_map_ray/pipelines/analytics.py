@@ -1070,3 +1070,59 @@ def approx_users_by_type_invariants(sf_dir: str) -> pd.DataFrame:
         "n_groups": pd.Series([int(len(m))], dtype="int64"),
         "n_violations": pd.Series([int((rel > 0.10).sum())], dtype="int64"),
     })
+
+
+def user_day_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Per-(user, day) click vs purchase activity — the FULL OUTER join
+    shape: a user-day with clicks but no purchase (abandonment) and one
+    with a purchase but no click (direct conversion) both appear, zero-
+    filled on the missing side.
+
+    Scale shape: each side is a partial-agg groupby on the composite
+    (user_id, day) key; the outer join is ops/joins.bucket_join with a
+    composite-key bucket route (pandas row hash over both key columns —
+    equal pairs co-locate) and how='outer', so neither side is collected
+    or broadcast and unmatched rows of BOTH sides survive per bucket.
+    """
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums_ds
+    from ..ops.joins import bucket_join
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def day_of(which: str):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("event_type"), which)
+            f = t.filter(m)
+            return pa.table({
+                "user_id": f.column("user_id"),
+                "day": pc.floor_temporal(f.column("ts"), unit="day"),
+            })
+
+        return fn
+
+    clicks = grouped_sums_ds(
+        ds.map_batches(day_of("click"), batch_format="pyarrow"),
+        keys=["user_id", "day"], sum_cols={}, count_alias="n_clicks")
+    purchases = grouped_sums_ds(
+        ds.map_batches(day_of("purchase"), batch_format="pyarrow"),
+        keys=["user_id", "day"], sum_cols={}, count_alias="n_purchases")
+    joined = bucket_join(clicks, purchases, on=["user_id", "day"],
+                         how="outer")
+
+    def fill(t: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_clicks", "n_purchases"):
+            t[c] = t[c].fillna(0).astype("int64")
+        t["user_id"] = t["user_id"].astype("int64")
+        return t
+
+    out = joined.map_batches(fill, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "day": pd.Series(dtype="datetime64[us]"),
+                             "n_clicks": pd.Series(dtype="int64"),
+                             "n_purchases": pd.Series(dtype="int64")})
+    return (out[["user_id", "day", "n_clicks", "n_purchases"]]
+            .sort_values(["user_id", "day"]).reset_index(drop=True))

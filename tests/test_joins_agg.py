@@ -342,3 +342,38 @@ def test_mix_bucket_binary_keys():
     # sliced fixed-width array (nonzero offset) routes identically
     sl = pa.chunked_array([pa.array(vals, pa.binary(16)).slice(1, 2)])
     assert _mix_bucket(sl, 64).to_pylist() == b1[1:]
+
+
+def test_bucket_join_composite_key_outer(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.joins import bucket_join
+
+    left = rd.from_arrow(pa.table({
+        "u": pa.array([1, 1, 2], pa.int64()),
+        "d": pa.array(["a", "b", "a"], pa.string()),
+        "x": pa.array([10, 11, 12], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "u": pa.array([1, 3], pa.int64()),
+        "d": pa.array(["a", "z"], pa.string()),
+        "y": pa.array([100, 300], pa.int64())}))
+
+    inner = bucket_join(left, right, on=["u", "d"], num_buckets=4).to_pandas()
+    assert len(inner) == 1 and inner.iloc[0][["x", "y"]].tolist() == [10, 100]
+
+    outer = (bucket_join(left, right, on=["u", "d"], num_buckets=4,
+                         how="outer").to_pandas()
+             .sort_values(["u", "d"]).reset_index(drop=True))
+    assert len(outer) == 4  # 1 matched + 2 left-only + 1 right-only
+    row = outer[(outer.u == 3) & (outer.d == "z")]
+    assert len(row) == 1 and pd.isna(row.iloc[0]["x"]) \
+        and row.iloc[0]["y"] == 300
+
+    # composite routing must co-locate equal pairs under any bucket count
+    for nb in (1, 7):
+        again = (bucket_join(left, right, on=["u", "d"], num_buckets=nb,
+                             how="outer").to_pandas()
+                 .sort_values(["u", "d"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(outer, again)
