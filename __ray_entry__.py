@@ -877,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": corpus.doc_length_quantiles,
         "doc_fingerprints": corpus.doc_fingerprints,
         "doc_sample": corpus.doc_sample,
+        "doc_weighted_sample": corpus.doc_weighted_sample,
         "doc_split_assign": corpus.doc_split_assign,
         "doc_bottomk_sample": corpus.doc_bottomk_sample,
         "doc_language_rebalance": corpus.doc_language_rebalance,
@@ -2548,6 +2549,23 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ceil(greatest(length(text) - 30, 1) / 90.0) AS BIGINT) - 1
                  )) AS g(i)
             ORDER BY doc_id, chunk_idx
+        """,
+        "doc_weighted_sample": """
+            -- Efraimidis-Spirakis weighted WOR sample: k smallest
+            -- -ln((h+1)/2^32)/w ranks, h = first 8 md5 hex digits of
+            -- '{doc_id}:42' — identical expression order as the engine,
+            -- ranks compared as integer nanos
+            SELECT doc_id, n_chars,
+                   CAST(round(r * 1000000000.0, 0) AS BIGINT) AS rank_nano
+            FROM (
+                SELECT doc_id, n_chars,
+                       -ln((CAST(('0x' || substring(
+                              md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                            AS BIGINT) + 1) / 4294967296.0) / n_chars AS r
+                FROM documents WHERE n_chars > 0
+                ORDER BY r, doc_id LIMIT 50
+            )
+            ORDER BY rank_nano, doc_id
         """,
         "doc_sample": """
             -- deterministic Bernoulli sample: same md5 keep rule as the

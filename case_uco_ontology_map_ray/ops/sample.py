@@ -156,3 +156,58 @@ def split_assign(ds, key_col: str, fractions: dict[str, float],
                 out_col, pa.array([labels[i] for i in ix], pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_bottomk(ds, key_col: str, weight_col: str, k: int,
+                     seed: int = 42, method: str = "mix64") -> pd.DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement as a
+    distributed bottom-k: each row draws a deterministic uniform u from
+    its key and is ranked by -ln(u)/w; the k smallest ranks are an exact
+    weighted WOR sample (equivalent to maximizing u^(1/w)). Mergeable and
+    shuffle-free: every batch keeps its local k smallest (vectorized),
+    the driver merges the tiny partials — the weighted twin of
+    ``bottomk_sample``.
+
+    ``method="mix64"`` (production): vectorized key hash -> uniform ->
+    ``np.log``. ``method="md5"`` (oracle): md5-derived uniform + libm
+    ``math.log`` per row, bit-reproducible in DuckDB with the identical
+    expression order ``-ln((h + 1) / 2^32) / w``. Rows with weight <= 0
+    are never sampled (both modes, both engines).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from .agg import topk_ds
+
+    if method not in ("mix64", "md5"):
+        raise ValueError(f"unknown sampling method {method!r}")
+
+    def rank_md5(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        ranks = []
+        for kv, wv in zip(keys, w):
+            if wv is None or wv <= 0:
+                ranks.append(math.inf)
+                continue
+            h = int(hashlib.md5(f"{kv}:{seed}".encode()).hexdigest()[:8], 16)
+            ranks.append(-math.log((h + 1) / 4294967296.0) / wv)
+        return t.append_column("__rank", pa.array(ranks, pa.float64()))
+
+    def rank_mix64(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pandas()
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        h = _mix64_u(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64)))
+        u = (h.astype(np.float64) + 1.0) / float(1 << 64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(w > 0, -np.log(u) / w, np.inf)
+        return t.append_column("__rank", pa.array(r, pa.float64()))
+
+    ranked = ds.map_batches(rank_md5 if method == "md5" else rank_mix64,
+                            batch_format="pyarrow")
+    ranked = ranked.filter(expr="__rank < " + repr(float("1e308")))
+    out = topk_ds(ranked, by=["__rank", key_col], ascending=[True, True],
+                  k=k, columns=[key_col, weight_col, "__rank"])
+    return out.rename(columns={"__rank": "rank"}).reset_index(drop=True)

@@ -1433,3 +1433,29 @@ def dup_ngram_coverage(sf_dir: str, k_gram: int = 5) -> pd.DataFrame:
                              "n_dup_positions": pd.Series(dtype="int64")})
     return (out[["doc_id", "n_grams", "n_dup_grams", "n_dup_positions"]]
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def doc_weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Length-weighted exact-k document sample (Efraimidis-Spirakis
+    weighted WOR via ops.sample.weighted_bottomk): longer documents are
+    proportionally likelier — the standard shape for token-budget-weighted
+    corpus subsampling. md5/libm oracle mode here so DuckDB reproduces the
+    rank expression bit-for-bit; production uses the vectorized mix64
+    mode (same operator, no per-row Python). rank_nano carries the
+    selected ranks as comparable integers."""
+    from ..ops.agg import round_away
+    from ..ops.sample import weighted_bottomk
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    out = weighted_bottomk(ds, key_col="doc_id", weight_col="n_chars",
+                           k=k, seed=42, method="md5")
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_chars": pd.Series(dtype="int64"),
+                             "rank_nano": pd.Series(dtype="int64")})
+    nano = round_away(out["rank"].to_numpy() * 1e9, 0)
+    out = out.assign(rank_nano=nano.astype("int64"))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return (out[["doc_id", "n_chars", "rank_nano"]]
+            .sort_values(["rank_nano", "doc_id"]).reset_index(drop=True))

@@ -1134,3 +1134,39 @@ def test_dup_ngram_coverage_short_docs_excluded(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [2]
     assert out.iloc[0][["n_grams", "n_dup_grams",
                         "n_dup_positions"]].tolist() == [4, 2, 4]
+
+
+def test_weighted_bottomk_matches_local_rule_and_skips_nonpositive(
+        ray_session, tmp_path):
+    """The distributed weighted bottom-k equals a local recomputation of
+    the E-S rule; zero/negative weights are never sampled; both hash
+    modes pick weight-monotone deterministic sets."""
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sample import weighted_bottomk
+
+    t = pa.table({"k": pa.array(list(range(30)), pa.int64()),
+                  "w": pa.array([0, -5] + [(i * 37) % 97 + 1
+                                           for i in range(28)], pa.int64())})
+    out = weighted_bottomk(rd.from_arrow(t).repartition(4), "k", "w",
+                           k=8, seed=42, method="md5")
+    ranks = {}
+    for kv, wv in zip(t.column("k").to_pylist(), t.column("w").to_pylist()):
+        if wv <= 0:
+            continue
+        h = int(hashlib.md5(f"{kv}:42".encode()).hexdigest()[:8], 16)
+        ranks[kv] = -math.log((h + 1) / 4294967296.0) / wv
+    want = sorted(ranks, key=lambda kv: (ranks[kv], kv))[:8]
+    assert out["k"].tolist() == want
+    assert 0 not in out["k"].tolist() and 1 not in out["k"].tolist()
+
+    m = weighted_bottomk(rd.from_arrow(t).repartition(4), "k", "w",
+                         k=8, seed=42, method="mix64")
+    assert len(m) == 8
+    assert not set(m["k"]).intersection({0, 1})
+    again = weighted_bottomk(rd.from_arrow(t), "k", "w",
+                             k=8, seed=42, method="mix64")
+    assert m["k"].tolist() == again["k"].tolist()  # partition-invariant
