@@ -878,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": corpus.doc_fingerprints,
         "doc_sample": corpus.doc_sample,
         "doc_weighted_sample": corpus.doc_weighted_sample,
+        "doc_length_ranks": corpus.doc_length_ranks,
         "doc_split_assign": corpus.doc_split_assign,
         "doc_bottomk_sample": corpus.doc_bottomk_sample,
         "doc_language_rebalance": corpus.doc_language_rebalance,
@@ -2549,6 +2550,14 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ceil(greatest(length(text) - 30, 1) / 90.0) AS BIGINT) - 1
                  )) AS g(i)
             ORDER BY doc_id, chunk_idx
+        """,
+        "doc_length_ranks": """
+            -- global ranking window gate: distributed row_number vs SQL's
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                        AS BIGINT) AS rnk
+            FROM documents
+            ORDER BY rnk
         """,
         "doc_weighted_sample": """
             -- Efraimidis-Spirakis weighted WOR sample: k smallest

@@ -1459,3 +1459,25 @@ def doc_weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
     out["n_chars"] = out["n_chars"].astype("int64")
     return (out[["doc_id", "n_chars", "rank_nano"]]
             .sort_values(["rank_nano", "doc_id"]).reset_index(drop=True))
+
+
+def doc_length_ranks(sf_dir: str) -> pd.DataFrame:
+    """Global ranking window — row_number() OVER (ORDER BY n_chars DESC,
+    doc_id) for every document, computed distributed (ops.agg.
+    global_row_number: key-sized offset table + per-key co-grouped local
+    order; no global sort, nothing data-sized on the driver). The full
+    listing is the oracle surface; at 10^10 docs consume the Dataset form
+    (write/join) instead of to_pandas."""
+    from ..ops.agg import global_row_number
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    ranked = global_row_number(ds, key_col="n_chars", id_col="doc_id",
+                               key_ascending=False, rank_col="rnk")
+    out = ranked.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_chars": pd.Series(dtype="int64"),
+                             "rnk": pd.Series(dtype="int64")})
+    out["rnk"] = out["rnk"].astype("int64")
+    return (out[["doc_id", "n_chars", "rnk"]]
+            .sort_values("rnk").reset_index(drop=True))

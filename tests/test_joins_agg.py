@@ -377,3 +377,25 @@ def test_bucket_join_composite_key_outer(ray_session):
                              how="outer").to_pandas()
                  .sort_values(["u", "d"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(outer, again)
+
+
+def test_global_row_number_matches_pandas_window(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.agg import global_row_number
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"id": np.arange(200, dtype=np.int64),
+                       "key": rng.integers(0, 9, 200).astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+
+    for asc in (True, False):
+        got = (global_row_number(ds, "key", "id", key_ascending=asc)
+               .to_pandas().sort_values("rnk").reset_index(drop=True))
+        want = df.sort_values(["key", "id"],
+                              ascending=[asc, True]).reset_index(drop=True)
+        assert got["id"].tolist() == want["id"].tolist()
+        assert got["rnk"].tolist() == list(range(1, 201))
