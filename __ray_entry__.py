@@ -879,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": corpus.doc_sample,
         "doc_weighted_sample": corpus.doc_weighted_sample,
         "doc_length_ranks": corpus.doc_length_ranks,
+        "doc_per_lang_sample": corpus.doc_per_lang_sample,
         "doc_split_assign": corpus.doc_split_assign,
         "doc_bottomk_sample": corpus.doc_bottomk_sample,
         "doc_language_rebalance": corpus.doc_language_rebalance,
@@ -2550,6 +2551,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ceil(greatest(length(text) - 30, 1) / 90.0) AS BIGINT) - 1
                  )) AS g(i)
             ORDER BY doc_id, chunk_idx
+        """,
+        "doc_per_lang_sample": """
+            -- balanced per-language exact-k sample: same md5 rank string
+            -- the engine orders on, k smallest per language
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
+            ORDER BY lang, doc_id
         """,
         "doc_length_ranks": """
             -- global ranking window gate: distributed row_number vs SQL's

@@ -211,6 +211,13 @@ def run_bench() -> dict:
         int(comps.n_nodes.max()) if len(comps) else 0)
     queries["kg_comention_components"] = round(time.perf_counter() - t0, 3)
 
+    from case_uco_ontology_map_ray.pipelines.linking import entity_kcore
+
+    t0 = time.perf_counter()
+    core = entity_kcore(triples_from_transcripts(slice_dir), kk=3, k=40)
+    extras["kcore_members_top40"] = len(core)
+    queries["kg_kcore"] = round(time.perf_counter() - t0, 3)
+
     # --- corpus boilerplate cleanup over the slice transcripts ---
     from case_uco_ontology_map_ray.pipelines.transcript_prep import (
         boilerplate_removal_counts,
@@ -273,6 +280,10 @@ def run_bench() -> dict:
         ("doc_language_rebalance", corpus.doc_language_rebalance),
         ("inverted_index_terms", corpus.inverted_index_terms),
         ("semdedup_embeddings", corpus.semdedup_embeddings),
+        ("dup_ngram_coverage", corpus.dup_ngram_coverage),
+        ("doc_length_ranks", corpus.doc_length_ranks),
+        ("doc_weighted_sample", corpus.doc_weighted_sample),
+        ("user_day_click_purchase", analytics.user_day_click_purchase),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -211,3 +211,47 @@ def weighted_bottomk(ds, key_col: str, weight_col: str, k: int,
     out = topk_ds(ranked, by=["__rank", key_col], ascending=[True, True],
                   k=k, columns=[key_col, weight_col, "__rank"])
     return out.rename(columns={"__rank": "rank"}).reset_index(drop=True)
+
+
+def grouped_bottomk_sample(ds, group_col: str, key_col: str, k: int,
+                           seed: int = 42, method: str = "mix64"):
+    """Exact-k uniform sample PER GROUP (balanced per-stratum subsampling,
+    e.g. k docs per language): within each group keep the k keys with the
+    smallest deterministic hash rank — the per-group twin of
+    ``bottomk_sample`` and the exact-size complement of
+    ``stratified_sample``'s rates.
+
+    Shape: each batch pre-prunes to its local per-group bottom-k
+    (vectorized sort + head — the combiner, so the exchange carries at
+    most k rows per group per block), then one co-grouped exact merge per
+    group. ``method="md5"`` ranks by the md5 hex string (DuckDB
+    row_number() reproducible); ``method="mix64"`` ranks by the
+    vectorized seeded hash (production)."""
+    if method not in ("mix64", "md5"):
+        raise ValueError(f"unknown sampling method {method!r}")
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        if method == "md5":
+            ranks = pa.array([
+                hashlib.md5(f"{v}:{seed}".encode()).hexdigest()
+                for v in t.column(key_col).to_pylist()], pa.string())
+        else:
+            keys = t.column(key_col).to_pandas()
+            h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+            h = _mix64_u(h ^ np.uint64(seed * 0x9E3779B97F4A7C15 % (1 << 64)))
+            ranks = pa.array(h.astype(np.uint64), pa.uint64())
+        return t.append_column("__rank", ranks)
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["__rank", key_col], kind="mergesort")
+                .groupby(group_col, sort=False).head(k))
+
+    pruned = (ds.map_batches(add_rank, batch_format="pyarrow")
+              .map_batches(local_prune, batch_format="pandas"))
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["__rank", key_col], kind="mergesort")
+                .head(k).drop(columns=["__rank"]))
+
+    return pruned.groupby(group_col).map_groups(merge_group,
+                                                batch_format="pandas")

@@ -1481,3 +1481,21 @@ def doc_length_ranks(sf_dir: str) -> pd.DataFrame:
     out["rnk"] = out["rnk"].astype("int64")
     return (out[["doc_id", "n_chars", "rnk"]]
             .sort_values("rnk").reset_index(drop=True))
+
+
+def doc_per_lang_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Balanced per-language exact-k sample (ops.sample.
+    grouped_bottomk_sample, md5 oracle mode): the per-group twin of
+    doc_bottomk_sample — k docs per language by smallest seeded hash
+    rank, reproducible as SQL's row_number() PARTITION BY."""
+    from ..ops.sample import grouped_bottomk_sample
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    out = grouped_bottomk_sample(ds, group_col="lang", key_col="doc_id",
+                                 k=k, seed=42, method="md5").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "lang": pd.Series(dtype="str")})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["doc_id", "lang"]]
+            .sort_values(["lang", "doc_id"]).reset_index(drop=True))

@@ -1170,3 +1170,31 @@ def test_weighted_bottomk_matches_local_rule_and_skips_nonpositive(
     again = weighted_bottomk(rd.from_arrow(t), "k", "w",
                              k=8, seed=42, method="mix64")
     assert m["k"].tolist() == again["k"].tolist()  # partition-invariant
+
+
+def test_grouped_bottomk_sample_exact_k_per_group(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sample import grouped_bottomk_sample
+
+    t = pa.table({"id": pa.array(list(range(40)), pa.int64()),
+                  "g": pa.array(["a", "b", "c", "d"] * 10, pa.string())})
+    ds = rd.from_arrow(t).repartition(6)
+    out = (grouped_bottomk_sample(ds, "g", "id", k=3, seed=42, method="md5")
+           .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    assert out.groupby("g").size().tolist() == [3, 3, 3, 3]
+    # matches a local recomputation of the same rank rule
+    for g in "abcd":
+        ids = [i for i in range(40) if "abcd"[i % 4] == g]
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(f"{i}:42".encode()).hexdigest(), i))[:3]
+        assert sorted(out[out.g == g]["id"].tolist()) == sorted(want)
+
+    # mix64 mode: deterministic, partition-invariant, exact-k
+    m1 = (grouped_bottomk_sample(ds, "g", "id", k=3).to_pandas()
+          .sort_values(["g", "id"]).reset_index(drop=True))
+    m2 = (grouped_bottomk_sample(rd.from_arrow(t), "g", "id", k=3)
+          .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    assert m1.equals(m2) and m1.groupby("g").size().tolist() == [3, 3, 3, 3]
