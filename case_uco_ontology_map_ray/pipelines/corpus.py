@@ -1397,35 +1397,42 @@ def dup_ngram_coverage(sf_dir: str, k_gram: int = 5) -> pd.DataFrame:
 
     Scale shape: one explode pass with a per-batch (doc_id, gram, cnt)
     combiner (documents never span batches, so in-batch counts are exact
-    and the exchange carries distinct grams x docs, not positions); gram
-    totals via a partial-agg groupby on the gram string; the duplicated
-    subset flows back through a bucketed semi join (no driver gram set,
-    no broadcast of the vocabulary); per-doc rollups are partial-agg
-    groupbys; docs whose grams are all unique are restored by a LEFT
-    bucket join (ops/joins.bucket_join how='left') with zero-fill.
+    and the exchange carries distinct grams x docs, not positions); ONE
+    gram-hash co-group computes each gram's global total and tags every
+    (doc, gram) row with its dup flags in place (no driver gram set, no
+    vocabulary broadcast, no semi/re-join); ONE partial-agg doc rollup
+    finishes. Every doc with >= 1 gram flows through the gram pass, so
+    all-unique docs appear zero-filled without an outer join.
     """
     from ..ops.agg import grouped_sums_ds
-    from ..ops.joins import bucket_join, bucket_semi_join
+    from ..ops.joins import _mix_bucket
 
+    num_parts = 64
     per = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda t: _word_grams(t, k_gram, with_doc=True, counted=True),
-        batch_format="pyarrow").materialize()  # reused by 3 consumers
-    totals = grouped_sums_ds(per, keys=["gram"], sum_cols={"c": "cnt"})
-    dup = totals.filter(expr="c > 1")
-    shared = bucket_semi_join(per, dup, on="gram")
-    dups = grouped_sums_ds(shared, keys=["doc_id"],
-                           sum_cols={"n_dup_positions": "cnt"},
-                           count_alias="n_dup_grams")
-    tot = grouped_sums_ds(per, keys=["doc_id"], sum_cols={"n_grams": "cnt"})
-    joined = bucket_join(tot, dups, on="doc_id", how="left")
+        batch_format="pyarrow")
 
-    def fill(t: pd.DataFrame) -> pd.DataFrame:
-        for c in ("n_dup_grams", "n_dup_positions"):
-            t[c] = t[c].fillna(0).astype("int64")
-        t["n_grams"] = t["n_grams"].astype("int64")
-        return t
+    def route(t: pa.Table) -> pa.Table:
+        return t.append_column("__part",
+                               _mix_bucket(t.column("gram"), num_parts))
 
-    out = joined.map_batches(fill, batch_format="pandas").to_pandas()
+    def tag_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", sort=False)["cnt"].transform("sum")
+        dup = (tot > 1).to_numpy()
+        cnt = g["cnt"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_grams": cnt,
+            "n_dup_grams": dup.astype("int64"),
+            "n_dup_positions": cnt * dup,
+        })
+
+    tagged = (per.map_batches(route, batch_format="pyarrow")
+              .groupby("__part").map_groups(tag_part, batch_format="pandas"))
+    out = grouped_sums_ds(
+        tagged, keys=["doc_id"],
+        sum_cols={"n_grams": "n_grams", "n_dup_grams": "n_dup_grams",
+                  "n_dup_positions": "n_dup_positions"}).to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "n_grams": pd.Series(dtype="int64"),
