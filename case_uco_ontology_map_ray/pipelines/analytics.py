@@ -1092,25 +1092,34 @@ def user_day_click_purchase(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "ts", "event_type"])
 
-    def day_of(which: str):
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        f = t.filter(m)
+        return pa.table({
+            "user_id": f.column("user_id"),
+            "day": pc.floor_temporal(f.column("ts"), unit="day"),
+            "event_type": f.column("event_type"),
+        })
+
+    # ONE events scan -> one (user, day, type) partial-agg exchange; both
+    # join sides then branch off the tiny materialized aggregate
+    per = grouped_sums_ds(ds.map_batches(prep, batch_format="pyarrow"),
+                          keys=["user_id", "day", "event_type"],
+                          sum_cols={}, count_alias="n").materialize()
+
+    def side(which: str, alias: str):
         def fn(t: pa.Table) -> pa.Table:
-            m = pc.equal(t.column("event_type"), which)
-            f = t.filter(m)
-            return pa.table({
-                "user_id": f.column("user_id"),
-                "day": pc.floor_temporal(f.column("ts"), unit="day"),
-            })
+            f = t.filter(pc.equal(t.column("event_type"), which))
+            return pa.table({"user_id": f.column("user_id"),
+                             "day": f.column("day"),
+                             alias: f.column("n")})
 
-        return fn
+        return per.map_batches(fn, batch_format="pyarrow")
 
-    clicks = grouped_sums_ds(
-        ds.map_batches(day_of("click"), batch_format="pyarrow"),
-        keys=["user_id", "day"], sum_cols={}, count_alias="n_clicks")
-    purchases = grouped_sums_ds(
-        ds.map_batches(day_of("purchase"), batch_format="pyarrow"),
-        keys=["user_id", "day"], sum_cols={}, count_alias="n_purchases")
-    joined = bucket_join(clicks, purchases, on=["user_id", "day"],
-                         how="outer")
+    joined = bucket_join(side("click", "n_clicks"),
+                         side("purchase", "n_purchases"),
+                         on=["user_id", "day"], how="outer")
 
     def fill(t: pd.DataFrame) -> pd.DataFrame:
         for c in ("n_clicks", "n_purchases"):
