@@ -161,6 +161,24 @@ def run_bench() -> dict:
     extras["n_triples"] = n_triples
     extras["triples_per_sec"] = round(n_triples / headline, 1)
 
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1":
+        # scaling legs time ONLY the headline pipeline (the efficiency
+        # metric uses triples_per_sec); the full query list would multiply
+        # each leg's wall time without informing the scaling number
+        result = {
+            "metric": "kg_triples_construction_sec",
+            "value": queries["kg_triples"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "bench_convs": BENCH_CONVS,
+            **probe,
+            **extras,
+        }
+        ray.shutdown()
+        return result
+
     # --- KG + exact dedup + parquet sink (wide op) on a 10% slice ---
     slice_dir = f"/tmp/cuomr_synth/bench_slice_{GEN_VERSION}_{BENCH_CONVS // 10}x{MEAN_TURNS}"
     if not os.path.exists(f"{slice_dir}/_SUCCESS"):
@@ -318,7 +336,8 @@ def run_scaling():
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALE_PAIR", "4,16").split(","))
     results = {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
