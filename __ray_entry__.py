@@ -880,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": corpus.doc_weighted_sample,
         "doc_length_ranks": corpus.doc_length_ranks,
         "doc_per_lang_sample": corpus.doc_per_lang_sample,
+        "lang_confusion": corpus.lang_confusion,
         "doc_split_assign": corpus.doc_split_assign,
         "doc_bottomk_sample": corpus.doc_bottomk_sample,
         "doc_language_rebalance": corpus.doc_language_rebalance,
@@ -2551,6 +2552,35 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ceil(greatest(length(text) - 30, 1) / 90.0) AS BIGINT) - 1
                  )) AS g(i)
             ORDER BY doc_id, chunk_idx
+        """,
+        "lang_confusion": r"""
+            -- langid confusion matrix: declared lang x independently
+            -- re-derived prediction (same rule as the doc_lang_id twin)
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     list_transform(regexp_extract_all(text, '[\p{L}\p{N}_]+'),
+                                    t -> lower(t)) AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang,
+                     len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','it','that','for'))) * 1.0 AS h_en,
+                     len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) * 1.0 AS h_de,
+                     len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','une','pour','dans','que'))) * 1.0 AS h_fr,
+                     len(list_filter(toks, t -> t IN ('el','la','los','y','es','un','una','para','en','que'))) * 1.0 AS h_es,
+                     len(list_filter(toks, t -> t IN ('的','是','了','在','和','有','我','不','这','他'))) * 1.0 AS h_zh
+              FROM tok
+            ), p AS (
+              SELECT lang,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+                          WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+                          WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+                          WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+                          WHEN h_es >= h_zh THEN 'es'
+                          ELSE 'zh' END AS pred_lang
+              FROM s
+            )
+            SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "doc_per_lang_sample": """
             -- balanced per-language exact-k sample: same md5 rank string

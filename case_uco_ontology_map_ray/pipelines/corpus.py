@@ -1506,3 +1506,28 @@ def doc_per_lang_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out["doc_id"] = out["doc_id"].astype("int64")
     return (out[["doc_id", "lang"]]
             .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+
+
+def lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Language-ID confusion matrix: declared ``lang`` x predicted lang
+    (ops.text.LangId heuristic) with document counts — the standard
+    quality report for a corpus language classifier. Map-only scoring
+    (the vectorized stopword-profile kernel) + one partial-agg groupby
+    over the tiny (lang, pred_lang) key space; SQL re-derives the
+    predictions independently (same rule as the doc_lang_id oracle)."""
+    from ..ops.agg import grouped_sums
+    from ..ops.text import LangId
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        out = LangId()(t.select(["doc_id", "text"]))
+        return pa.table({"lang": t.column("lang"),
+                         "pred_lang": out.column("pred_lang")})
+
+    pairs = ds.map_batches(score, batch_format="pyarrow")
+    out = grouped_sums(pairs, keys=["lang", "pred_lang"], sum_cols={},
+                       count_alias="n")
+    out["n"] = out["n"].astype("int64")
+    return (out[["lang", "pred_lang", "n"]]
+            .sort_values(["lang", "pred_lang"]).reset_index(drop=True))
