@@ -148,6 +148,16 @@ def _kg_comention_components(sf_dir: str):
     return comention_components(triples, k=40)
 
 
+def _kg_entity_ppr(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        entity_pagerank_personalized,
+    )
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return entity_pagerank_personalized(triples, iters=3, k=30)
+
+
 def _kg_kcore(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import entity_kcore
@@ -791,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_comention_components": _kg_comention_components,
         "kg_kcore": _kg_kcore,
+        "kg_entity_ppr": _kg_entity_ppr,
         "kg_entity_timeline": _kg_entity_timeline,
         "kg_incremental_counts": _kg_incremental_counts,
         "kg_conversation_triple_counts": _kg_conversation_triple_counts,
@@ -1265,6 +1276,67 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY core_degree DESC, path
             LIMIT 40
         """
+    kg_entity_ppr_sql = f"""
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0x AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS MATERIALIZED (
+                SELECT s, t FROM p0x
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0x
+            ),
+            deg AS (SELECT s AS node, count(*) AS d FROM edges GROUP BY 1),
+            seed AS (SELECT min(s) AS m FROM edges),
+            p0 AS (
+                SELECT node,
+                       CASE WHEN node = (SELECT m FROM seed)
+                            THEN 1.0 ELSE 0.0 END AS r
+                FROM deg
+            ),
+            p1 AS (
+                SELECT e.t AS node,
+                       round((1.0 - 0.85)
+                             * (CASE WHEN e.t = (SELECT m FROM seed)
+                                     THEN 1.0 ELSE 0.0 END)
+                             + 0.85 * sum(p0.r / deg.d), 6) AS r
+                FROM edges e
+                JOIN p0 ON e.s = p0.node
+                JOIN deg ON e.s = deg.node
+                GROUP BY e.t
+            ),
+            p2 AS (
+                SELECT e.t AS node,
+                       round((1.0 - 0.85)
+                             * (CASE WHEN e.t = (SELECT m FROM seed)
+                                     THEN 1.0 ELSE 0.0 END)
+                             + 0.85 * sum(p1.r / deg.d), 6) AS r
+                FROM edges e
+                JOIN p1 ON e.s = p1.node
+                JOIN deg ON e.s = deg.node
+                GROUP BY e.t
+            ),
+            p3 AS (
+                SELECT e.t AS node,
+                       round((1.0 - 0.85)
+                             * (CASE WHEN e.t = (SELECT m FROM seed)
+                                     THEN 1.0 ELSE 0.0 END)
+                             + 0.85 * sum(p2.r / deg.d), 6) AS r
+                FROM edges e
+                JOIN p2 ON e.s = p2.node
+                JOIN deg ON e.s = deg.node
+                GROUP BY e.t
+            )
+            SELECT deg.node AS path,
+                   CAST(deg.d AS BIGINT) AS degree,
+                   p3.r AS ppr
+            FROM p3 JOIN deg ON p3.node = deg.node
+            ORDER BY ppr DESC, path
+            LIMIT 30
+        """
     # per-hour mention/entity rollup: the mention extraction again, but at
     # TURN granularity with the turn's ts carried through (the engine joins
     # mentions back to the turn table on a hashed (conv_id, turn_idx) key)
@@ -1644,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
         "kg_kcore": kg_kcore_sql,
+        "kg_entity_ppr": kg_entity_ppr_sql,
         "kg_entity_bfs": f"""
             -- single-source BFS hop-distance histogram over the co-mention
             -- graph; source = min normalized path among edge endpoints,

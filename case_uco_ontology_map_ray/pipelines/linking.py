@@ -1877,3 +1877,119 @@ def entity_kcore(triples: rd.Dataset, kk: int = 3, rounds: int = 12,
     return (out[["path", "core_degree"]]
             .sort_values(["core_degree", "path"], ascending=[False, True])
             .reset_index(drop=True))
+
+
+def entity_pagerank_personalized(triples: rd.Dataset, iters: int = 3,
+                                 d: float = 0.85, k: int = 30,
+                                 small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                                 ) -> pd.DataFrame:
+    """Personalized PageRank: the restart mass concentrates on ONE seed
+    entity (the lexicographically smallest normalized path among edge
+    endpoints — the same deterministic source rule as entity_bfs), so the
+    ranking measures proximity to the seed rather than global centrality —
+    the KG "related artifacts" primitive.
+
+    Same quantized power iteration as entity_pagerank (per-round 6dp
+    round-half-away re-sync, identical IEEE expression order
+    ``(1-d)*ind + d*sum`` on both sides) with r0 = the restart vector;
+    the SQL twin unrolls the rounds as chained CTEs with the seed as a
+    scalar subquery. Top-``k`` (path, degree, ppr) by (ppr DESC, path).
+
+    Scale shape: identical to entity_pagerank — the restart indicator is
+    a driver scalar (the seed pid), not a joined side."""
+    from ..ops.agg import round_away, topk_ds
+    from ..ops.joins import bucket_join
+
+    empty = pd.DataFrame({"path": pd.Series(dtype="str"),
+                          "degree": pd.Series(dtype="int64"),
+                          "ppr": pd.Series(dtype="float64")})
+
+    mentions0 = mentions_from_triples(triples).materialize()
+    incidence = _conv_pid_incidence(mentions0).materialize()
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        nodes, degv, s_idx, t_idx = _edges_from_incidence(band, pid)
+        if len(nodes) == 0:
+            return empty
+        pmap = distinct_paths(mentions0).to_pandas()
+        pmap = dict(zip(pmap.pid, pmap.norm_path))
+        node_paths = np.array([pmap[n] for n in nodes])
+        e = np.zeros(len(nodes))
+        e[int(np.argmin(node_paths))] = 1.0
+        r = e.copy()
+        w = 1.0 / degv
+        for _ in range(iters):
+            contrib = np.bincount(t_idx, weights=r[s_idx] * w[s_idx],
+                                  minlength=len(nodes))
+            r = round_away((1.0 - d) * e + d * contrib, 6)
+        out = pd.DataFrame({"path": node_paths, "degree": degv, "ppr": r})
+        out = (out.sort_values(["ppr", "path"], ascending=[False, True])
+               .head(k).reset_index(drop=True))
+        out["degree"] = out["degree"].astype("int64")
+        return out[["path", "degree", "ppr"]]
+
+    edges, deg = comention_graph(triples)
+    deg = deg.materialize()
+    if deg.count() == 0:
+        return empty
+
+    paths = distinct_paths(mentions0)
+    named_nodes = bucket_join(
+        deg, paths.map_batches(lambda t: t.rename_columns(["node", "path"]),
+                               batch_format="pyarrow"), on="node")
+    seed = topk_ds(named_nodes, by=["path"], ascending=[True], k=1,
+                   columns=["node", "deg", "path"])
+    if seed.empty:
+        return empty
+    src_pid = int(seed["node"].iloc[0])
+
+    def restart(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"node": t.column("node"),
+                         "rank": pa.array((node == src_pid).astype(np.float64),
+                                          pa.float64())})
+
+    ranks = deg.map_batches(restart, batch_format="pyarrow").materialize()
+
+    from ..ops.agg import grouped_sums_ds
+
+    for _ in range(iters):
+        state = bucket_join(deg, ranks, on="node")
+        contrib_src = bucket_join(
+            edges,
+            state.map_batches(lambda t: t.rename_columns(["s", "deg", "rank"]),
+                              batch_format="pyarrow"),
+            on="s")
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("rank").to_numpy(zero_copy_only=False)
+            dg = t.column("deg").to_numpy(zero_copy_only=False)
+            return pa.table({"node": t.column("t"),
+                             "c": pa.array(r / dg, pa.float64())})
+
+        parts = contrib_src.map_batches(contrib, batch_format="pyarrow")
+        summed = grouped_sums_ds(parts, keys=["node"], sum_cols={"c": "c"})
+
+        def renorm(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            ind = (node == src_pid).astype(np.float64)
+            r = round_away((1.0 - d) * ind + d * c, 6)
+            return pa.table({"node": t.column("node"),
+                             "rank": pa.array(r, pa.float64())})
+
+        ranks = summed.map_batches(renorm, batch_format="pyarrow").materialize()
+
+    named = bucket_join(ranks, deg, on="node")
+    named = bucket_join(
+        named,
+        paths.map_batches(lambda t: t.rename_columns(["node", "path"]),
+                          batch_format="pyarrow"),
+        on="node")
+    out = topk_ds(named, by=["rank", "path"], ascending=[False, True], k=k,
+                  columns=["node", "rank", "deg", "path"])
+    if out.empty:
+        return empty
+    out = out.rename(columns={"deg": "degree", "rank": "ppr"})
+    out["degree"] = out["degree"].astype("int64")
+    return out[["path", "degree", "ppr"]].reset_index(drop=True)

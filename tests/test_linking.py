@@ -548,3 +548,36 @@ def test_entity_kcore_small_matches_distributed():
     dist = entity_kcore(rd.from_arrow(tab), kk=2, rounds=12, k=10,
                         small_incidence_rows=0)
     pd.testing.assert_frame_equal(small, dist)
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        entity_pagerank_personalized,
+    )
+
+    # two cliques bridged by one conv; seed = "a" (lexicographic min) —
+    # its own clique must outrank the far one at equal degrees
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["x", "y", "z"],
+                               "c3": ["c", "x"]})
+    out = entity_pagerank_personalized(rd.from_arrow(tab), iters=3, k=10)
+    r = dict(zip(out.path, out.ppr))
+    assert min(r["a"], r["b"], r["c"]) > max(r["x"], r["y"], r["z"])
+    assert r["y"] == r["z"]  # symmetric far-clique leaves
+
+
+def test_personalized_pagerank_small_matches_distributed():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        entity_pagerank_personalized,
+    )
+
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["a", "d"],
+                               "c3": ["b", "e"], "c4": ["d", "e", "f"]})
+    small = entity_pagerank_personalized(rd.from_arrow(tab), iters=3, k=10)
+    dist = entity_pagerank_personalized(rd.from_arrow(tab), iters=3, k=10,
+                                        small_incidence_rows=0)
+    pd.testing.assert_frame_equal(small, dist)
