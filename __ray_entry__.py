@@ -914,6 +914,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.approx_users_by_type_invariants,
         "media_frame_counts": _media_frame_counts,
         "similarity_topk_ivf": corpus.similarity_topk_ivf,
+        # --- session-8 relational/window/stats additions (all oracled)
+        "q5_local_supplier_revenue": analytics.q5_local_supplier_revenue,
+        "cohort_retention": analytics.cohort_retention,
+        "copurchase_pairs": analytics.copurchase_pairs,
+        "grouped_corr_quantity_discount":
+            analytics.grouped_corr_quantity_discount,
+        "part_skyline": analytics.part_skyline,
+        "click_purchase_within_hour": analytics.click_purchase_within_hour,
+        "supplier_rank_in_nation": analytics.supplier_rank_in_nation,
+        "orders_price_deciles": analytics.orders_price_deciles,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3031,5 +3041,137 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 * count(*) AS BIGINT) AS n_frames,
                    count(*) AS n_distinct_media
             FROM documents
+        """,
+        # --- session-8 relational/window/stats additions
+        "q5_local_supplier_revenue": """
+            -- TPC-H Q5: local-supplier revenue per nation, 1995 orders;
+            -- revenue in exact int64 x1e4 (q1's idiom)
+            SELECT n_name,
+                   round(sum(CAST(round((l_extendedprice * (1 - l_discount))
+                                        * 10000, 0) AS BIGINT))
+                         / 10000.0, 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                 JOIN lineitem ON l_orderkey = o_orderkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "cohort_retention": """
+            -- first-touch cohort x day-offset retention matrix
+            WITH ud AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+            ), f AS (
+                SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1
+            )
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, ud.day) AS BIGINT)
+                       AS offset_days,
+                   count(*) AS n_users
+            FROM ud JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "copurchase_pairs": """
+            -- market-basket: top-25 part pairs co-ordered (support >= 2)
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS k1, b.l_partkey AS k2,
+                   count(*) AS support
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY support DESC, k1, k2 LIMIT 25
+        """,
+        "grouped_corr_quantity_discount": """
+            -- Pearson corr from EXACT integer sufficient statistics;
+            -- corr_nano derived in ONE pinned IEEE expression (identical
+            -- op order to the numpy kernel -> bit-equal doubles)
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity, 0) AS BIGINT) AS q,
+                       CAST(round(l_discount * 100, 0) AS BIGINT) AS d
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(q) AS BIGINT) AS sum_q,
+                       CAST(sum(d) AS BIGINT) AS sum_d,
+                       CAST(sum(q * q) AS BIGINT) AS sum_qq,
+                       CAST(sum(d * d) AS BIGINT) AS sum_dd,
+                       CAST(sum(q * d) AS BIGINT) AS sum_qd
+                FROM m GROUP BY 1
+            )
+            SELECT l_returnflag, n, sum_q, sum_d, sum_qq, sum_dd, sum_qd,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sum_qd AS DOUBLE)
+                               - CAST(sum_q AS DOUBLE) * CAST(sum_d AS DOUBLE))
+                              / (sqrt(CAST(n AS DOUBLE) * CAST(sum_qq AS DOUBLE)
+                                      - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE))
+                                 * sqrt(CAST(n AS DOUBLE) * CAST(sum_dd AS DOUBLE)
+                                        - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)))
+                              * 1000000000.0, 0) AS BIGINT) AS corr_nano
+            FROM s ORDER BY l_returnflag
+        """,
+        "part_skyline": """
+            -- Pareto frontier (min price, max size), ties kept; exact cents
+            WITH c AS (
+                SELECT p_partkey, p_retailprice, p_size,
+                       CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+                FROM part
+            )
+            SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+            FROM c a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM c b
+                WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+                  AND (b.cents < a.cents OR b.p_size > a.p_size))
+            ORDER BY p_partkey
+        """,
+        "click_purchase_within_hour": """
+            -- interval join: purchases preceded by a click in [ts-1h, ts)
+            WITH p AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click'),
+             conv AS (
+                SELECT p.user_id,
+                       CASE WHEN EXISTS (
+                           SELECT 1 FROM c
+                           WHERE c.user_id = p.user_id AND c.ts < p.ts
+                             AND c.ts >= p.ts - INTERVAL 1 HOUR)
+                       THEN 1 ELSE 0 END AS hit
+                FROM p)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(hit) AS BIGINT) AS n_converted
+            FROM conv GROUP BY 1 ORDER BY 1
+        """,
+        "supplier_rank_in_nation": """
+            -- dense_rank <= 3 per nation WITH ties, exact cents ordering
+            SELECT s_nationkey, s_suppkey, s_acctbal,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT s_nationkey, s_suppkey, s_acctbal,
+                       dense_rank() OVER (
+                           PARTITION BY s_nationkey
+                           ORDER BY CAST(round(s_acctbal * 100, 0)
+                                         AS BIGINT) DESC) AS rnk
+                FROM supplier)
+            WHERE rnk <= 3 ORDER BY s_nationkey, rnk, s_suppkey
+        """,
+        "orders_price_deciles": """
+            -- exact global deciles at position ceil(d*n/10), integer math
+            WITH c AS (
+                SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+                FROM orders
+            ), r AS (
+                SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                       count(*) OVER () AS n
+                FROM c
+            )
+            SELECT CAST(d.decile AS BIGINT) AS decile, r.cents,
+                   round(r.cents / 100.0, 2) AS price
+            FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(decile)
+            JOIN r ON r.rn = (d.decile * r.n + 9) // 10
+            ORDER BY decile
         """,
     }

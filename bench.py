@@ -302,6 +302,13 @@ def run_bench() -> dict:
         ("doc_length_ranks", corpus.doc_length_ranks),
         ("doc_weighted_sample", corpus.doc_weighted_sample),
         ("user_day_click_purchase", analytics.user_day_click_purchase),
+        ("q5_local_supplier_revenue", analytics.q5_local_supplier_revenue),
+        ("cohort_retention", analytics.cohort_retention),
+        ("copurchase_pairs", analytics.copurchase_pairs),
+        ("grouped_corr_quantity_discount",
+         analytics.grouped_corr_quantity_discount),
+        ("click_purchase_within_hour", analytics.click_purchase_within_hour),
+        ("orders_price_deciles", analytics.orders_price_deciles),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -1135,3 +1135,433 @@ def user_day_click_purchase(sf_dir: str) -> pd.DataFrame:
                              "n_purchases": pd.Series(dtype="int64")})
     return (out[["user_id", "day", "n_clicks", "n_purchases"]]
             .sort_values(["user_id", "day"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-8 additions: classic multi-join (Q5), cohort retention,
+# market-basket pairs, sufficient-stats correlation, skyline, interval join,
+# per-group dense-rank, exact global deciles.
+# ---------------------------------------------------------------------------
+
+
+def q5_local_supplier_revenue(sf_dir: str, year: int = 1995) -> pd.DataFrame:
+    """TPC-H Q5: revenue per nation from lineitems of one order-year where
+    the customer and the supplier share a nation ("local" supply chains).
+
+    Scale shape — the full 6-table join with NO all-to-all beyond two keyed
+    exchanges: nation (25 rows) is a driver-side dim; supplier attaches to
+    lineitem via the measured-adaptive join (broadcast at test scale,
+    bucketed when suppliers are big); lineitem revenue is pre-aggregated per
+    (orderkey, supplier-nation) BEFORE the orderkey exchange so the shuffle
+    carries one row per (order, nation) not per lineitem; orders filter to
+    the year at the read and attach c_nationkey via one bucketed join.
+    Revenue is exact int64 x1e4 (q1's idiom) so the distributed sum matches
+    DuckDB bit-for-bit."""
+    from ..ops.agg import grouped_sums
+    from ..ops.joins import adaptive_join, bucket_join
+
+    lo = pa.scalar(np.datetime64(f"{year}-01-01T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64(f"{year + 1}-01-01T00:00:00", "us"))
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
+                    pc.less(t.column("o_orderdate"), hi))
+        f = t.filter(m)
+        return pa.table({"o_orderkey": f.column("o_orderkey"),
+                         "c_custkey": f.column("o_custkey")})
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_prep, batch_format="pyarrow", zero_copy_batch=True)
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    orders_n = bucket_join(orders, cust, on="c_custkey")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"),
+                         "s_suppkey": t.column("l_suppkey"),
+                         "rev": _scale_i64(rev)})
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"])
+    li_n = adaptive_join(li, supp, on="s_suppkey")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["o_orderkey", "s_nationkey"]).aggregate(
+            [("rev", "sum")])
+        return agg.rename_columns(["o_orderkey", "s_nationkey", "rev"])
+
+    li_agg = li_n.map_batches(li_partial, batch_format="pyarrow")
+    joined = bucket_join(li_agg, orders_n, on="o_orderkey")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("s_nationkey"),
+                                 t.column("c_nationkey")))
+
+    fine = grouped_sums(joined.map_batches(local_only, batch_format="pyarrow"),
+                        keys=["s_nationkey"], sum_cols={"rev": "rev"})
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    out = fine.merge(nation[["n_nationkey", "n_name"]],
+                     left_on="s_nationkey", right_on="n_nationkey")
+    out["revenue"] = round_away(out["rev"] / 10000.0, 2)
+    out = out.sort_values(["revenue", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["n_name", "revenue"]]
+
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day; for
+    each (cohort_day, days-since-first) cell, the number of cohort users
+    active that day. THE training-analytics window shape (first-touch
+    attribution + per-user offsets) with no per-user driver state.
+
+    Scale shape: per-batch distinct (user, day) partials shrink the stream
+    before ONE user-keyed co-group exchange (_keyed_segments — each bucket
+    holds complete users, so first-day and offsets are exact); buckets emit
+    per-(cohort, offset) partial counts and a tiny global groupby sums them
+    (a user lives in exactly one bucket, so partial counts never double-
+    count a user)."""
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def distinct_days(t: pa.Table) -> pa.Table:
+        x = pa.table({"user_id": t.column("user_id"),
+                      "day": pc.floor_temporal(t.column("ts"), unit="day")})
+        return x.group_by(["user_id", "day"]).aggregate([])
+
+    pre = ds.map_batches(distinct_days, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id")["day"].transform("min")
+        off = ((g["day"] - first).dt.days).astype("int64")
+        part = (pd.DataFrame({"cohort_day": first, "offset_days": off})
+                .groupby(["cohort_day", "offset_days"], as_index=False)
+                .size().rename(columns={"size": "n_part"}))
+        part["cohort_day"] = part["cohort_day"].astype("datetime64[us]")
+        part["n_part"] = part["n_part"].astype("int64")
+        return part
+
+    parts = _keyed_segments(pre, "user_id").map_groups(
+        per_bucket, batch_format="pandas")
+    out = grouped_sums(parts, keys=["cohort_day", "offset_days"],
+                       sum_cols={"n_users": "n_part"})
+    if out.empty:
+        return pd.DataFrame({"cohort_day": pd.Series(dtype="datetime64[us]"),
+                             "offset_days": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    out["cohort_day"] = out["cohort_day"].astype("datetime64[us]")
+    out = out.astype({"offset_days": "int64", "n_users": "int64"})
+    return (out.sort_values(["cohort_day", "offset_days"])
+            .reset_index(drop=True)[["cohort_day", "offset_days", "n_users"]])
+
+
+def copurchase_pairs(sf_dir: str, k: int = 25, min_support: int = 2) -> pd.DataFrame:
+    """Market-basket co-occurrence: top-k part pairs ordered together (same
+    order, distinct parts), support = number of orders containing both.
+
+    Scale shape: pairs are generated INSIDE orderkey co-groups (an order's
+    items co-locate; pairs per order are bounded by items-per-order choose 2,
+    never corpus-sized), pre-counted per bucket, then one tiny pair-keyed
+    groupby + distributed top-k. The ragged pair expansion is the banded-
+    join building block (_expand_pairs) — no Python loop over orders."""
+    from ..ops.agg import grouped_sums_ds, topk_ds
+    from ..ops.joins import _expand_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    pre = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["l_orderkey", "l_partkey"])
+             .sort_values(["l_orderkey", "l_partkey"], kind="mergesort"))
+        okey = g["l_orderkey"].to_numpy(np.int64)
+        part = g["l_partkey"].to_numpy(np.int64)
+        n = len(okey)
+        if n == 0:
+            return pd.DataFrame({"k1": pd.Series(dtype="int64"),
+                                 "k2": pd.Series(dtype="int64"),
+                                 "n_part": pd.Series(dtype="int64")})
+        # segment end per row (orders are contiguous after the sort)
+        seg_start = np.flatnonzero(np.r_[True, okey[1:] != okey[:-1]])
+        seg_len = np.diff(np.r_[seg_start, n])
+        ends = np.repeat(seg_start + seg_len, seg_len)
+        i_idx, j_idx = _expand_pairs(np.arange(n, dtype=np.int64) + 1, ends)
+        pairs = pd.DataFrame({"k1": part[i_idx], "k2": part[j_idx]})
+        out = (pairs.groupby(["k1", "k2"], as_index=False)
+               .size().rename(columns={"size": "n_part"}))
+        out["n_part"] = out["n_part"].astype("int64")
+        return out
+
+    parts = _keyed_segments(pre, "l_orderkey").map_groups(
+        per_bucket, batch_format="pandas")
+    counts = grouped_sums_ds(parts, keys=["k1", "k2"],
+                             sum_cols={"support": "n_part"})
+    sup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("support"),
+                                            pa.scalar(min_support, pa.int64()))),
+        batch_format="pyarrow")
+    out = topk_ds(sup, by=["support", "k1", "k2"],
+                  ascending=[False, True, True], k=k,
+                  columns=["k1", "k2", "support"])
+    out = out.astype({"k1": "int64", "k2": "int64", "support": "int64"})
+    return out[["k1", "k2", "support"]].reset_index(drop=True)
+
+
+def grouped_corr_quantity_discount(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of quantity vs discount per return flag, computed
+    from EXACT integer sufficient statistics (n, Σq, Σd, Σq², Σd², Σqd) —
+    the canonical one-pass distributed-statistics shape: every moment is an
+    associative int64 sum (quantity is integral; discount exact at x100), so
+    the exchange carries 6 numbers per (flag, block) and the driver derives
+    corr in ONE pinned IEEE expression identical to the DuckDB twin
+    (products stay < 2^53 at bench scales; at 10^12 rows the same plan holds
+    with int128/hugeint accumulators)."""
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = _scale_i64(t.column("l_quantity"), 1.0)
+        d = _scale_i64(t.column("l_discount"), 100.0)
+        qn = q.to_numpy(zero_copy_only=False)
+        dn = d.to_numpy(zero_copy_only=False)
+        x = pa.table({"l_returnflag": t.column("l_returnflag"),
+                      "q": q, "d": d,
+                      "qq": pa.array(qn * qn, pa.int64()),
+                      "dd": pa.array(dn * dn, pa.int64()),
+                      "qd": pa.array(qn * dn, pa.int64())})
+        agg = x.group_by(["l_returnflag"]).aggregate(
+            [("q", "sum"), ("d", "sum"), ("qq", "sum"), ("dd", "sum"),
+             ("qd", "sum"), ([], "count_all")])
+        return agg.rename_columns(
+            ["l_returnflag", "q", "d", "qq", "dd", "qd", "n_part"])
+
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_sums(parts, keys=["l_returnflag"],
+                       sum_cols={"sum_q": "q", "sum_d": "d", "sum_qq": "qq",
+                                 "sum_dd": "dd", "sum_qd": "qd",
+                                 "n": "n_part"})
+    cols = ["n", "sum_q", "sum_d", "sum_qq", "sum_dd", "sum_qd"]
+    if out.empty:
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype="object")}
+                            | {c: pd.Series(dtype="int64") for c in cols}
+                            | {"corr_nano": pd.Series(dtype="int64")})
+    out = out.astype({c: "int64" for c in cols})
+    # pinned IEEE expression order — identical to the SQL twin
+    n = out["n"].to_numpy(np.float64)
+    sq = out["sum_q"].to_numpy(np.float64)
+    sd = out["sum_d"].to_numpy(np.float64)
+    num = n * out["sum_qd"].to_numpy(np.float64) - sq * sd
+    den = (np.sqrt(n * out["sum_qq"].to_numpy(np.float64) - sq * sq)
+           * np.sqrt(n * out["sum_dd"].to_numpy(np.float64) - sd * sd))
+    out["corr_nano"] = round_away(num / den * 1000000000.0, 0).astype("int64")
+    out = out.sort_values("l_returnflag").reset_index(drop=True)
+    return out[["l_returnflag"] + cols + ["corr_nano"]]
+
+
+def _skyline_frame(cents: "np.ndarray", size: "np.ndarray") -> "np.ndarray":
+    """Boolean keep-mask of the (min cents, max size) Pareto frontier, ties
+    kept (identical points never dominate each other). Vectorized: sort by
+    (cents asc, size desc); a row survives iff its size equals its own
+    cents-group max AND strictly exceeds the running max over strictly
+    cheaper rows."""
+    order = np.lexsort((-size, cents))
+    c, s = cents[order], size[order]
+    n = len(c)
+    keep_sorted = np.zeros(n, dtype=bool)
+    if n:
+        grp_start = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        grp_id = np.cumsum(np.r_[True, c[1:] != c[:-1]]) - 1
+        grp_max = s[grp_start]  # first of each group = its max (size desc)
+        # running max of group maxima over STRICTLY cheaper groups
+        prev_best = np.r_[np.iinfo(np.int64).min,
+                          np.maximum.accumulate(grp_max)[:-1]]
+        keep_sorted = (s == grp_max[grp_id]) & (s > prev_best[grp_id])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier of parts: not dominated on (lower price, larger
+    size). The classic distributed skyline plan: each batch emits its LOCAL
+    skyline (a global skyline point survives every subset it belongs to, so
+    no winner is lost), the driver re-runs the identical rule once over the
+    tiny candidate union. Prices compare in exact cents."""
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local(t: pa.Table) -> pa.Table:
+        cents = _scale_i64(t.column("p_retailprice"), 100.0) \
+            .to_numpy(zero_copy_only=False)
+        size = t.column("p_size").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_skyline_frame(cents, size)))
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "p_retailprice": pd.Series(dtype="float64"),
+                             "p_size": pd.Series(dtype="int64")})
+    cents = np.rint(cand["p_retailprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+    keep = _skyline_frame(cents, cand["p_size"].to_numpy(np.int64))
+    out = cand[keep].sort_values("p_partkey").reset_index(drop=True)
+    out["p_size"] = out["p_size"].astype("int64")
+    return out[["p_partkey", "p_retailprice", "p_size"]]
+
+
+def click_purchase_within_hour(sf_dir: str) -> pd.DataFrame:
+    """Interval join: per user, how many purchases were preceded by a click
+    within the previous hour (attribution window). Users co-group via
+    _keyed_segments; inside a bucket BOTH event streams are searched in one
+    vectorized pass — (user-rank << 42 | ts-offset) composite keys make a
+    single np.searchsorted respect user boundaries, no per-user Python loop.
+    Oracle: correlated EXISTS with the identical [ts-1h, ts) window."""
+    hour_us = 3_600_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        f = t.filter(m)
+        return pa.table({"user_id": f.column("user_id"),
+                         "ts": f.column("ts"),
+                         "event_type": f.column("event_type")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "n_purchases": pd.Series(dtype="int64"),
+                              "n_converted": pd.Series(dtype="int64")})
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t0 = t.min()
+        toff = t - t0
+        # composite key = user_rank * span + ts_offset; the +hour_us margin
+        # in span guarantees [pk - hour_us, pk) can never reach the NEXT
+        # user's band, and the clamp at the user's own base blocks the
+        # PREVIOUS user's — so one global searchsorted is exactly the
+        # per-user window probe
+        span = int(toff.max()) + hour_us + 1
+        urank = (np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1).astype(np.int64)
+        assert (urank[-1] + 1) < (2**62) // span, "bucket key space overflow"
+        base = urank * span
+        key = base + toff
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        ck, pk = key[~is_p], key[is_p]
+        if len(pk) == 0:
+            return empty
+        lo = np.searchsorted(ck, np.maximum(pk - hour_us, base[is_p]), side="left")
+        hi = np.searchsorted(ck, pk, side="left")
+        converted = hi > lo
+        pu = uid[is_p]
+        out = (pd.DataFrame({"user_id": pu, "conv": converted.astype(np.int64)})
+               .groupby("user_id", as_index=False)
+               .agg(n_purchases=("conv", "size"), n_converted=("conv", "sum")))
+        return out.astype({"n_purchases": "int64", "n_converted": "int64"})
+
+    res = _keyed_segments(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id").map_groups(per_bucket, batch_format="pandas")
+    out = res.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "n_purchases": pd.Series(dtype="int64"),
+                             "n_converted": pd.Series(dtype="int64")})
+    return (out.astype({"user_id": "int64"})
+            .sort_values("user_id").reset_index(drop=True)
+            [["user_id", "n_purchases", "n_converted"]])
+
+
+def supplier_rank_in_nation(sf_dir: str, max_rank: int = 3) -> pd.DataFrame:
+    """Per-group dense_rank window: suppliers ranked by account balance
+    within their nation, keeping rank <= 3 WITH ties. Two-stage: every
+    batch prunes to its local top-3 DISTINCT balance values per nation
+    (any global rank-3 row survives its own batch's prune), then one
+    nation-keyed co-group computes the exact dense rank per nation.
+    Balances compare in exact cents."""
+    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.rint(df["s_acctbal"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        r = (df.groupby("s_nationkey")["cents"]
+             .rank(method="dense", ascending=False))
+        return pa.Table.from_pandas(df[r <= max_rank], preserve_index=False)
+
+    def final_rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        r = (g.groupby("s_nationkey")["cents"]
+             .rank(method="dense", ascending=False))
+        g["rnk"] = r.astype("int64")
+        return g[g["rnk"] <= max_rank][
+            ["s_nationkey", "s_suppkey", "s_acctbal", "rnk"]]
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    out = _keyed_segments(pruned, "s_nationkey").map_groups(
+        final_rank, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"s_nationkey": pd.Series(dtype="int32"),
+                             "s_suppkey": pd.Series(dtype="int64"),
+                             "s_acctbal": pd.Series(dtype="float64"),
+                             "rnk": pd.Series(dtype="int64")})
+    return (out.sort_values(["s_nationkey", "rnk", "s_suppkey"])
+            .reset_index(drop=True)
+            [["s_nationkey", "s_suppkey", "s_acctbal", "rnk"]])
+
+
+def orders_price_deciles(sf_dir: str) -> pd.DataFrame:
+    """Exact global deciles of order price WITHOUT a global sort: the
+    distributed counting-histogram plan (doc_length_quantiles' shape on a
+    money domain) — groupby exact cents (domain-bounded, not row-bounded),
+    driver prefix-sums the tiny histogram and reads the value at position
+    ceil(d*n/10) (percentile_disc semantics, integer arithmetic on both
+    sides)."""
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": _scale_i64(t.column("o_totalprice"), 100.0)})
+
+    hist = grouped_sums(ds.map_batches(to_cents, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["cents"], sum_cols={}, count_alias="cnt")
+    empty = pd.DataFrame({"decile": pd.Series(dtype="int64"),
+                          "cents": pd.Series(dtype="int64"),
+                          "price": pd.Series(dtype="float64")})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    vals = hist["cents"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    deciles = np.arange(1, 10, dtype=np.int64)
+    pos = (deciles * n + 9) // 10  # ceil(d*n/10), 1-indexed
+    idx = np.searchsorted(cum, pos, side="left")
+    cents = vals[idx]
+    return pd.DataFrame({"decile": deciles,
+                         "cents": cents,
+                         "price": round_away(cents / 100.0, 2)})

@@ -1,0 +1,167 @@
+"""Unit tests for the session-8 relational/window/stats operators: skyline
+kernel vs brute force, interval-join window boundaries (incl. the composite
+key-space clamp), market-basket pair counting, cohort retention offsets,
+dense-rank ties, and exact decile positions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from case_uco_ontology_map_ray.pipelines.analytics import (
+    _skyline_frame,
+    click_purchase_within_hour,
+    cohort_retention,
+    copurchase_pairs,
+    orders_price_deciles,
+    part_skyline,
+    supplier_rank_in_nation,
+)
+
+
+def _brute_skyline(cents, size):
+    n = len(cents)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if (cents[j] <= cents[i] and size[j] >= size[i]
+                    and (cents[j] < cents[i] or size[j] > size[i])):
+                keep[i] = False
+                break
+    return keep
+
+
+def test_skyline_frame_matches_bruteforce_with_ties():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 40))
+        # small domains force duplicates and exact ties
+        cents = rng.integers(0, 8, n).astype(np.int64)
+        size = rng.integers(0, 6, n).astype(np.int64)
+        got = _skyline_frame(cents, size)
+        want = _brute_skyline(cents, size)
+        assert got.tolist() == want.tolist()
+
+
+def test_skyline_duplicates_both_kept():
+    # identical points never dominate each other
+    cents = np.array([100, 100, 200], np.int64)
+    size = np.array([5, 5, 9], np.int64)
+    keep = _skyline_frame(cents, size)
+    assert keep.tolist() == [True, True, True]
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+
+def test_click_purchase_window_boundaries(ray_session, tmp_path):
+    """click at exactly ts-1h counts (inclusive), click at ts does not
+    (strict); another user's click never attributes even at the key-space
+    boundary (purchase < 1h after the bucket's t0)."""
+    h = np.timedelta64(1, "h")
+    us1 = np.timedelta64(1, "us")
+    base = np.datetime64("2024-01-01T12:00:00", "us")
+    rows = [
+        # user 1: click exactly one hour before -> converted
+        (1, "click", base - h), (1, "purchase", base),
+        # user 2: click exactly at purchase ts -> NOT converted
+        (2, "click", base), (2, "purchase", base),
+        # user 3: click 1h+1us before -> NOT converted
+        (3, "click", base - h - us1), (3, "purchase", base),
+        # user 4: purchase 1us after bucket t0; user 3's clicks are near in
+        # time but must never attribute cross-user
+        (4, "purchase", base - h + us1),
+        # user 5: two purchases, one converted
+        (5, "click", base), (5, "purchase", base + us1),
+        (5, "purchase", base + np.timedelta64(2, "h")),
+    ]
+    _write_events(tmp_path, rows)
+    out = click_purchase_within_hour(str(tmp_path))
+    got = {int(r.user_id): (int(r.n_purchases), int(r.n_converted))
+           for r in out.itertuples()}
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0), 5: (2, 1)}
+
+
+def test_cohort_retention_offsets(ray_session, tmp_path):
+    d0 = np.datetime64("2024-01-01T03:00:00", "us")
+    day = np.timedelta64(1, "D")
+    rows = [
+        # user 1: days 0, 0 (dup), 2
+        (1, "view", d0), (1, "click", d0 + np.timedelta64(5, "h")),
+        (1, "view", d0 + 2 * day),
+        # user 2: joins day 1, active day 1 and 2
+        (2, "view", d0 + day), (2, "view", d0 + 2 * day),
+    ]
+    _write_events(tmp_path, rows)
+    out = cohort_retention(str(tmp_path))
+    got = {(str(r.cohort_day.date()), int(r.offset_days)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+                   ("2024-01-02", 0): 1, ("2024-01-02", 1): 1}
+
+
+def test_copurchase_pairs_counts(ray_session, tmp_path):
+    # orders: {1,2,3}, {1,2}, {2,3}, {1,2} (with a duplicate lineitem of
+    # part 2 that must not inflate support)
+    ok = [10, 10, 10, 11, 11, 12, 12, 13, 13, 13]
+    pk = [1, 2, 3, 1, 2, 2, 3, 1, 2, 2]
+    t = pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = copurchase_pairs(str(tmp_path), k=10, min_support=2)
+    got = {(int(r.k1), int(r.k2)): int(r.support) for r in out.itertuples()}
+    assert got == {(1, 2): 3, (2, 3): 2}
+
+
+def test_supplier_rank_keeps_ties(ray_session, tmp_path):
+    t = pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "s_name": pa.array([f"s{i}" for i in range(6)]),
+        "s_nationkey": pa.array([0, 0, 0, 0, 0, 1], pa.int32()),
+        # nation 0: 9.00, 9.00 (tie rank1), 8.00 (rank2), 7.00 (rank3),
+        # 6.00 (rank4, pruned); nation 1: single supplier rank1
+        "s_acctbal": pa.array([9.0, 9.0, 8.0, 7.0, 6.0, 1.0]),
+    })
+    pq.write_table(t, str(tmp_path / "supplier.parquet"))
+    out = supplier_rank_in_nation(str(tmp_path))
+    got = [(int(r.s_nationkey), int(r.s_suppkey), int(r.rnk))
+           for r in out.itertuples()]
+    assert got == [(0, 1, 1), (0, 2, 1), (0, 3, 2), (0, 4, 3), (1, 6, 1)]
+
+
+def test_orders_price_deciles_positions(ray_session, tmp_path):
+    # 10 distinct prices 1..10 dollars: decile d picks position d (ceil(d*10/10)=d)
+    t = pa.table({"o_totalprice": pa.array([float(i) for i in range(1, 11)])})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = orders_price_deciles(str(tmp_path))
+    assert out["decile"].tolist() == list(range(1, 10))
+    assert out["cents"].tolist() == [i * 100 for i in range(1, 10)]
+
+
+def test_part_skyline_small(ray_session, tmp_path):
+    t = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_name": pa.array(["a", "b", "c", "d"]),
+        "p_brand": pa.array(["B"] * 4),
+        "p_type": pa.array(["T"] * 4),
+        # (price, size): (1.00,5) and (2.00,9) on frontier; (2.00,5)
+        # dominated by both; (3.00,9) dominated by (2.00,9)
+        "p_size": pa.array([5, 9, 5, 9], pa.int32()),
+        "p_retailprice": pa.array([1.0, 2.0, 2.0, 3.0]),
+    })
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = part_skyline(str(tmp_path))
+    assert out["p_partkey"].tolist() == [1, 2]
