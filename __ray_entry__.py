@@ -924,6 +924,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_within_hour": analytics.click_purchase_within_hour,
         "supplier_rank_in_nation": analytics.supplier_rank_in_nation,
         "orders_price_deciles": analytics.orders_price_deciles,
+        "embedding_gram_matrix": corpus.embedding_gram_matrix,
+        "gopher_rule_report": corpus.gopher_rule_report,
+        "events_partition_pruned_counts":
+            analytics.events_partition_pruned_counts,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3173,5 +3177,75 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(decile)
             JOIN r ON r.rn = (d.decile * r.n + 9) // 10
             ORDER BY decile
+        """,
+        "embedding_gram_matrix": """
+            -- exact distributed Gram matrix: int64-quantized (x 2^20,
+            -- half-away) per-block matmul partials; SQL re-derives every
+            -- code and integer product, so any quantization/axis/summation
+            -- bug breaks the 2080-row compare
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0, 0)
+                                     AS BIGINT)) AS q
+                FROM embeddings
+            ), flat AS (
+                SELECT vec_id, unnest(q) AS v,
+                       unnest(range(1, len(q) + 1)) AS i
+                FROM e
+            )
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS g
+            FROM flat a JOIN flat b USING (vec_id)
+            WHERE a.i <= b.i GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "gopher_rule_report": r"""
+            -- Gopher/C4 rule-cascade attrition report; every rule is an
+            -- EXACT integer comparison over \w+ tokens (same RE2 class as
+            -- doc_quality), incl. cross-multiplied mean-length bounds and
+            -- a list_distinct duplicate-fraction rule
+            WITH f AS (
+                SELECT regexp_extract_all(text, '[\p{L}\p{N}_]+') AS toks
+                FROM documents
+            ), m AS (
+                SELECT len(toks) AS n,
+                       coalesce(list_sum(list_transform(toks,
+                           t -> length(t))), 0) AS chars,
+                       len(list_filter(toks, t -> lower(t) IN
+                           ('the','and','of','to','a','in','is','it',
+                            'that','for'))) AS n_stop,
+                       len(list_distinct(toks)) AS n_distinct
+                FROM f
+            ), r AS (
+                SELECT (n BETWEEN 25 AND 60) AS r_wc,
+                       (3 * n <= chars AND chars <= 10 * n) AS r_mwl,
+                       (n_stop >= 1) AS r_stop,
+                       (2 * n_distinct >= n) AS r_dup
+                FROM m
+            ), agg AS (
+                SELECT count(*) AS n_docs,
+                       count(*) FILTER (WHERE r_wc) AS word_count,
+                       count(*) FILTER (WHERE r_mwl) AS mean_word_len,
+                       count(*) FILTER (WHERE r_stop) AS stopword,
+                       count(*) FILTER (WHERE r_dup) AS dup_fraction,
+                       count(*) FILTER (WHERE r_wc AND r_mwl AND r_stop
+                                        AND r_dup) AS all_rules
+                FROM r
+            )
+            SELECT rule, n_pass, n_docs FROM agg
+            UNPIVOT (n_pass FOR rule IN (word_count, mean_word_len,
+                                         stopword, dup_fraction, all_rules))
+        """,
+        "events_partition_pruned_counts": """
+            -- partitioned-sink + pruned-read gate: the engine aggregates
+            -- ONLY the three day partitions it wrote; SQL filters the raw
+            -- table — any partition-routing bug breaks the compare
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(CAST(round(value * 100, 0) AS BIGINT))
+                         / 100.0, 2) AS sum_value
+            FROM events
+            WHERE strftime(ts, '%Y-%m-%d') IN
+                  ('2024-01-05', '2024-01-06', '2024-01-07')
+            GROUP BY 1 ORDER BY 1
         """,
     }

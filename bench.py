@@ -309,6 +309,8 @@ def run_bench() -> dict:
          analytics.grouped_corr_quantity_discount),
         ("click_purchase_within_hour", analytics.click_purchase_within_hour),
         ("orders_price_deciles", analytics.orders_price_deciles),
+        ("gopher_rule_report", corpus.gopher_rule_report),
+        ("embedding_gram_matrix", corpus.embedding_gram_matrix),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -651,3 +651,50 @@ def semdedup(ds, n_clusters: int = 8, tau: float = 0.45,
         })
 
     return assigned.groupby("cluster").map_groups(prune, batch_format="pandas")
+
+
+def gram_matrix(ds, col: str = "embedding", scale: float = 1048576.0):
+    """Exact distributed Gram matrix Σ xᵀx over an embedding column — the
+    sufficient-statistic primitive behind PCA / covariance / whitening /
+    linear probes at corpus scale.
+
+    Scale shape: each batch quantizes its (n, d) block to int64 (x·2²⁰,
+    half-away — EXACT, so distributed summation is associative and
+    oracle-checkable) and emits ONE d(d+1)/2-row upper-triangle partial
+    from a local int64 matmul; the exchange carries O(d²) per block
+    regardless of n, and the global groupby reduces ~blocks·d²/2 tiny rows.
+    No vector ever leaves its block. At 10^9+ rows the int64 accumulators
+    need the same widening DuckDB's hugeint does — switch the partial to
+    object/int128 or chunk the reduce; the plan is unchanged.
+
+    Returns a pandas frame (i, j, g) with 1-indexed i <= j.
+    """
+    from .agg import grouped_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                           ("g_part", pa.int64())]).empty_table()
+        if t.num_rows == 0:
+            return empty
+        colv = t.column(col)
+        if isinstance(colv, pa.ChunkedArray):
+            colv = colv.combine_chunks()
+        d = len(colv[0])
+        m = colv.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(t.num_rows, d)
+        q = round_away(m * scale, 0).astype(np.int64)
+        g = q.T @ q  # int64 matmul: exact
+        iu, ju = np.triu_indices(d)
+        return pa.table({"i": pa.array(iu + 1, pa.int64()),
+                         "j": pa.array(ju + 1, pa.int64()),
+                         "g_part": pa.array(g[iu, ju], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_sums(parts, keys=["i", "j"], sum_cols={"g": "g_part"})
+    if out.empty:
+        return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                             "j": pd.Series(dtype="int64"),
+                             "g": pd.Series(dtype="int64")})
+    out = out.astype({"i": "int64", "j": "int64", "g": "int64"})
+    return out.sort_values(["i", "j"]).reset_index(drop=True)

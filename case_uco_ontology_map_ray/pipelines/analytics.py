@@ -1565,3 +1565,75 @@ def orders_price_deciles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"decile": deciles,
                          "cents": cents,
                          "price": round_away(cents / 100.0, 2)})
+
+
+def events_partition_pruned_counts(
+        sf_dir: str,
+        days: tuple = ("2024-01-05", "2024-01-06", "2024-01-07")) -> pd.DataFrame:
+    """Partitioned-sink + partition-pruned-read surface: events are written
+    ONCE as hive-partitioned parquet (one directory per day — the resumable
+    layout every big sink here uses), and the query then reads ONLY the
+    requested day directories (path-level pruning: zero IO against every
+    other partition) before a tiny per-day aggregate. Oracle: the same
+    filtered aggregate straight off the raw table — any partition-routing
+    bug (row in the wrong day dir, dropped row, double write) breaks the
+    count/sum compare."""
+    import os
+
+    from ..ops.agg import grouped_sums, round_away
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    part_dir = f"/tmp/cuomr_part/events_daily_{sf}"
+    marker = f"{part_dir}/_SUCCESS"
+    if not os.path.exists(marker):
+        ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+                "cents": _scale_i64(t.column("value"), 100.0),
+            })
+
+        os.makedirs(part_dir, exist_ok=True)
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True).write_parquet(
+            part_dir, partition_cols=["day"])
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    sides = []
+    for d in days:
+        p = f"{part_dir}/day={d}"
+        if not os.path.isdir(p):
+            continue
+        sub = rd.read_parquet(p)
+        if "day" not in sub.schema().names:
+            # hive layout stores the partition key in the path; Ray usually
+            # re-infers it, but re-attach a literal if it didn't
+            sub = sub.map_batches(
+                lambda t, d=d: t.append_column(
+                    "day", pa.array([d] * t.num_rows, pa.string())),
+                batch_format="pyarrow")
+        else:
+            sub = sub.map_batches(
+                lambda t: t.set_column(
+                    t.schema.get_field_index("day"), "day",
+                    t.column("day").cast(pa.string())),
+                batch_format="pyarrow")
+        sides.append(sub)
+    empty = pd.DataFrame({"day": pd.Series(dtype="object"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "sum_value": pd.Series(dtype="float64")})
+    if not sides:
+        return empty
+    ds = sides[0]
+    for s in sides[1:]:
+        ds = ds.union(s)
+    out = grouped_sums(ds, keys=["day"], sum_cols={"cents": "cents"},
+                       count_alias="n_events")
+    if out.empty:
+        return empty
+    out["sum_value"] = round_away(out["cents"].astype("int64") / 100.0, 2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out.sort_values("day").reset_index(drop=True)
+            [["day", "n_events", "sum_value"]])

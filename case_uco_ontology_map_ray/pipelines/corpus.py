@@ -1531,3 +1531,91 @@ def lang_confusion(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     return (out[["lang", "pred_lang", "n"]]
             .sort_values(["lang", "pred_lang"]).reset_index(drop=True))
+
+
+def embedding_gram_matrix(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed Gram matrix over the embeddings table — the
+    sufficient-statistic primitive for PCA/covariance/whitening at corpus
+    scale (ops/similarity.gram_matrix: per-block int64-quantized matmul
+    partials, O(d²) per block on the exchange, no vector leaves its
+    block)."""
+    return sim.gram_matrix(_emb(sf_dir).select_columns(["embedding"]))
+
+
+def gopher_rule_report(sf_dir: str) -> pd.DataFrame:
+    """Gopher/C4-style quality-rule cascade report: per-rule pass counts
+    plus the all-rules survivor count — the attrition table a training-data
+    curation run publishes before committing a filter.
+
+    Rules are EXACT integer comparisons over \\w+ tokens (no float
+    boundaries): word count in [25, 60]; mean token length in [3, 10] via
+    the cross-multiplied inequality 3·n ≤ chars ≤ 10·n; ≥1 stopword (the
+    doc_quality 10-word list); duplicate-fraction ≤ 1/2 via
+    2·distinct ≥ n. Fully vectorized: ONE RE2 split kernel + dictionary-
+    encode + sorted segment transitions for per-doc distinct counts; each
+    batch emits a single 6-int partial row."""
+    from ..ops.text import _segment_sum, _token_segments
+
+    stop = pa.array(["the", "and", "of", "to", "a", "in", "is", "it",
+                     "that", "for"], pa.string())
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(c, pa.int64()) for c in
+                            ("n_docs", "word_count", "mean_word_len",
+                             "stopword", "dup_fraction", "all_rules")])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        import pyarrow.compute as pc
+
+        values, offs, val_len, _ = _token_segments(t.column("text"))
+        ndocs = t.num_rows
+        nonempty = val_len > 0
+        n_tok = _segment_sum(nonempty.astype(np.int64), offs)
+        tok_chars = _segment_sum(val_len, offs)
+        is_stop = pc.is_in(pc.utf8_lower(values), value_set=stop)
+        n_stop = _segment_sum(
+            is_stop.to_numpy(zero_copy_only=False).astype(np.int64), offs)
+        # per-doc distinct tokens: dictionary-encode once, count (doc, code)
+        # transitions in sorted order — no per-row Python
+        enc = pc.dictionary_encode(values)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.repeat(np.arange(ndocs, dtype=np.int64), np.diff(offs))
+        keep = nonempty
+        seg_k, code_k = seg[keep], codes[keep]
+        order = np.lexsort((code_k, seg_k))
+        ss, cs = seg_k[order], code_k[order]
+        new = np.r_[True, (ss[1:] != ss[:-1]) | (cs[1:] != cs[:-1])] \
+            if len(ss) else np.zeros(0, dtype=bool)
+        n_distinct = np.bincount(ss[new], minlength=ndocs) if len(ss) \
+            else np.zeros(ndocs, dtype=np.int64)
+
+        r_wc = (n_tok >= 25) & (n_tok <= 60)
+        r_mwl = (3 * n_tok <= tok_chars) & (tok_chars <= 10 * n_tok)
+        r_stop = n_stop >= 1
+        r_dup = 2 * n_distinct >= n_tok
+        r_all = r_wc & r_mwl & r_stop & r_dup
+        return pa.table({
+            "n_docs": pa.array([ndocs], pa.int64()),
+            "word_count": pa.array([int(r_wc.sum())], pa.int64()),
+            "mean_word_len": pa.array([int(r_mwl.sum())], pa.int64()),
+            "stopword": pa.array([int(r_stop.sum())], pa.int64()),
+            "dup_fraction": pa.array([int(r_dup.sum())], pa.int64()),
+            "all_rules": pa.array([int(r_all.sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    rules = ["word_count", "mean_word_len", "stopword", "dup_fraction",
+             "all_rules"]
+    if parts.empty:
+        tot = {c: 0 for c in ["n_docs"] + rules}
+    else:
+        tot = parts.sum().to_dict()
+    return pd.DataFrame({
+        "rule": rules,
+        "n_pass": pd.Series([int(tot[r]) for r in rules], dtype="int64"),
+        "n_docs": pd.Series([int(tot["n_docs"])] * len(rules), dtype="int64"),
+    })

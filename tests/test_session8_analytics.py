@@ -165,3 +165,82 @@ def test_part_skyline_small(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "part.parquet"))
     out = part_skyline(str(tmp_path))
     assert out["p_partkey"].tolist() == [1, 2]
+
+
+def test_gram_matrix_exact_small(ray_session):
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.similarity import gram_matrix
+
+    # scale=1 keeps the values as plain ints: G = X^T X exactly
+    X = np.array([[1, 2, 3], [4, 5, 6], [-7, 0, 2]], dtype=np.float64)
+    t = pa.table({"embedding": pa.array([list(r) for r in X],
+                                        pa.list_(pa.float32()))})
+    out = gram_matrix(rd.from_arrow(t).repartition(2), scale=1.0)
+    G = X.T @ X
+    got = {(int(r.i), int(r.j)): int(r.g) for r in out.itertuples()}
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i + 1, j + 1)] == int(G[i, j])
+    assert len(got) == 6  # upper triangle only
+
+
+def test_gopher_rule_report_edge_docs(ray_session, tmp_path):
+    from case_uco_ontology_map_ray.pipelines.corpus import gopher_rule_report
+
+    docs = [
+        "",                         # empty: 0 tokens -> fails wc, passes dup (0>=0)
+        " ".join(["the"] * 30),     # 30 tokens all dup: wc pass, dup fail
+        # 26 distinct tokens (mean len ~5.8, in [3,10]) + a stopword
+        " ".join(f"word{i}" for i in range(25)) + " the",
+        "short doc",                # 2 tokens: wc fail
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs),
+                  "lang": pa.array(["en"] * 4),
+                  "source": pa.array(["s"] * 4),
+                  "n_chars": pa.array([len(d) for d in docs], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = gopher_rule_report(str(tmp_path))
+    got = dict(zip(out.rule, out.n_pass))
+    assert out.n_docs.iloc[0] == 4
+    # word_count in [25,60]: docs 1 and 2
+    assert got["word_count"] == 2
+    # dup rule 2*distinct >= n: doc0 (0>=0), doc2 (54>=26... 27 distinct), doc3
+    assert got["dup_fraction"] == 3
+    # stopword: doc1 ('the'), doc2 ('the')
+    assert got["stopword"] == 2
+    # all rules: doc2 only (26 tokens in [25,60], mean len ok, stopword, distinct)
+    assert got["all_rules"] == 1
+
+
+def test_partition_pruned_counts_routing(ray_session, tmp_path, monkeypatch):
+    """Every row lands in exactly one day partition and only the requested
+    days are aggregated."""
+    import shutil
+
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        events_partition_pruned_counts,
+    )
+
+    rows = []
+    for d in (4, 5, 6, 7, 8):
+        for k in range(d):  # d rows on day d, value = day
+            rows.append((1, "view",
+                         np.datetime64(f"2024-01-{d:02d}T06:00:00", "us")))
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([1.25] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    shutil.rmtree(f"/tmp/cuomr_part/events_daily_{tmp_path.name}",
+                  ignore_errors=True)
+    out = events_partition_pruned_counts(str(tmp_path))
+    got = {r.day: (int(r.n_events), float(r.sum_value))
+           for r in out.itertuples()}
+    assert got == {"2024-01-05": (5, 6.25), "2024-01-06": (6, 7.5),
+                   "2024-01-07": (7, 8.75)}
