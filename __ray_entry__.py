@@ -928,6 +928,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rule_report": corpus.gopher_rule_report,
         "events_partition_pruned_counts":
             analytics.events_partition_pruned_counts,
+        "quantile_sketch_invariants": analytics.quantile_sketch_invariants,
+        "profile_orders": analytics.profile_orders,
+        "event_type_daily_grid": analytics.event_type_daily_grid,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3247,5 +3250,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE strftime(ts, '%Y-%m-%d') IN
                   ('2024-01-05', '2024-01-06', '2024-01-07')
             GROUP BY 1 ORDER BY 1
+        """,
+        # Mergeable quantile-summary gate: the engine measures the EXACT
+        # rank of every sketch estimate with a second counting pass and
+        # pins it inside the summary's n/k rank-error bound; SQL pins
+        # within_bound = true and reproduces n (the kmeans/HLL invariant
+        # pattern for sketches whose output has no row-for-row SQL twin).
+        "quantile_sketch_invariants": """
+            SELECT CAST(p AS BIGINT) AS pct,
+                   (SELECT count(*) FROM events) AS n,
+                   true AS within_bound
+            FROM (VALUES (10),(25),(50),(75),(90)) t(p) ORDER BY 1
+        """,
+        "profile_orders": """
+            -- per-column profiling report (n / nulls / exact distinct)
+            SELECT 'o_orderkey' AS "column", count(*) AS n,
+                   count(*) - count(o_orderkey) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct FROM orders
+            UNION ALL SELECT 'o_custkey', count(*),
+                   count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey) FROM orders
+            UNION ALL SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL SELECT 'o_totalprice', count(*),
+                   count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice) FROM orders
+            UNION ALL SELECT 'o_orderdate', count(*),
+                   count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate) FROM orders
+            UNION ALL SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority) FROM orders
+            ORDER BY 1
+        """,
+        "event_type_daily_grid": """
+            -- dense (day x type) grid with zero-filled missing cells
+            WITH c AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), d AS (SELECT DISTINCT day FROM c),
+               e AS (SELECT DISTINCT event_type FROM c)
+            SELECT d.day, e.event_type,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+            FROM d CROSS JOIN e
+            LEFT JOIN c ON c.day = d.day AND c.event_type = e.event_type
+            ORDER BY 1, 2
         """,
     }

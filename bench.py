@@ -311,6 +311,8 @@ def run_bench() -> dict:
         ("orders_price_deciles", analytics.orders_price_deciles),
         ("gopher_rule_report", corpus.gopher_rule_report),
         ("embedding_gram_matrix", corpus.embedding_gram_matrix),
+        ("quantile_sketch_invariants", analytics.quantile_sketch_invariants),
+        ("profile_orders", analytics.profile_orders),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -369,3 +369,62 @@ def approx_distinct_by_group(ds, group_col: str, column: str, p: int = 12):
     out = parts.groupby(group_col).map_groups(
         merge_group, batch_format="pandas").to_pandas()
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+# ------------------------------------------------- mergeable quantile summary
+def quantile_summary(ds, column: str, k: int = 256):
+    """Mergeable weighted quantile summary (MRL/GK-style): each batch sorts
+    its int64 values ONCE and emits at most k evenly-spaced order statistics
+    with exact integer weights (weight sums preserved, remainder distributed
+    deterministically), so the exchange carries O(blocks·k) rows instead of
+    O(rows). Per-batch rank error <= n_b/(2k) and errors add under merge,
+    giving a global bound of n/(2k) — the invariant the gate checks.
+
+    Returns (summary_df sorted by value with columns value/weight, n_total).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("value", pa.int64()), ("weight", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.sort(v)
+        n = len(v)
+        if n <= k:
+            return pa.table({"value": pa.array(v, pa.int64()),
+                             "weight": pa.array(np.ones(n, np.int64))})
+        # k segments with EXACT boundaries b_i = i·n//k: entry i is the
+        # segment median and carries the segment's exact row count, so the
+        # summary's cumulative weight after i entries equals b_i exactly
+        # and each entry's true rank is within segment/2 ≈ n/(2k) of it
+        # (weights detached from their segments — e.g. remainder rows all
+        # credited to the first entries — break the bound to O(k))
+        b = (np.arange(k + 1, dtype=np.int64) * n) // k
+        w = np.diff(b)
+        pos = (b[:-1] + b[1:]) // 2
+        return pa.table({"value": pa.array(v[pos], pa.int64()),
+                         "weight": pa.array(w, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        import pandas as pd
+
+        return (pd.DataFrame({"value": pd.Series(dtype="int64"),
+                              "weight": pd.Series(dtype="int64")}), 0)
+    out = parts.sort_values("value").reset_index(drop=True)
+    return out, int(out["weight"].sum())
+
+
+def quantile_summary_query(summary, n_total: int,
+                           percents: "list[int]") -> "np.ndarray":
+    """Estimate values at integer-percent quantiles from a merged summary:
+    first value whose cumulative weight reaches ceil(pct·n/100) — pure
+    integer arithmetic, no float rank drift."""
+    cum = summary["weight"].to_numpy(np.int64).cumsum()
+    vals = summary["value"].to_numpy(np.int64)
+    out = np.empty(len(percents), np.int64)
+    for i, pct in enumerate(percents):
+        target = max(1, (int(pct) * n_total + 99) // 100)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out[i] = vals[min(idx, len(vals) - 1)]
+    return out

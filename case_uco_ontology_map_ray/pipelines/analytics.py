@@ -1637,3 +1637,128 @@ def events_partition_pruned_counts(
     out["n_events"] = out["n_events"].astype("int64")
     return (out.sort_values("day").reset_index(drop=True)
             [["day", "n_events", "sum_value"]])
+
+
+def quantile_sketch_invariants(sf_dir: str,
+                               percents=(10, 25, 50, 75, 90),
+                               k: int = 256) -> pd.DataFrame:
+    """Mergeable quantile-summary sketch (ops/sketches.quantile_summary)
+    gated by its rank-error bound: the sketch estimates each percentile from
+    O(blocks·k) summary rows, then ONE exact counting pass measures the true
+    rank of every estimate; within_bound pins |rank(est) - pct·n/100| <=
+    n/k (2x the summary's n/(2k) guarantee). SQL pins within_bound = true
+    and reproduces n — a wrong sketch (bad weights, bad merge, bad query
+    rule) lands outside the bound and flips the row."""
+    from ..ops.sketches import quantile_summary, quantile_summary_query
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    cents = ds.map_batches(
+        lambda t: pa.table({"cents": _scale_i64(t.column("value"), 100.0)}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    summary, n = quantile_summary(cents, "cents", k=k)
+    empty = pd.DataFrame({"pct": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "within_bound": pd.Series(dtype="bool")})
+    if n == 0:
+        return empty
+    est = quantile_summary_query(summary, n, list(percents))
+
+    # one exact distributed counting pass for all estimates at once
+    est_arr = np.asarray(est, np.int64)
+
+    def rank_counts(t: pa.Table) -> pa.Table:
+        v = np.sort(t.column("cents").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        lo = np.searchsorted(v, est_arr, side="left")
+        hi = np.searchsorted(v, est_arr, side="right")
+        return pa.table({"pct": pa.array(np.asarray(percents, np.int64)),
+                         "lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    parts = cents.map_batches(rank_counts, batch_format="pyarrow") \
+        .to_pandas().groupby("pct", as_index=False)[["lo", "hi"]].sum()
+    parts = parts.set_index("pct").loc[list(percents)]
+    slack = max(1, n // k)
+    target = np.array([(p * n + 99) // 100 for p in percents], np.int64)
+    lo = parts["lo"].to_numpy(np.int64)
+    hi = parts["hi"].to_numpy(np.int64)
+    within = (lo <= target - 1 + slack) & (hi >= target - slack)
+    return pd.DataFrame({"pct": pd.Series(percents, dtype="int64"),
+                         "n": pd.Series([n] * len(percents), dtype="int64"),
+                         "within_bound": pd.Series(within, dtype="bool")})
+
+
+def profile_orders(sf_dir: str) -> pd.DataFrame:
+    """Data-profiling surface: per-column (n, n_null, n_distinct) over the
+    orders table — the validation report a pipeline publishes before
+    training on a new snapshot. One pruned read; null/row counts are
+    per-batch int partials; each distinct count is the standard
+    per-batch-distinct -> key groupby reduction (distinct values move once,
+    never raw rows)."""
+    from ..ops.agg import grouped_sums
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=cols).materialize()
+
+    def null_partials(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "n_part": pa.array([t.num_rows] * len(cols), pa.int64()),
+            "null_part": pa.array(
+                [t.column(c).null_count for c in cols], pa.int64()),
+        })
+
+    base = grouped_sums(ds.map_batches(null_partials, batch_format="pyarrow"),
+                        keys=["column"],
+                        sum_cols={"n": "n_part", "n_null": "null_part"})
+
+    n_distinct = {}
+    for c in cols:
+        pre = ds.map_batches(
+            lambda t, c=c: t.select([c]).drop_null().group_by([c]).aggregate([]),
+            batch_format="pyarrow")
+        n_distinct[c] = pre.groupby(c).count().count()
+
+    out = base.set_index("column").loc[cols].reset_index()
+    out["n_distinct"] = pd.Series([n_distinct[c] for c in cols],
+                                  dtype="int64")
+    out = out.astype({"n": "int64", "n_null": "int64"})
+    return out[["column", "n", "n_null", "n_distinct"]] \
+        .sort_values("column").reset_index(drop=True)
+
+
+def event_type_daily_grid(sf_dir: str) -> pd.DataFrame:
+    """Dense dimension-fill: the (day x event_type) count grid with ZERO
+    rows for combinations that never occurred (the shape every daily
+    monitoring dashboard needs). Counts come from one partial-agg groupby;
+    the zero-fill is a driver-side reindex over the observed-dimension
+    product (|days| x |types| is dashboard-sized even when events are
+    not). Oracle: CROSS JOIN of the distinct dimensions LEFT JOIN counts."""
+    from ..ops.agg import grouped_sums
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.strftime(t.column("ts"), format="%Y-%m-%d"),
+            "event_type": t.column("event_type"),
+        })
+
+    counts = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          keys=["day", "event_type"], sum_cols={},
+                          count_alias="n_events")
+    if counts.empty:
+        return pd.DataFrame({"day": pd.Series(dtype="object"),
+                             "event_type": pd.Series(dtype="object"),
+                             "n_events": pd.Series(dtype="int64")})
+    days = sorted(counts["day"].unique())
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product([days, types],
+                                      names=["day", "event_type"])
+    out = (counts.set_index(["day", "event_type"])["n_events"]
+           .reindex(grid, fill_value=0).reset_index())
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)

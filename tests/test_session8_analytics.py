@@ -244,3 +244,71 @@ def test_partition_pruned_counts_routing(ray_session, tmp_path, monkeypatch):
            for r in out.itertuples()}
     assert got == {"2024-01-05": (5, 6.25), "2024-01-06": (6, 7.5),
                    "2024-01-07": (7, 8.75)}
+
+
+def test_quantile_summary_rank_bound(ray_session):
+    """Merged summary estimates stay within the n/k rank bound across many
+    blocks, for skewed and uniform data."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sketches import (
+        quantile_summary,
+        quantile_summary_query,
+    )
+
+    rng = np.random.default_rng(11)
+    for vals in (rng.integers(0, 10**6, 20000),
+                 (rng.pareto(1.5, 20000) * 1000).astype(np.int64)):
+        t = pa.table({"x": pa.array(vals.astype(np.int64), pa.int64())})
+        ds = rd.from_arrow(t).repartition(16)
+        k = 128
+        summary, n = quantile_summary(ds, "x", k=k)
+        assert n == len(vals)
+        assert int(summary["weight"].sum()) == n
+        est = quantile_summary_query(summary, n, [10, 50, 90])
+        v = np.sort(vals)
+        for pct, e in zip([10, 50, 90], est):
+            target = (pct * n + 99) // 100
+            lo = np.searchsorted(v, e, "left")
+            hi = np.searchsorted(v, e, "right")
+            slack = n // k
+            assert lo <= target - 1 + slack and hi >= target - slack, \
+                (pct, e, lo, hi, target, slack)
+
+
+def test_quantile_summary_small_block_exact(ray_session):
+    """Blocks smaller than k pass through uncompressed (weight 1 each), so
+    a small dataset's estimates are exact."""
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sketches import (
+        quantile_summary,
+        quantile_summary_query,
+    )
+
+    vals = np.arange(1, 101, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+    summary, n = quantile_summary(ds, "x", k=256)
+    est = quantile_summary_query(summary, n, [10, 50, 90])
+    assert est.tolist() == [10, 50, 90]
+
+
+def test_profile_orders_counts_nulls(ray_session, tmp_path):
+    from case_uco_ontology_map_ray.pipelines.analytics import profile_orders
+
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 10, None, 20], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F", "O", None]),
+        "o_totalprice": pa.array([1.0, 1.0, 2.0, 3.0]),
+        "o_orderdate": pa.array([np.datetime64("2024-01-01", "us")] * 4,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = profile_orders(str(tmp_path)).set_index("column")
+    assert out.loc["o_custkey", "n_null"] == 1
+    assert out.loc["o_custkey", "n_distinct"] == 2
+    assert out.loc["o_orderstatus", "n_distinct"] == 2
+    assert out.loc["o_totalprice", "n_distinct"] == 3
+    assert (out["n"] == 4).all()
