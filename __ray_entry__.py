@@ -931,6 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_invariants": analytics.quantile_sketch_invariants,
         "profile_orders": analytics.profile_orders,
         "event_type_daily_grid": analytics.event_type_daily_grid,
+        "brand_top_parts_concat": analytics.brand_top_parts_concat,
+        "corpus_snapshot_diff": corpus.corpus_snapshot_diff,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3297,5 +3299,53 @@ def oracle_sql() -> dict[str, str]:
             FROM d CROSS JOIN e
             LEFT JOIN c ON c.day = d.day AND c.event_type = e.event_type
             ORDER BY 1, 2
+        """,
+        "brand_top_parts_concat": """
+            -- grouped ORDERED string aggregation: 3 cheapest partkeys per
+            -- brand comma-joined in exact (cents, partkey) order
+            WITH c AS (
+                SELECT p_brand, p_partkey,
+                       CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents
+                FROM part
+            ), r AS (
+                SELECT p_brand, p_partkey, cents,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY cents, p_partkey) AS rn
+                FROM c
+            ), agg AS (
+                SELECT p_brand,
+                       string_agg(CAST(p_partkey AS VARCHAR), ','
+                                  ORDER BY cents, p_partkey) AS top_parts
+                FROM r WHERE rn <= 3 GROUP BY 1
+            ), n AS (
+                SELECT p_brand, count(*) AS n_parts FROM part GROUP BY 1
+            )
+            SELECT agg.p_brand, agg.top_parts, n.n_parts
+            FROM agg JOIN n USING (p_brand) ORDER BY 1
+        """,
+        "corpus_snapshot_diff": """
+            -- snapshot diff: both corpus versions derive deterministically
+            -- from documents (prior: doc_id%10 != 0 with a planted edit on
+            -- %7 == 0; current: doc_id%9 != 0), so SQL re-derives the
+            -- added/removed/changed/unchanged census independently
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v0'
+                            ELSE text END AS text_prior
+                FROM documents WHERE doc_id % 10 != 0
+            ), c AS (
+                SELECT doc_id, text AS text_cur FROM documents
+                WHERE doc_id % 9 != 0
+            ), j AS (
+                SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+                       text_cur, text_prior
+                FROM c FULL OUTER JOIN p ON c.doc_id = p.doc_id
+            )
+            SELECT CASE WHEN text_prior IS NULL THEN 'added'
+                        WHEN text_cur IS NULL THEN 'removed'
+                        WHEN text_cur = text_prior THEN 'unchanged'
+                        ELSE 'changed' END AS change_type,
+                   count(*) AS n
+            FROM j GROUP BY 1 ORDER BY 1
         """,
     }

@@ -1762,3 +1762,52 @@ def event_type_daily_grid(sf_dir: str) -> pd.DataFrame:
            .reindex(grid, fill_value=0).reset_index())
     out["n_events"] = out["n_events"].astype("int64")
     return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+def brand_top_parts_concat(sf_dir: str, top: int = 3) -> pd.DataFrame:
+    """Grouped string aggregation (string_agg / collect_list surface): per
+    brand, the comma-joined keys of its 3 cheapest parts in exact
+    (cents, partkey) order, plus the brand's part count. Same two-stage
+    shape as supplier_rank_in_nation: batches prune to their local top-3
+    per brand, one brand co-group finishes the exact order and
+    concatenates — the ordered-list build never sees more than
+    blocks x top rows per brand."""
+    from ..ops.agg import grouped_sums
+
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.rint(
+            df["p_retailprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        r = (df.sort_values(["cents", "p_partkey"])
+             .groupby("p_brand").cumcount())
+        return pa.Table.from_pandas(
+            df.loc[r.sort_index() < top,
+                   ["p_brand", "p_partkey", "cents"]],
+            preserve_index=False)
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_brand", "cents", "p_partkey"],
+                          kind="mergesort")
+        g = g.groupby("p_brand", as_index=False).head(top)
+        out = (g.assign(s=g["p_partkey"].astype(str))
+               .groupby("p_brand", as_index=False)
+               .agg(top_parts=("s", ",".join)))
+        return out
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow")
+    agg = _keyed_segments(pruned, "p_brand").map_groups(
+        concat, batch_format="pandas").to_pandas()
+    n = grouped_sums(ds.map_batches(
+        lambda t: t.select(["p_brand"]), batch_format="pyarrow"),
+        keys=["p_brand"], sum_cols={}, count_alias="n_parts")
+    if agg.empty:
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "top_parts": pd.Series(dtype="object"),
+                             "n_parts": pd.Series(dtype="int64")})
+    out = agg.merge(n, on="p_brand")
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return (out.sort_values("p_brand").reset_index(drop=True)
+            [["p_brand", "top_parts", "n_parts"]])

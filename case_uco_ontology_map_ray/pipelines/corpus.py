@@ -1619,3 +1619,71 @@ def gopher_rule_report(sf_dir: str) -> pd.DataFrame:
         "n_pass": pd.Series([int(tot[r]) for r in rules], dtype="int64"),
         "n_docs": pd.Series([int(tot["n_docs"])] * len(rules), dtype="int64"),
     })
+
+
+def corpus_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff between two corpus versions — the added / removed /
+    changed / unchanged report a dataset-versioning workflow publishes
+    when a new crawl lands. Both versions derive DETERMINISTICALLY from
+    the documents table (prior = doc_id % 10 != 0, with a planted edit on
+    doc_id % 7 == 0; current = doc_id % 9 != 0), so the DuckDB twin
+    re-derives them independently.
+
+    Scale shape: one pruned read feeds both sides (a filter each), the
+    diff is ONE doc_id-bucketed FULL OUTER join with per-bucket text
+    compare, and only (change_type, n) partials leave the buckets."""
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums
+    from ..ops.joins import bucket_join
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).materialize()
+
+    def prior(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        keep = pc.not_equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 10), 10)), 0)
+        f = t.filter(keep)
+        edited = pc.equal(pc.subtract(
+            f.column("doc_id"),
+            pc.multiply(pc.divide(f.column("doc_id"), 7), 7)), 0)
+        text = pc.if_else(edited,
+                          pc.binary_join_element_wise(
+                              f.column("text").cast(pa.string()),
+                              pa.scalar(" v0"), ""),
+                          f.column("text"))
+        return pa.table({"doc_id": f.column("doc_id"), "text_prior": text})
+
+    def current(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        keep = pc.not_equal(pc.subtract(
+            ids, pc.multiply(pc.divide(ids, 9), 9)), 0)
+        f = t.filter(keep)
+        return pa.table({"doc_id": f.column("doc_id"),
+                         "text_cur": f.column("text")})
+
+    p = ds.map_batches(prior, batch_format="pyarrow")
+    c = ds.map_batches(current, batch_format="pyarrow")
+    joined = bucket_join(c, p, on="doc_id", how="outer")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        has_c = g["text_cur"].notna()
+        has_p = g["text_prior"].notna()
+        kind = np.where(~has_p, "added",
+                        np.where(~has_c, "removed",
+                                 np.where(g["text_cur"] == g["text_prior"],
+                                          "unchanged", "changed")))
+        out = (pd.DataFrame({"change_type": kind})
+               .groupby("change_type", as_index=False)
+               .size().rename(columns={"size": "n_part"}))
+        out["n_part"] = out["n_part"].astype("int64")
+        return out
+
+    parts = joined.map_batches(classify, batch_format="pandas")
+    out = grouped_sums(parts, keys=["change_type"], sum_cols={"n": "n_part"})
+    if out.empty:
+        return pd.DataFrame({"change_type": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("change_type").reset_index(drop=True)[
+        ["change_type", "n"]]
