@@ -1158,7 +1158,7 @@ def q5_local_supplier_revenue(sf_dir: str, year: int = 1995) -> pd.DataFrame:
     Revenue is exact int64 x1e4 (q1's idiom) so the distributed sum matches
     DuckDB bit-for-bit."""
     from ..ops.agg import grouped_sums
-    from ..ops.joins import adaptive_join, bucket_join
+    from ..ops.joins import adaptive_join, adaptive_semi_join
 
     lo = pa.scalar(np.datetime64(f"{year}-01-01T00:00:00", "us"))
     hi = pa.scalar(np.datetime64(f"{year + 1}-01-01T00:00:00", "us"))
@@ -1176,7 +1176,11 @@ def q5_local_supplier_revenue(sf_dir: str, year: int = 1995) -> pd.DataFrame:
     ).map_batches(order_prep, batch_format="pyarrow", zero_copy_batch=True)
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_nationkey"])
-    orders_n = bucket_join(orders, cust, on="c_custkey")
+    # every join below is measured-adaptive: broadcast when the right side
+    # proves small (zero shuffles at bench scale — the chain is otherwise
+    # all-to-all-latency-bound, not data-bound), hash-bucketed at 100-TB
+    # cardinalities
+    orders_n = adaptive_join(orders, cust, on="c_custkey")
 
     def li_prep(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
@@ -1189,6 +1193,12 @@ def q5_local_supplier_revenue(sf_dir: str, year: int = 1995) -> pd.DataFrame:
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    # dynamic partition pruning: the year filter keeps ~1/7 of orders, so
+    # semi-reduce lineitem by the surviving orderkeys BEFORE the supplier
+    # join and the orderkey exchange (broadcast of the measured-small key
+    # set here; bucketed semi when the filtered orders are big)
+    orders_n = orders_n.materialize()
+    li = adaptive_semi_join(li, orders_n, on="o_orderkey")
     supp = rd.read_parquet(_t(sf_dir, "supplier"),
                            columns=["s_suppkey", "s_nationkey"])
     li_n = adaptive_join(li, supp, on="s_suppkey")
@@ -1199,7 +1209,7 @@ def q5_local_supplier_revenue(sf_dir: str, year: int = 1995) -> pd.DataFrame:
         return agg.rename_columns(["o_orderkey", "s_nationkey", "rev"])
 
     li_agg = li_n.map_batches(li_partial, batch_format="pyarrow")
-    joined = bucket_join(li_agg, orders_n, on="o_orderkey")
+    joined = adaptive_join(li_agg, orders_n, on="o_orderkey")
 
     def local_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t.column("s_nationkey"),
@@ -1273,7 +1283,6 @@ def copurchase_pairs(sf_dir: str, k: int = 25, min_support: int = 2) -> pd.DataF
     never corpus-sized), pre-counted per bucket, then one tiny pair-keyed
     groupby + distributed top-k. The ragged pair expansion is the banded-
     join building block (_expand_pairs) — no Python loop over orders."""
-    from ..ops.agg import grouped_sums_ds, topk_ds
     from ..ops.joins import _expand_pairs
 
     ds = rd.read_parquet(_t(sf_dir, "lineitem"),
@@ -1308,16 +1317,37 @@ def copurchase_pairs(sf_dir: str, k: int = 25, min_support: int = 2) -> pd.DataF
 
     parts = _keyed_segments(pre, "l_orderkey").map_groups(
         per_bucket, batch_format="pandas")
-    counts = grouped_sums_ds(parts, keys=["k1", "k2"],
-                             sum_cols={"support": "n_part"})
-    sup = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("support"),
-                                            pa.scalar(min_support, pa.int64()))),
-        batch_format="pyarrow")
-    out = topk_ds(sup, by=["support", "k1", "k2"],
-                  ascending=[False, True, True], k=k,
-                  columns=["k1", "k2", "support"])
-    out = out.astype({"k1": "int64", "k2": "int64", "support": "int64"})
+
+    # combine per-bucket pair partials WITHOUT a generic 2-key Aggregate
+    # (Ray's sort-based aggregate over ~10^6 composite keys is the slow
+    # path — 15 s vs 4 s at sf0.1): pack the pair into ONE int64 key,
+    # co-group by its hash (complete counts per bucket), filter + local
+    # top-k per bucket, tiny driver merge
+    def pack(t: pa.Table) -> pa.Table:
+        k1 = t.column("k1").to_numpy(zero_copy_only=False)
+        k2 = t.column("k2").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pairkey", pa.array((k1 << np.int64(32)) | k2, pa.int64()))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby("pairkey", as_index=False)
+             .agg(k1=("k1", "first"), k2=("k2", "first"),
+                  support=("n_part", "sum")))
+        c = c[c["support"] >= min_support]
+        c = c.sort_values(["support", "k1", "k2"],
+                          ascending=[False, True, True]).head(k)
+        return c[["k1", "k2", "support"]].astype("int64")
+
+    res = _keyed_segments(parts.map_batches(pack, batch_format="pyarrow"),
+                          "pairkey").map_groups(
+        bucket_topk, batch_format="pandas").to_pandas()
+    if res.empty:
+        return pd.DataFrame({"k1": pd.Series(dtype="int64"),
+                             "k2": pd.Series(dtype="int64"),
+                             "support": pd.Series(dtype="int64")})
+    out = (res.sort_values(["support", "k1", "k2"],
+                           ascending=[False, True, True]).head(k)
+           .astype({"k1": "int64", "k2": "int64", "support": "int64"}))
     return out[["k1", "k2", "support"]].reset_index(drop=True)
 
 
@@ -1714,15 +1744,35 @@ def profile_orders(sf_dir: str) -> pd.DataFrame:
                         keys=["column"],
                         sum_cols={"n": "n_part", "n_null": "null_part"})
 
-    n_distinct = {}
-    for c in cols:
-        pre = ds.map_batches(
-            lambda t, c=c: t.select([c]).drop_null().group_by([c]).aggregate([]),
-            batch_format="pyarrow")
-        n_distinct[c] = pre.groupby(c).count().count()
+    # all distinct counts in ONE pass: tag each column's per-batch distinct
+    # values (stringified — Arrow's double/timestamp casts are injective
+    # shortest-round-trip/ISO forms, so distinct-of-strings == distinct-of-
+    # values), one global (column, value) distinct, tiny per-column rollup
+    def tagged_distinct(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = t.column(c).drop_null()
+            if pa.types.is_timestamp(col.type):
+                vals = pc.strftime(col, format="%Y-%m-%d %H:%M:%S.%f")
+            else:
+                vals = col.cast(pa.string())
+            d = pa.table({
+                "column": pa.array([c] * len(vals), pa.string()),
+                "value": vals,
+            }).group_by(["column", "value"]).aggregate([])
+            parts.append(d)
+        return pa.concat_tables(parts)
+
+    pre = ds.map_batches(tagged_distinct, batch_format="pyarrow")
+    dist_pairs = pre.groupby(["column", "value"]).count()
+    n_distinct = grouped_sums(
+        dist_pairs.map_batches(lambda t: t.select(["column"]),
+                               batch_format="pyarrow"),
+        keys=["column"], sum_cols={}, count_alias="n_distinct")
 
     out = base.set_index("column").loc[cols].reset_index()
-    out["n_distinct"] = pd.Series([n_distinct[c] for c in cols],
+    nd = n_distinct.set_index("column")["n_distinct"]
+    out["n_distinct"] = pd.Series([int(nd.get(c, 0)) for c in cols],
                                   dtype="int64")
     out = out.astype({"n": "int64", "n_null": "int64"})
     return out[["column", "n", "n_null", "n_distinct"]] \
