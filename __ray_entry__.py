@@ -933,6 +933,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_daily_grid": analytics.event_type_daily_grid,
         "brand_top_parts_concat": analytics.brand_top_parts_concat,
         "corpus_snapshot_diff": corpus.corpus_snapshot_diff,
+        # --- session-9 additions (all oracled)
+        "part_fuzzy_name_pairs": analytics.part_fuzzy_name_pairs,
+        "incremental_user_event_state": analytics.incremental_user_event_state,
+        "countmin_token_counts": corpus.countmin_token_counts,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3347,5 +3351,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS change_type,
                    count(*) AS n
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # --- session-9 additions
+        # fuzzy record linkage: DuckDB's levenshtein is BYTE-level (probed:
+        # levenshtein('é','e') = 2) and the engine's pair-vectorized DP
+        # kernel matches it byte-for-byte; the brand self-join twin is the
+        # brute-force form of the engine's length-band blocking plan.
+        "part_fuzzy_name_pairs": """
+            SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY k1, k2
+        """,
+        # incremental state merge: prior-partition aggregate state persisted
+        # to parquet + delta partials through the same combiner must equal
+        # the full recompute (exact integer cents, associative sums).
+        "incremental_user_event_state": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # count-min gate: exact top-20 token counts SQL-matched; the
+        # sketch's guarantees (never under-counts; within 4e/width * N)
+        # are pinned true — deterministic under the seeded hash.
+        "countmin_token_counts": """
+            SELECT tok, count(*) AS n,
+                   true AS cm_overestimates, true AS cm_within_bound
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 20
         """,
     }

@@ -313,6 +313,10 @@ def run_bench() -> dict:
         ("embedding_gram_matrix", corpus.embedding_gram_matrix),
         ("quantile_sketch_invariants", analytics.quantile_sketch_invariants),
         ("profile_orders", analytics.profile_orders),
+        ("part_fuzzy_name_pairs", analytics.part_fuzzy_name_pairs),
+        ("incremental_user_event_state",
+         analytics.incremental_user_event_state),
+        ("countmin_token_counts", corpus.countmin_token_counts),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

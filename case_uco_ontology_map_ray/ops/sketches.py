@@ -428,3 +428,87 @@ def quantile_summary_query(summary, n_total: int,
         idx = int(np.searchsorted(cum, target, side="left"))
         out[i] = vals[min(idx, len(vals) - 1)]
     return out
+
+
+# ------------------------------------------------------- count-min sketch
+class CountMin:
+    """Mergeable count-min sketch over pre-hashed 64-bit keys: a
+    (depth x width) int64 counter grid; each key increments one counter
+    per row (row positions derived from the key hash by `depth`
+    independent avalanche remixes), point query = min over rows.
+
+    Guarantees (deterministic given the seeded hash): estimates NEVER
+    under-count, and over-count per row is a sum of colliding keys'
+    counts — E[overshoot] <= N/width per row, so min-over-depth stays
+    within eps*N for eps a few multiples of 1/width except with
+    vanishing probability. Counters are plain numpy: merge = elementwise
+    add, serialization = raw bytes (the same contract as HyperLogLog /
+    FixedHistogram above)."""
+
+    _SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+              0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+              0x2545F4914F6CDD1D, 0xD6E8FEB86659FD93)
+
+    def __init__(self, width: int = 4096, depth: int = 5,
+                 table: "np.ndarray | None" = None):
+        assert depth <= len(self._SEEDS)
+        self.width, self.depth = width, depth
+        self.table = (table if table is not None
+                      else np.zeros((depth, width), np.int64))
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) column positions for uint64 key hashes."""
+        pos = np.empty((self.depth, len(h)), np.int64)
+        for i in range(self.depth):
+            pos[i] = (_hash_ints(h, seed=self._SEEDS[i])
+                      % np.uint64(self.width)).astype(np.int64)
+        return pos
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray) -> None:
+        pos = self._positions(h)
+        c = counts.astype(np.int64)
+        for i in range(self.depth):
+            np.add.at(self.table[i], pos[i], c)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(h)
+        est = self.table[0][pos[0]]
+        for i in range(1, self.depth):
+            est = np.minimum(est, self.table[i][pos[i]])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        return CountMin(self.width, self.depth, self.table + other.table)
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, width: int = 4096,
+                   depth: int = 5) -> "CountMin":
+        t = np.frombuffer(raw, np.int64).reshape(depth, width).copy()
+        return cls(width, depth, t)
+
+
+def countmin_from_partials(ds, key_hash_col: str, count_col: str,
+                           width: int = 4096, depth: int = 5) -> CountMin:
+    """Build one merged CountMin from a Dataset of (key_hash, count)
+    partial rows: one sketch per batch (vectorized scatter-add), sketches
+    merged on the driver — the exchange carries depth*width ints per
+    BATCH, never per key."""
+    def sketch(t: pa.Table) -> pa.Table:
+        cm = CountMin(width, depth)
+        if t.num_rows:
+            cm.add_hashes(
+                t.column(key_hash_col).to_numpy(zero_copy_only=False)
+                 .astype(np.uint64),
+                t.column(count_col).to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([cm.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow")
+    merged = CountMin(width, depth)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for raw in b.column("sketch").to_pylist():
+            merged = merged.merge(CountMin.from_bytes(raw, width, depth))
+    return merged

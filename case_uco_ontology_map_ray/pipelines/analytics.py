@@ -1861,3 +1861,78 @@ def brand_top_parts_concat(sf_dir: str, top: int = 3) -> pd.DataFrame:
     out["n_parts"] = out["n_parts"].astype("int64")
     return (out.sort_values("p_brand").reset_index(drop=True)
             [["p_brand", "top_parts", "n_parts"]])
+
+
+def part_fuzzy_name_pairs(sf_dir: str, d: int = 2) -> pd.DataFrame:
+    """Fuzzy record linkage, DuckDB-value-oracled: every within-brand pair
+    of parts whose names are within Levenshtein distance ``d`` (SQL twin:
+    brand self-join + ``levenshtein() <= d``, byte-level semantics in both
+    engines). The engine plan is length-band blocking (banded self-join,
+    fixed 2x ghost replication) -> adaptive endpoint-text joins ->
+    pair-vectorized DP verify — see ops/editdist.py for the 100-TB shape.
+    """
+    from ..ops.editdist import edit_distance_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name", "p_brand"])
+    out = edit_distance_pairs(ds, group_col="p_brand", id_col="p_partkey",
+                              text_col="p_name", d=d).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "k1": pd.Series(dtype="int64"),
+                             "k2": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+    out = out.astype({"k1": "int64", "k2": "int64", "dist": "int64"})
+    return (out.sort_values(["k1", "k2"]).reset_index(drop=True)
+            [["p_brand", "k1", "k2", "dist"]])
+
+
+def incremental_user_event_state(sf_dir: str,
+                                 cutoff: str = "2024-01-15") -> pd.DataFrame:
+    """Incremental aggregation via mergeable PERSISTED state, DuckDB-oracled
+    against a full recompute: the prior partition's per-user aggregate
+    state (n, exact cents sum) is written to parquet, read back, and merged
+    with the delta partition's partials through the same combiner — the
+    state-roundtrip contract every incremental 100-TB pipeline relies on
+    (yesterday's aggregate + today's delta == full rebuild, bit-exact
+    because the state is associative integer sums, never floats).
+    """
+    import shutil
+    import tempfile
+
+    from ..ops.agg import grouped_sums, grouped_sums_ds
+
+    lo = pa.scalar(np.datetime64(f"{cutoff}T00:00:00", "us"))
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table, before: bool) -> pa.Table:
+        m = pc.less(t.column("ts"), lo) if before else \
+            pc.greater_equal(t.column("ts"), lo)
+        t = t.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+        one = pa.table({"user_id": t.column("user_id"), "cents": cents})
+        agg = one.group_by(["user_id"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return agg.rename_columns(["user_id", "cents_part", "n_part"])
+
+    prior = ds.map_batches(lambda t: prep(t, True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    delta = ds.map_batches(lambda t: prep(t, False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    state = grouped_sums_ds(prior, keys=["user_id"],
+                            sum_cols={"cents_part": "cents_part",
+                                      "n_part": "n_part"})
+    tmp = tempfile.mkdtemp(prefix="graft_incr_state_")
+    try:
+        state.write_parquet(tmp)
+        merged = grouped_sums(
+            rd.read_parquet(tmp).union(delta), keys=["user_id"],
+            sum_cols={"n_events": "n_part", "sum_value_cents": "cents_part"})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    merged = merged.astype({"user_id": "int64", "n_events": "int64",
+                            "sum_value_cents": "int64"})
+    return (merged.sort_values("user_id").reset_index(drop=True)
+            [["user_id", "n_events", "sum_value_cents"]])

@@ -1687,3 +1687,52 @@ def corpus_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     return out.sort_values("change_type").reset_index(drop=True)[
         ["change_type", "n"]]
+
+
+def countmin_token_counts(sf_dir: str, k: int = 20, width: int = 4096,
+                          depth: int = 5) -> pd.DataFrame:
+    """Count-min sketch gate over the token stream, DuckDB-oracled: the
+    engine computes BOTH the exact top-k token counts (SQL-matched) and a
+    merged CountMin estimate per token, emitting the sketch's two formal
+    guarantees as pinned-true flags — never-under-count (certain by
+    construction) and within eps*N for eps = 4e/width (per-token failure
+    probability (1/4e)^depth ~ 7e-6 at depth 5; the seeded hash makes the
+    flag deterministic, not flaky).
+
+    Scale shape: one token explode feeds per-batch vocabulary-sized
+    (tok, hash, count) partials; the sketch exchange is depth*width ints
+    per BATCH (constant), the exact side is the oracled top_tokens
+    machinery (partial counts -> one groupby)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import content_hash64_arrow
+    from ..ops.agg import grouped_sums
+    from ..ops.sketches import countmin_from_partials
+
+    ds = _docs(sf_dir, ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(t.column("text")))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        agg = pa.table({"tok": toks}).group_by(["tok"]).aggregate(
+            [([], "count_all")]).rename_columns(["tok", "n_part"])
+        h = content_hash64_arrow(agg.column("tok").combine_chunks())
+        return agg.append_column("h", pa.array(h.astype(np.int64)))
+
+    parts = ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    cm = countmin_from_partials(parts, "h", "n_part", width, depth)
+    exact = grouped_sums(parts, keys=["tok"], sum_cols={"n": "n_part"})
+    exact["n"] = exact["n"].astype("int64")
+    n_total = int(exact["n"].sum())
+    top = (exact.sort_values(["n", "tok"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    h_top = content_hash64_arrow(pa.array(top["tok"].tolist(), pa.string()))
+    est = cm.estimate_hashes(h_top)
+    true = top["n"].to_numpy(np.int64)
+    slack = int(math.ceil(4 * math.e / width * n_total))
+    top["cm_overestimates"] = (est >= true)
+    top["cm_within_bound"] = (est <= true + slack)
+    return top[["tok", "n", "cm_overestimates", "cm_within_bound"]]
