@@ -937,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_name_pairs": analytics.part_fuzzy_name_pairs,
         "incremental_user_event_state": analytics.incremental_user_event_state,
         "countmin_token_counts": corpus.countmin_token_counts,
+        "user_value_moving_sum": analytics.user_value_moving_sum,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3384,5 +3385,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE tok <> ''
             GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        """,
+        # ROWS-frame sliding window (the lag/cumulative/rank window
+        # families have their own gates; this pins the frame-bounded one).
+        # Exact integer cents keep the distributed sum bit-equal.
+        "user_value_moving_sum": """
+            SELECT event_id, user_id, moving_cents FROM (
+                SELECT event_id, user_id,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS moving_cents
+                FROM events)
+            ORDER BY moving_cents DESC, event_id LIMIT 50
         """,
     }

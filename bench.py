@@ -317,6 +317,7 @@ def run_bench() -> dict:
         ("incremental_user_event_state",
          analytics.incremental_user_event_state),
         ("countmin_token_counts", corpus.countmin_token_counts),
+        ("user_value_moving_sum", analytics.user_value_moving_sum),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -1936,3 +1936,58 @@ def incremental_user_event_state(sf_dir: str,
                             "sum_value_cents": "int64"})
     return (merged.sort_values("user_id").reset_index(drop=True)
             [["user_id", "n_events", "sum_value_cents"]])
+
+
+def user_value_moving_sum(sf_dir: str, k: int = 50,
+                          frame: int = 3) -> pd.DataFrame:
+    """Frame-bounded window aggregate (SQL: ``sum() OVER (PARTITION BY
+    user ORDER BY ts, event_id ROWS BETWEEN frame-1 PRECEDING AND CURRENT
+    ROW)``), top-k rows by the window value — the sliding-frame window
+    class (the lag/lead, cumulative, and rank window families each have
+    their own oracled query; this is the ROWS-frame one).
+
+    Scale shape: users hash-bucketed into complete-key co-groups (same
+    plan as sessionization/gaps), ONE vectorized pass per bucket —
+    segment-reset prefix sums give every row's frame sum with no Python
+    loop — local top-k per bucket, tiny driver merge. Exact integer
+    cents, so the distributed sum is bit-equal to SQL's."""
+    import numpy as np
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "user_id": pd.Series(dtype="int64"),
+                              "moving_cents": pd.Series(dtype="int64")})
+        if n == 0:
+            return empty
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = uid[1:] != uid[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        winlen = np.minimum(np.int64(frame), idx - seg_start + 1)
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        w = cs[idx + 1] - cs[idx + 1 - winlen]
+        out = pd.DataFrame({"event_id": eid, "user_id": uid,
+                            "moving_cents": w})
+        return out.sort_values(["moving_cents", "event_id"],
+                               ascending=[False, True]).head(k)
+
+    parts = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas")
+    out = parts.to_pandas()
+    if out.empty and "moving_cents" not in out.columns:
+        out = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                            "user_id": pd.Series(dtype="int64"),
+                            "moving_cents": pd.Series(dtype="int64")})
+    out = out.astype({"event_id": "int64", "user_id": "int64",
+                      "moving_cents": "int64"})
+    return (out.sort_values(["moving_cents", "event_id"],
+                            ascending=[False, True]).head(k)
+            [["event_id", "user_id", "moving_cents"]].reset_index(drop=True))
