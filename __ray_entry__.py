@@ -938,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_user_event_state": analytics.incremental_user_event_state,
         "countmin_token_counts": corpus.countmin_token_counts,
         "user_value_moving_sum": analytics.user_value_moving_sum,
+        "part_fuzzy_name_groups": analytics.part_fuzzy_name_groups,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3398,5 +3399,26 @@ def oracle_sql() -> dict[str, str]:
                            AS BIGINT) AS moving_cents
                 FROM events)
             ORDER BY moving_cents DESC, event_id LIMIT 50
+        """,
+        # fuzzy canonical groups: the levenshtein pair edges are
+        # SQL-derivable, so the recursive-CTE transitive closure pins the
+        # union-find rollup in full (second full value gate on the
+        # min-label components machinery, second edge family).
+        "part_fuzzy_name_groups": """
+            WITH RECURSIVE edges AS MATERIALIZED (
+                SELECT a.p_partkey AS u, b.p_partkey AS v
+                FROM part a JOIN part b
+                  ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+                WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ), reach(u, lab) AS (
+                SELECT p_partkey, p_partkey FROM part
+                UNION
+                SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.u
+            ), comp AS (
+                SELECT u, min(lab) AS component_id FROM reach GROUP BY u
+            )
+            SELECT component_id, count(*) AS n_members
+            FROM comp GROUP BY component_id
+            ORDER BY n_members DESC, component_id LIMIT 40
         """,
     }

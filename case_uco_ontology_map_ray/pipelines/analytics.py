@@ -1991,3 +1991,38 @@ def user_value_moving_sum(sf_dir: str, k: int = 50,
     return (out.sort_values(["moving_cents", "event_id"],
                             ascending=[False, True]).head(k)
             [["event_id", "user_id", "moving_cents"]].reset_index(drop=True))
+
+
+def part_fuzzy_name_groups(sf_dir: str, d: int = 2, k: int = 40) -> pd.DataFrame:
+    """Fuzzy-key canonicalization end-to-end, DuckDB-value-oracled: the
+    edit-distance pair edges (levenshtein <= d within brand, themselves
+    value-oracled by part_fuzzy_name_pairs) are closed into connected
+    components by the same adaptive min-label machinery the dedup/linking
+    families use — and because these edges ARE SQL-derivable, the
+    recursive-CTE transitive closure pins the full component rollup
+    (component_id = min partkey in the component; singletons included).
+    This is the union-find engine's second full value gate, on a second
+    edge family (string-edit edges vs co-mention edges)."""
+    from ..ops.agg import grouped_sums_ds, topk_ds
+    from ..ops.dedup import _propagate_components
+    from ..ops.editdist import edit_distance_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name", "p_brand"])
+    pairs = edit_distance_pairs(ds, group_col="p_brand", id_col="p_partkey",
+                                text_col="p_name", d=d)
+    edges = pairs.map_batches(lambda t: t.select(["k1", "k2"]),
+                              batch_format="pyarrow")
+    ids = ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column("p_partkey")}),
+        batch_format="pyarrow")
+    comp = _propagate_components(edges, ids, "component_id")
+    counts = grouped_sums_ds(
+        comp.map_batches(lambda t: t.select(["component_id"]),
+                         batch_format="pyarrow"),
+        keys=["component_id"], sum_cols={}, count_alias="n_members")
+    out = topk_ds(counts, by=["n_members", "component_id"],
+                  ascending=[False, True], k=k,
+                  columns=["component_id", "n_members"])
+    out = out.astype({"component_id": "int64", "n_members": "int64"})
+    return out[["component_id", "n_members"]].reset_index(drop=True)
