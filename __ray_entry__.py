@@ -939,6 +939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_token_counts": corpus.countmin_token_counts,
         "user_value_moving_sum": analytics.user_value_moving_sum,
         "part_fuzzy_name_groups": analytics.part_fuzzy_name_groups,
+        "latest_event_per_user": analytics.latest_event_per_user,
+        "embedding_dimension_stats": analytics.embedding_dimension_stats,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3420,5 +3422,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT component_id, count(*) AS n_members
             FROM comp GROUP BY component_id
             ORDER BY n_members DESC, component_id LIMIT 40
+        """,
+        # CDC upsert compaction: last writer per user wins (ts, event_id
+        # order) — the engine's mergeable-argmax combiner vs row_number()=1.
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        # per-dimension vector stats: both engines quantize at x2^20 with
+        # round-half-away on the SAME float64 value, so n/sum/min/max per
+        # dimension compare as exact integers.
+        "embedding_dimension_stats": """
+            SELECT CAST(u.ord - 1 AS BIGINT) AS dim,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(CAST(u.e AS DOUBLE) * 1048576)
+                                 AS BIGINT)) AS BIGINT) AS sum_q,
+                   min(CAST(round(CAST(u.e AS DOUBLE) * 1048576)
+                            AS BIGINT)) AS min_q,
+                   max(CAST(round(CAST(u.e AS DOUBLE) * 1048576)
+                            AS BIGINT)) AS max_q
+            FROM (SELECT generate_subscripts(embedding, 1) AS ord,
+                         unnest(embedding) AS e
+                  FROM embeddings) u
+            GROUP BY dim ORDER BY dim
         """,
     }

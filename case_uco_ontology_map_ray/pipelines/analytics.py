@@ -2026,3 +2026,83 @@ def part_fuzzy_name_groups(sf_dir: str, d: int = 2, k: int = 40) -> pd.DataFrame
                   columns=["component_id", "n_members"])
     out = out.astype({"component_id": "int64", "n_members": "int64"})
     return out[["component_id", "n_members"]].reset_index(drop=True)
+
+
+def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """CDC-style upsert compaction (last writer wins), DuckDB-oracled
+    against ``row_number() = 1``: keep each user's latest event by
+    (ts, event_id). The keep-best rule is ASSOCIATIVE, so each batch
+    reduces to one candidate row per user first (mergeable argmax — the
+    combiner-before-exchange pattern), and the user-bucketed co-groups
+    apply the identical rule to candidates only; the exchange carries
+    O(users x batches) rows, never the event stream."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return g.groupby("user_id", as_index=False).last()
+
+    partial = ds.map_batches(best, batch_format="pandas")
+    out = _keyed_segments(partial, "user_id").map_groups(
+        best, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "event_id": pd.Series(dtype="int64"),
+                             "ts": pd.Series(dtype="datetime64[us]"),
+                             "event_type": pd.Series(dtype="object")})
+    out = out.astype({"user_id": "int64", "event_id": "int64"})
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    return (out.sort_values("user_id").reset_index(drop=True)
+            [["user_id", "event_id", "ts", "event_type"]])
+
+
+def embedding_dimension_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension columnar stats over the embedding vectors (the
+    feature-scaling / normalization precursor every training pipeline
+    runs), DuckDB-oracled via unnest WITH ORDINALITY: n / sum / min / max
+    of each dimension, exactly — values quantized to int64 at x2^20 with
+    DuckDB's round-half-away rule in BOTH engines, so the distributed sum
+    is order-independent and bit-equal. One matrix reduce per batch emits
+    d partial rows; the exchange is O(d x batches)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64()),
+                             "sum_part": pa.array([], pa.int64()),
+                             "min_part": pa.array([], pa.int64()),
+                             "max_part": pa.array([], pa.int64())})
+        d = int(widths[0])
+        assert (widths == d).all(), "ragged embedding widths"
+        x = flat * 1048576.0
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        m = q.reshape(-1, d)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n_part": pa.array(np.full(d, m.shape[0], np.int64)),
+            "sum_part": pa.array(m.sum(axis=0, dtype=np.int64)),
+            "min_part": pa.array(m.min(axis=0)),
+            "max_part": pa.array(m.max(axis=0))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = parts.groupby("dim").aggregate(
+        Sum("n_part", alias_name="n"),
+        Sum("sum_part", alias_name="sum_q"),
+        Min("min_part", alias_name="min_q"),
+        Max("max_part", alias_name="max_q")).to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["dim", "n", "sum_q", "min_q", "max_q"]})
+    out = out.astype({c: "int64" for c in
+                      ["dim", "n", "sum_q", "min_q", "max_q"]})
+    return (out.sort_values("dim").reset_index(drop=True)
+            [["dim", "n", "sum_q", "min_q", "max_q"]])
