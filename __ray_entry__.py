@@ -941,6 +941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_name_groups": analytics.part_fuzzy_name_groups,
         "latest_event_per_user": analytics.latest_event_per_user,
         "embedding_dimension_stats": analytics.embedding_dimension_stats,
+        "viewers_clickers_purchasers": analytics.viewers_clickers_purchasers,
+        "session_overlap_pairs": analytics.session_overlap_pairs,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3449,5 +3451,48 @@ def oracle_sql() -> dict[str, str]:
                          unnest(embedding) AS e
                   FROM embeddings) u
             GROUP BY dim ORDER BY dim
+        """,
+        # multi-way INTERSECT (set-op family: EXCEPT has its own gate)
+        "viewers_clickers_purchasers": """
+            SELECT user_id FROM (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'view' AND ts >= TIMESTAMP '2024-01-30'
+                INTERSECT
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-30'
+                INTERSECT
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-30')
+            ORDER BY user_id LIMIT 50
+        """,
+        # interval-OVERLAP self-join over derived gap-sessions: SQL
+        # re-derives the sessions (lag + running sum) and self-joins on
+        # span intersection; cross-user pairs only, top-k by overlap.
+        "session_overlap_pairs": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), sess AS (
+                SELECT user_id, min(ts) AS ss, max(ts) AS se
+                FROM numbered GROUP BY user_id, session_id
+            )
+            SELECT a.user_id AS u1, a.ss AS s1_start,
+                   b.user_id AS u2, b.ss AS s2_start,
+                   CAST(epoch_us(least(a.se, b.se))
+                        - epoch_us(greatest(a.ss, b.ss)) AS BIGINT)
+                       AS overlap_us
+            FROM sess a JOIN sess b
+              ON a.user_id < b.user_id AND a.ss <= b.se AND b.ss <= a.se
+            ORDER BY overlap_us DESC, u1, s1_start, u2, s2_start
+            LIMIT 50
         """,
     }

@@ -2106,3 +2106,140 @@ def embedding_dimension_stats(sf_dir: str) -> pd.DataFrame:
                       ["dim", "n", "sum_q", "min_q", "max_q"]})
     return (out.sort_values("dim").reset_index(drop=True)
             [["dim", "n", "sum_q", "min_q", "max_q"]])
+
+
+def viewers_clickers_purchasers(sf_dir: str, k: int = 50,
+                                since: str = "2024-01-30") -> pd.DataFrame:
+    """Multi-way INTERSECT at the user grain (the set-op family's missing
+    gate next to EXCEPT/viewers_never_purchased): users who viewed AND
+    clicked AND purchased on/after ``since``, smallest k ids. Each side
+    reduces to per-batch-distinct keys; membership is checked by CHAINED
+    bucketed semi joins (no driver-side key set), then one exact distinct
+    before top-k."""
+    from ..ops.agg import grouped_sums_ds, topk_ds
+    from ..ops.joins import bucket_semi_join
+
+    cutoff = pa.scalar(np.datetime64(since, "us"))
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def side(etype):
+        return ev.map_batches(
+            lambda t, e=etype: t.filter(
+                pc.and_(pc.equal(t.column("event_type"), e),
+                        pc.greater_equal(t.column("ts"), cutoff)))
+            .select(["user_id"]).group_by(["user_id"]).aggregate([]),
+            batch_format="pyarrow")
+
+    both = bucket_semi_join(side("view"), side("click"), on="user_id")
+    all3 = bucket_semi_join(both, side("purchase"), on="user_id")
+    all3 = grouped_sums_ds(all3, keys=["user_id"], sum_cols={})
+    return topk_ds(all3, by=["user_id"], ascending=[True], k=k)
+
+
+def session_overlap_pairs(sf_dir: str, k: int = 50, gap_minutes: int = 30,
+                          bucket_hours: int = 1) -> pd.DataFrame:
+    """Interval-OVERLAP self-join (the non-equi join family's last missing
+    member next to band/interval-containment/asof): cross-USER pairs of
+    gap-sessions whose [start, end] spans intersect, top-k by overlap
+    length. DuckDB twin re-derives the sessions (lag + cumulative-sum
+    windows) and self-joins on the overlap predicate.
+
+    Scale shape: sessions are built per user-bucket in one vectorized
+    pass (the event_sessions kernel), then each session is replicated
+    into the TIME buckets its span covers (replication = span/bucket —
+    bounded by the session-gap contract), and a pair forms exactly once:
+    in the bucket containing the LATER session's start (both spans cover
+    it). Within a bucket one searchsorted + ragged expansion emits the
+    candidates; everything stays O(bucket) — no all-pairs across time."""
+    import numpy as np
+
+    from ..ops.joins import _expand_pairs
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w_us = bucket_hours * 3600 * 1_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy().astype("int64")
+        if len(t) == 0:
+            return pd.DataFrame({"user_id": uid[:0], "ss": t[:0],
+                                 "se": t[:0]})
+        boundary = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(t) > gap_us)]
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:], len(t)] - 1
+        return pd.DataFrame({"user_id": uid[starts], "ss": t[starts],
+                             "se": t[ends]})
+
+    sess = _keyed_segments(ds, "user_id").map_groups(
+        sessions, batch_format="pandas")
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "ss": pd.Series(dtype="int64"),
+                                 "se": pd.Series(dtype="int64"),
+                                 "tb": pd.Series(dtype="int64")})
+        ss = df["ss"].to_numpy(np.int64)
+        se = df["se"].to_numpy(np.int64)
+        b0, b1 = ss // w_us, se // w_us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        i = np.repeat(np.arange(len(df), dtype=np.int64), reps)
+        off = (np.arange(int(reps.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(reps) - reps, reps))
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[i],
+            "ss": ss[i], "se": se[i], "tb": b0[i] + off})
+
+    def pairs(co: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "u1": pd.Series(dtype="int64"), "s1_start": pd.Series(dtype="int64"),
+            "u2": pd.Series(dtype="int64"), "s2_start": pd.Series(dtype="int64"),
+            "overlap_us": pd.Series(dtype="int64")})
+        out = [empty]
+        for tb, g in co.groupby("tb", sort=False):
+            g = g.sort_values(["ss", "user_id"], kind="mergesort")
+            ss = g["ss"].to_numpy(np.int64)
+            se = g["se"].to_numpy(np.int64)
+            uid = g["user_id"].to_numpy(np.int64)
+            n = len(g)
+            if n < 2:
+                continue
+            lo = np.arange(1, n + 1, dtype=np.int64)
+            hi = np.searchsorted(ss, se, side="right").astype(np.int64)
+            i, j = _expand_pairs(lo, hi)
+            if len(i) == 0:
+                continue
+            # pair forms once, in the bucket holding the later start
+            keep = (ss[j] // w_us == tb) & (uid[i] != uid[j])
+            i, j = i[keep], j[keep]
+            ov = np.minimum(se[i], se[j]) - ss[j]
+            swap = uid[i] > uid[j]
+            u1 = np.where(swap, uid[j], uid[i])
+            u2 = np.where(swap, uid[i], uid[j])
+            s1 = np.where(swap, ss[j], ss[i])
+            s2 = np.where(swap, ss[i], ss[j])
+            d = pd.DataFrame({"u1": u1, "s1_start": s1, "u2": u2,
+                              "s2_start": s2, "overlap_us": ov})
+            out.append(d.sort_values(
+                ["overlap_us", "u1", "s1_start", "u2", "s2_start"],
+                ascending=[False, True, True, True, True]).head(k))
+        return pd.concat(out, ignore_index=True)
+
+    rep = sess.map_batches(replicate, batch_format="pandas")
+    res = _keyed_segments(rep, "tb").map_groups(
+        pairs, batch_format="pandas").to_pandas()
+    if res.empty:
+        res = pd.DataFrame({
+            "u1": pd.Series(dtype="int64"), "s1_start": pd.Series(dtype="int64"),
+            "u2": pd.Series(dtype="int64"), "s2_start": pd.Series(dtype="int64"),
+            "overlap_us": pd.Series(dtype="int64")})
+    res = res.sort_values(["overlap_us", "u1", "s1_start", "u2", "s2_start"],
+                          ascending=[False, True, True, True, True]).head(k)
+    res = res.astype({c: "int64" for c in res.columns})
+    res["s1_start"] = res["s1_start"].astype("datetime64[us]")
+    res["s2_start"] = res["s2_start"].astype("datetime64[us]")
+    return res[["u1", "s1_start", "u2", "s2_start", "overlap_us"]] \
+        .reset_index(drop=True)
