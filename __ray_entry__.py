@@ -943,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dimension_stats": analytics.embedding_dimension_stats,
         "viewers_clickers_purchasers": analytics.viewers_clickers_purchasers,
         "session_overlap_pairs": analytics.session_overlap_pairs,
+        "rolling_7d_distinct_users": analytics.rolling_7d_distinct_users,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3494,5 +3495,18 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id < b.user_id AND a.ss <= b.se AND b.ss <= a.se
             ORDER BY overlap_us DESC, u1, s1_start, u2, s2_start
             LIMIT 50
+        """,
+        # sliding-window DISTINCT (rolling 7-day active users): distinct is
+        # not subtractable, so the exact twin is the day-range join form
+        # (count(DISTINCT) OVER is unsupported); output days = data days.
+        "rolling_7d_distinct_users": """
+            WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                        FROM events),
+                 days AS (SELECT DISTINCT day FROM ud)
+            SELECT CAST(d.day AS TIMESTAMP) AS day,
+                   count(DISTINCT u.user_id) AS n_distinct_users
+            FROM days d JOIN ud u
+              ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY day
         """,
     }
