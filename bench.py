@@ -318,6 +318,11 @@ def run_bench() -> dict:
          analytics.incremental_user_event_state),
         ("countmin_token_counts", corpus.countmin_token_counts),
         ("user_value_moving_sum", analytics.user_value_moving_sum),
+        ("part_fuzzy_name_groups", analytics.part_fuzzy_name_groups),
+        ("latest_event_per_user", analytics.latest_event_per_user),
+        ("embedding_dimension_stats", analytics.embedding_dimension_stats),
+        ("session_overlap_pairs", analytics.session_overlap_pairs),
+        ("rolling_7d_distinct_users", analytics.rolling_7d_distinct_users),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)
