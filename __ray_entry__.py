@@ -15,6 +15,39 @@ from typing import Any
 
 _SYNTH_ROOT = "/tmp/cuomr_synth"
 
+# BM25 score CTE chain (through `scores`), shared by the bm25_search and
+# rrf_hybrid_search oracles so the two can never drift apart.
+_BM25_SCORES_CTES = r"""toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM toks WHERE tok <> '' GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1
+            ), stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT sum(dl) FROM dl) AS sum_dl
+            ), qdf AS (
+                SELECT tok, count(*) AS df FROM tf
+                WHERE tok IN ('spark', 'merge', 'vector') GROUP BY 1
+            ), idf AS (
+                SELECT q.tok, ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0) AS idf,
+                       s.sum_dl * 1.0 / s.n AS avgdl
+                FROM qdf q, stats s WHERE q.df > 0
+            ), contrib AS (
+                SELECT t.doc_id,
+                       CAST(round(i.idf * (t.tf * (1.2 + 1.0))
+                            / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / i.avgdl))
+                            * 1000000000.0, 0) AS BIGINT) AS nano
+                FROM tf t JOIN idf i ON t.tok = i.tok
+                JOIN dl d ON d.doc_id = t.doc_id
+            ), scores AS (
+                SELECT doc_id, CAST(sum(nano) AS BIGINT) AS score_nano
+                FROM contrib GROUP BY 1
+            )"""
+
 # Bump when the transcript generator's content changes (it's part of the
 # cache key below) — otherwise a stale /tmp cache from an older generator
 # silently feeds the kg_* queries.
@@ -944,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewers_clickers_purchasers": analytics.viewers_clickers_purchasers,
         "session_overlap_pairs": analytics.session_overlap_pairs,
         "rolling_7d_distinct_users": analytics.rolling_7d_distinct_users,
+        "rrf_hybrid_search": corpus.rrf_hybrid_search,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -1641,47 +1675,53 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_counts": kg_node_counts_sql,
         "kg_entity_mentions": kg_entity_mentions_sql,
         "pii_redaction": _pii_redaction_sql(transcripts_glob),
-        "bm25_search": r"""
-            -- BM25 top-15 for query terms (spark, merge, vector); Lucene-form
-            -- idf, k1=1.2 b=0.75, per-(doc,term) contribution quantized to
-            -- integer nanos with the IDENTICAL IEEE expression order as the
-            -- Ray kernel (1.2+1.0 == 2.2 bit-exact), so scores compare as
-            -- exact integer sums. Same whitespace split as tfidf_top_terms.
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(string_split_regex(trim(text), '\s+')) AS tok
-                FROM documents
-            ), tf AS (
-                SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
-                FROM toks WHERE tok <> '' GROUP BY 1, 2
-            ), dl AS (
-                SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1
-            ), stats AS (
-                SELECT (SELECT count(*) FROM documents) AS n,
-                       (SELECT sum(dl) FROM dl) AS sum_dl
-            ), qdf AS (
-                SELECT tok, count(*) AS df FROM tf
-                WHERE tok IN ('spark', 'merge', 'vector') GROUP BY 1
-            ), idf AS (
-                SELECT q.tok, ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0) AS idf,
-                       s.sum_dl * 1.0 / s.n AS avgdl
-                FROM qdf q, stats s WHERE q.df > 0
-            ), contrib AS (
-                SELECT t.doc_id,
-                       CAST(round(i.idf * (t.tf * (1.2 + 1.0))
-                            / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / i.avgdl))
-                            * 1000000000.0, 0) AS BIGINT) AS nano
-                FROM tf t JOIN idf i ON t.tok = i.tok
-                JOIN dl d ON d.doc_id = t.doc_id
-            ), scores AS (
-                SELECT doc_id, CAST(sum(nano) AS BIGINT) AS score_nano
-                FROM contrib GROUP BY 1
-            )
+        # BM25 top-15 for query terms (spark, merge, vector); Lucene-form
+        # idf, k1=1.2 b=0.75, per-(doc,term) contribution quantized to
+        # integer nanos with the IDENTICAL IEEE expression order as the
+        # Ray kernel (1.2+1.0 == 2.2 bit-exact), so scores compare as
+        # exact integer sums. Same whitespace split as tfidf_top_terms.
+        # (the CTE chain is shared with rrf_hybrid_search below)
+        "bm25_search": "WITH " + _BM25_SCORES_CTES + """
             SELECT doc_id, score_nano,
                    round(score_nano / 1000000000.0, 4) AS bm25
             FROM scores WHERE score_nano > 0
             ORDER BY score_nano DESC, doc_id
             LIMIT 15
+        """,
+        # reciprocal-rank fusion of the two oracled rankings (BM25 top-15,
+        # cosine top-10): contribution = round(1e9/(60 + rank)) per list —
+        # integer arithmetic, so the fused scores compare exactly. Ranks
+        # are taken on the SAME (score, id) tie order in both engines
+        # (cosine ranks on the 4dp-rounded value, matching its own gate).
+        "rrf_hybrid_search": "WITH " + _BM25_SCORES_CTES + """
+            , bmr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score_nano DESC, doc_id)
+                           AS r
+                FROM scores WHERE score_nano > 0
+                ORDER BY score_nano DESC, doc_id LIMIT 15
+            ), cosx AS (
+                SELECT b.vec_id AS doc_id,
+                       round(CAST(list_cosine_similarity(a.embedding,
+                                                         b.embedding)
+                                  AS DOUBLE), 4) AS cos
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id = 0 AND b.vec_id <> 0
+            ), cosr AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+                FROM cosx ORDER BY cos DESC, doc_id LIMIT 10
+            ), fused AS (
+                SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                       CAST(coalesce(CAST(round(1000000000.0 / (60 + b.r))
+                                          AS BIGINT), 0)
+                          + coalesce(CAST(round(1000000000.0 / (60 + c.r))
+                                          AS BIGINT), 0) AS BIGINT)
+                           AS rrf_nano
+                FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id
+            )
+            SELECT doc_id, rrf_nano FROM fused
+            ORDER BY rrf_nano DESC, doc_id LIMIT 10
         """,
         "pmi_collocations": r"""
             -- top-15 PMI collocations (adjacent word pairs, c_ab >= 5);

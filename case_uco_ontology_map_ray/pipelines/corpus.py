@@ -1736,3 +1736,33 @@ def countmin_token_counts(sf_dir: str, k: int = 20, width: int = 4096,
     top["cm_overestimates"] = (est >= true)
     top["cm_within_bound"] = (est <= true + slack)
     return top[["tok", "n", "cm_overestimates", "cm_within_bound"]]
+
+
+def rrf_hybrid_search(sf_dir: str, k: int = 10, rrf_k: int = 60) -> pd.DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (the RAG-stack fusion
+    step): fuse the BM25 lexical ranking and the cosine dense ranking —
+    both independently value-oracled — with contribution
+    ``round(1e9 / (rrf_k + rank))`` per list (integer nanos, so the fused
+    scores compare exactly against the SQL twin). Ranks use each list's
+    own oracled tie order (BM25: score_nano desc, doc_id; cosine: the
+    4dp-rounded value desc, vec_id). Both input rankings run distributed;
+    the fusion itself is over <= 25 rows. doc_id and vec_id are aligned
+    by the corpus generator (row i of documents embeds to vector i)."""
+    a = bm25_search(sf_dir)  # already (score_nano DESC, doc_id) ordered
+    b = similarity_topk(sf_dir).sort_values(
+        ["cos", "vec_id"], ascending=[False, True]).reset_index(drop=True)
+
+    def contrib(rank: np.ndarray) -> np.ndarray:
+        return np.floor(1e9 / (rrf_k + rank) + 0.5).astype(np.int64)
+
+    fa = pd.DataFrame({"doc_id": a["doc_id"].to_numpy(np.int64),
+                       "c": contrib(np.arange(1, len(a) + 1))})
+    fb = pd.DataFrame({"doc_id": b["vec_id"].to_numpy(np.int64),
+                       "c": contrib(np.arange(1, len(b) + 1))})
+    fused = (pd.concat([fa, fb], ignore_index=True)
+             .groupby("doc_id", as_index=False)["c"].sum()
+             .rename(columns={"c": "rrf_nano"}))
+    fused = fused.astype({"doc_id": "int64", "rrf_nano": "int64"})
+    return (fused.sort_values(["rrf_nano", "doc_id"],
+                              ascending=[False, True]).head(k)
+            [["doc_id", "rrf_nano"]].reset_index(drop=True))
