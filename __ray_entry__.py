@@ -978,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_overlap_pairs": analytics.session_overlap_pairs,
         "rolling_7d_distinct_users": analytics.rolling_7d_distinct_users,
         "rrf_hybrid_search": corpus.rrf_hybrid_search,
+        "kmv_customer_overlap_invariants":
+            analytics.kmv_customer_overlap_invariants,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3548,5 +3550,22 @@ def oracle_sql() -> dict[str, str]:
             FROM days d JOIN ud u
               ON u.day BETWEEN d.day - 6 AND d.day
             GROUP BY d.day ORDER BY day
+        """,
+        # theta/KMV set-operation sketch gate: exact set + intersection
+        # cardinalities SQL-matched, sketch accuracy flags pinned true
+        # (~5 sigma bounds at k=1024, deterministic seeded hash).
+        "kmv_customer_overlap_invariants": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                         AND o_orderdate <  TIMESTAMP '1996-01-01'),
+                 b AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                         AND o_orderdate <  TIMESTAMP '1997-01-01')
+            SELECT (SELECT count(*) FROM a) AS n_1995,
+                   (SELECT count(*) FROM b) AS n_1996,
+                   (SELECT count(*) FROM a WHERE o_custkey IN
+                        (SELECT o_custkey FROM b)) AS n_both,
+                   true AS kmv_sets_within_15pct,
+                   true AS kmv_inter_within_25pct
         """,
     }

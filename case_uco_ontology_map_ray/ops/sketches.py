@@ -512,3 +512,76 @@ def countmin_from_partials(ds, key_hash_col: str, count_col: str,
         for raw in b.column("sketch").to_pylist():
             merged = merged.merge(CountMin.from_bytes(raw, width, depth))
     return merged
+
+
+# ------------------------------------------------------- KMV / theta sketch
+class KMV:
+    """K-minimum-values (theta) sketch over pre-hashed 64-bit keys — the
+    mergeable sketch family member that supports SET OPERATIONS: union =
+    merge-and-truncate; intersection/difference are estimated on the
+    common theta region. Distinct estimate = (k-1) / theta where theta is
+    the k-th smallest hash as a [0,1) fraction. Deterministic under the
+    seeded hash (the HLL/CountMin contract above)."""
+
+    def __init__(self, k: int = 1024, values: "np.ndarray | None" = None):
+        self.k = k
+        self.values = (values if values is not None
+                       else np.empty(0, np.uint64))  # sorted, distinct
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        merged = np.union1d(self.values, h.astype(np.uint64))
+        self.values = merged[: self.k]
+
+    def merge(self, other: "KMV") -> "KMV":
+        assert self.k == other.k
+        merged = np.union1d(self.values, other.values)
+        return KMV(self.k, merged[: self.k])
+
+    @property
+    def theta(self) -> float:
+        """Sampling threshold as a [0,1] fraction (1.0 while under k)."""
+        if len(self.values) < self.k:
+            return 1.0
+        return float(self.values[-1]) / 2.0**64
+
+    def estimate(self) -> float:
+        if len(self.values) < self.k:
+            return float(len(self.values))
+        return (self.k - 1) / self.theta
+
+    @staticmethod
+    def intersection_estimate(a: "KMV", b: "KMV") -> float:
+        """Theta-sketch intersection: count common hashes under the SHARED
+        theta, scale by 1/theta."""
+        theta = min(a.theta, b.theta)
+        bound = np.uint64(min(int(theta * 2.0**64), 2**64 - 1))
+        va = a.values[a.values < bound] if theta < 1.0 else a.values
+        vb = b.values[b.values < bound] if theta < 1.0 else b.values
+        common = np.intersect1d(va, vb)
+        return len(common) / theta if theta > 0 else 0.0
+
+    def to_bytes(self) -> bytes:
+        return self.values.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, k: int = 1024) -> "KMV":
+        return cls(k, np.frombuffer(raw, np.uint64).copy())
+
+
+def kmv_from_hashes(ds, hash_col: str, k: int = 1024) -> KMV:
+    """Merged KMV from a Dataset of pre-hashed keys: one k-value sketch
+    per batch, merged on the driver — the exchange carries at most k
+    values per batch."""
+    def sketch(t: pa.Table) -> pa.Table:
+        s = KMV(k)
+        if t.num_rows:
+            s.add_hashes(t.column(hash_col).to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+        return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow")
+    merged = KMV(k)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for raw in b.column("sketch").to_pylist():
+            merged = merged.merge(KMV.from_bytes(raw, k))
+    return merged

@@ -139,3 +139,48 @@ def test_approx_distinct_by_group_accuracy_and_merge():
     got = dict(zip(out.g, out.approx_distinct))
     for g, n in truth.items():
         assert abs(got[g] - n) / n <= 0.1, (g, got[g], n)
+
+
+def test_kmv_merge_invariance_and_set_estimates():
+    import numpy as np
+
+    from case_uco_ontology_map_ray.ops.sketches import KMV, _hash_ints
+
+    rng = np.random.default_rng(2)
+    a_keys = rng.choice(200_000, 50_000, replace=False)
+    b_keys = np.concatenate([a_keys[:20_000],
+                             rng.choice(np.arange(200_000, 400_000),
+                                        30_000, replace=False)])
+    ha, hb = _hash_ints(a_keys), _hash_ints(b_keys)
+    s1, s2 = KMV(1024), KMV(1024)
+    s1.add_hashes(ha[:25_000])
+    s2.add_hashes(ha[25_000:])
+    sa = s1.merge(s2)
+    whole = KMV(1024)
+    whole.add_hashes(ha)
+    assert (sa.values == whole.values).all()  # merge == single-pass
+
+    sb = KMV(1024)
+    sb.add_hashes(hb)
+    assert abs(sa.estimate() - 50_000) / 50_000 < 0.15
+    assert abs(KMV.intersection_estimate(sa, sb) - 20_000) / 20_000 < 0.25
+    # under-k sketches are exact
+    small = KMV(1024)
+    small.add_hashes(_hash_ints(np.arange(100)))
+    assert small.estimate() == 100.0
+
+
+def test_kmv_from_partials_matches_driver_build(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.ops.sketches import KMV, kmv_from_hashes
+
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 2**63, 5000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"h": h})).repartition(9)
+    got = kmv_from_hashes(ds, "h", k=256)
+    whole = KMV(256)
+    whole.add_hashes(h.astype(np.uint64))
+    assert (got.values == whole.values).all()
