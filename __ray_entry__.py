@@ -980,6 +980,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_hybrid_search": corpus.rrf_hybrid_search,
         "kmv_customer_overlap_invariants":
             analytics.kmv_customer_overlap_invariants,
+        # --- session-10 additions (all oracled)
+        "returnflag_price_regression": analytics.returnflag_price_regression,
+        "event_type_pivot": analytics.event_type_pivot,
+        "user_value_range_window": analytics.user_value_range_window,
+        "priority_median_price": analytics.priority_median_price,
+        "most_common_event_per_user": analytics.most_common_event_per_user,
+        "doc_token_entropy": corpus.doc_token_entropy,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -1115,6 +1122,23 @@ _KG_ARITY = [
     ("Windows Registry run key entries", "uco-observable:modifiedTime", 1),
     ("Windows Registry run key entries", "uco-observable:numberOfSubkeys", 1),
 ]
+
+
+def _event_type_pivot_sql() -> str:
+    """Pivot oracle generated from the SAME EVENT_TYPES constant the
+    engine's map-side indicator columns use — the two column lists cannot
+    drift."""
+    from case_uco_ontology_map_ray.pipelines.analytics import EVENT_TYPES
+
+    cols = ",\n                   ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{n}') AS BIGINT)"
+        f" AS n_{n}" for n in EVENT_TYPES)
+    return f"""
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   {cols},
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY 1 ORDER BY day
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3567,5 +3591,108 @@ def oracle_sql() -> dict[str, str]:
                         (SELECT o_custkey FROM b)) AS n_both,
                    true AS kmv_sets_within_15pct,
                    true AS kmv_inter_within_25pct
+        """,
+        # --- session-10 additions
+        # grouped simple OLS from exact integer sufficient statistics; the
+        # slope double is computed ONCE in a CTE and reused by the intercept
+        # so both engines evaluate the identical IEEE expression tree.
+        "returnflag_price_regression": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity, 0) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sum_x,
+                       CAST(sum(y) AS BIGINT) AS sum_y,
+                       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                       CAST(sum(x * y) AS BIGINT) AS sum_xy
+                FROM m GROUP BY 1
+            ), d AS (
+                SELECT *,
+                       (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                        - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                       AS slope_d
+                FROM s
+            )
+            SELECT l_returnflag, n, sum_x, sum_y, sum_xx, sum_xy,
+                   CAST(round(slope_d * 1000000000.0, 0) AS BIGINT)
+                       AS slope_nano,
+                   -- micro, not nano: x1e9 would exceed 2^52 where the
+                   -- half-away +0.5 rounding itself goes inexact
+                   CAST(round((CAST(sum_y AS DOUBLE)
+                               - slope_d * CAST(sum_x AS DOUBLE))
+                              / CAST(n AS DOUBLE) * 1000000.0, 0)
+                        AS BIGINT) AS intercept_micro
+            FROM d ORDER BY l_returnflag
+        """,
+        # wide pivot: conditional counts generated from the SAME
+        # EVENT_TYPES constant the engine's map-side indicators use
+        "event_type_pivot": _event_type_pivot_sql(),
+        # RANGE-interval window frame (ties: all equal-ts peers share the
+        # frame); HUGEINT window sum cast back to BIGINT
+        "user_value_range_window": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100, 0) AS BIGINT) AS cents
+                       FROM events),
+                 w AS (SELECT event_id, user_id,
+                              CAST(sum(cents) OVER (
+                                  PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                                        AND CURRENT ROW) AS BIGINT)
+                                  AS window_cents
+                       FROM e)
+            SELECT event_id, user_id, window_cents
+            FROM w ORDER BY window_cents DESC, event_id LIMIT 50
+        """,
+        # exact grouped median: 2*percentile_cont(0.5) = lower-middle +
+        # upper-middle is exactly representable, integer-exact compare
+        "priority_median_price": """
+            WITH c AS (SELECT o_orderpriority,
+                              CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                  AS cents
+                       FROM orders)
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(percentile_cont(0.5)
+                              WITHIN GROUP (ORDER BY cents) * 2, 0)
+                        AS BIGINT) AS median_x2_cents
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # grouped mode (argmax-by-count, ties to the smallest type)
+        "most_common_event_per_user": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT user_id, event_type, n,
+                              row_number() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+                       FROM c)
+            SELECT user_id, event_type AS mode_type,
+                   CAST(n AS BIGINT) AS n_mode
+            FROM r WHERE rn = 1
+            ORDER BY n_mode DESC, user_id LIMIT 50
+        """,
+        # per-doc token-distribution Shannon entropy (same whitespace split
+        # as tfidf_top_terms; 4dp rounding absorbs float association order)
+        "doc_token_entropy": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS c
+                FROM toks WHERE tok <> '' GROUP BY 1, 2
+            ), d AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       sum(c * ln(c)) AS clogc
+                FROM tf GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, n_distinct,
+                   round(ln(n_tokens) - clogc / n_tokens, 4) AS entropy_r
+            FROM d ORDER BY entropy_r DESC, doc_id LIMIT 50
         """,
     }

@@ -323,6 +323,13 @@ def run_bench() -> dict:
         ("embedding_dimension_stats", analytics.embedding_dimension_stats),
         ("session_overlap_pairs", analytics.session_overlap_pairs),
         ("rolling_7d_distinct_users", analytics.rolling_7d_distinct_users),
+        ("returnflag_price_regression",
+         analytics.returnflag_price_regression),
+        ("event_type_pivot", analytics.event_type_pivot),
+        ("user_value_range_window", analytics.user_value_range_window),
+        ("priority_median_price", analytics.priority_median_price),
+        ("most_common_event_per_user", analytics.most_common_event_per_user),
+        ("doc_token_entropy", corpus.doc_token_entropy),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -2363,3 +2363,250 @@ def kmv_customer_overlap_invariants(sf_dir: str, k: int = 1024) -> pd.DataFrame:
             dtype="bool"),
         "kmv_inter_within_25pct": pd.array(
             [abs(ei - n_both) <= 0.25 * max(n_both, 1)], dtype="bool")})
+
+
+# Fixed event-type vocabulary of the test generator (shared with the pivot
+# oracle SQL so the two column lists can never drift).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def returnflag_price_regression(sf_dir: str) -> pd.DataFrame:
+    """Grouped simple OLS (price-on-quantity per return flag) from EXACT
+    integer sufficient statistics — the regression member of the one-pass
+    distributed-statistics family next to grouped_corr: the exchange
+    carries (n, Σx, Σy, Σx², Σxy) per (flag, block), all associative int64
+    sums (quantity integral, price exact at x100), and the driver derives
+    slope/intercept in ONE pinned IEEE expression identical to the DuckDB
+    twin (Σxy ≤ 5e8/row keeps products < 2^53 far past bench scales; the
+    10^12-row form swaps the accumulators to int128/hugeint)."""
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = _scale_i64(t.column("l_quantity"), 1.0)
+        y = _scale_i64(t.column("l_extendedprice"), 100.0)
+        xn = x.to_numpy(zero_copy_only=False)
+        yn = y.to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "x": x, "y": y,
+                         "xx": pa.array(xn * xn, pa.int64()),
+                         "xy": pa.array(xn * yn, pa.int64())})
+
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_sums(parts, keys=["l_returnflag"],
+                       sum_cols={"sum_x": "x", "sum_y": "y",
+                                 "sum_xx": "xx", "sum_xy": "xy"},
+                       count_alias="n")
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_xy"]
+    if out.empty:
+        return pd.DataFrame(
+            {"l_returnflag": pd.Series(dtype="object")}
+            | {c: pd.Series(dtype="int64") for c in cols}
+            | {"slope_nano": pd.Series(dtype="int64"),
+               "intercept_micro": pd.Series(dtype="int64")})
+    out = out.astype({c: "int64" for c in cols})
+    # pinned IEEE expression order — identical to the SQL twin
+    n = out["n"].to_numpy(np.float64)
+    sx = out["sum_x"].to_numpy(np.float64)
+    sy = out["sum_y"].to_numpy(np.float64)
+    sxx = out["sum_xx"].to_numpy(np.float64)
+    sxy = out["sum_xy"].to_numpy(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    out["slope_nano"] = round_away(
+        slope * 1000000000.0, 0).astype("int64")
+    # intercept quantizes at MICRO, not nano: intercepts are O(mean cents)
+    # ~ 5e6, and x1e9 would land past 2^52 where ULP(double) = 1 and the
+    # half-away +0.5 rounding trick itself goes inexact (measured: a 1-ulp
+    # split vs DuckDB's integer-identity round at 5.29e15)
+    out["intercept_micro"] = round_away(
+        (sy - slope * sx) / n * 1000000.0, 0).astype("int64")
+    out = out.sort_values("l_returnflag").reset_index(drop=True)
+    return out[["l_returnflag"] + cols + ["slope_nano", "intercept_micro"]]
+
+
+def event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Wide pivot (long → one column per category): daily event counts with
+    one int64 column per event type plus the row total. The distributed
+    pivot is MAP-SIDE — each batch casts the type column to indicator ints
+    against the fixed EVENT_TYPES vocabulary, so the exchange carries one
+    partial row per (day, block) and no (day, type) long table ever forms;
+    the day-keyed groupby that finishes the sums is the only shuffle.
+    Oracle: conditional count(*) FILTER per type, generated from the SAME
+    EVENT_TYPES constant so the column lists cannot drift."""
+    from ..ops.agg import grouped_sums
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        cols = {"day": pc.strftime(t.column("ts"), format="%Y-%m-%d")}
+        for name in EVENT_TYPES:
+            cols[f"n_{name}"] = pc.cast(
+                pc.equal(et, pa.scalar(name)), pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    sum_cols = {f"n_{name}": f"n_{name}" for name in EVENT_TYPES}
+    out = grouped_sums(parts, keys=["day"], sum_cols=sum_cols,
+                       count_alias="n_total")
+    want = list(sum_cols) + ["n_total"]
+    if out.empty:
+        return pd.DataFrame({"day": pd.Series(dtype="object")}
+                            | {c: pd.Series(dtype="int64") for c in want})
+    out = out.astype({c: "int64" for c in want})
+    return (out.sort_values("day").reset_index(drop=True)
+            [["day"] + want])
+
+
+def user_value_range_window(sf_dir: str, minutes: int = 10,
+                            k: int = 50) -> pd.DataFrame:
+    """RANGE-frame window aggregate (SQL: ``sum() OVER (PARTITION BY user
+    ORDER BY ts RANGE BETWEEN INTERVAL m MINUTES PRECEDING AND CURRENT
+    ROW)``) — the value-bounded-frame member of the window family next to
+    the ROWS-frame (user_value_moving_sum), lag/lead, cumulative and rank
+    queries. RANGE semantics differ from ROWS at timestamp TIES: every
+    peer row with the same ts is inside every peer's frame regardless of
+    row order, which the plan reproduces exactly.
+
+    Scale shape: users hash-bucketed into complete-key co-groups; inside a
+    bucket ONE pair of np.searchsorted calls over (user-rank·span +
+    ts-offset) composite keys answers every row's [ts-m, ts] window (same
+    provably-user-local key construction as click_purchase_within_hour —
+    the span margin stops forward bleed, the per-user base clamp stops
+    backward), prefix sums turn the bounds into exact integer-cent frame
+    sums, local top-k per bucket, tiny driver merge."""
+    from ..ops.agg import round_away
+
+    win_us = int(minutes) * 60_000_000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "user_id": pd.Series(dtype="int64"),
+                          "window_cents": pd.Series(dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        cents = round_away(g["value"].to_numpy(np.float64) * 100.0,
+                           0).astype(np.int64)
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        toff = t - t.min()
+        span = int(toff.max()) + win_us + 1
+        urank = (np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1) \
+            .astype(np.int64)
+        assert (urank[-1] + 1) < (2 ** 62) // span, "bucket key overflow"
+        base = urank * span
+        key = base + toff
+        lo = np.searchsorted(key, np.maximum(key - win_us, base), side="left")
+        hi = np.searchsorted(key, key, side="right")  # includes ts ties
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        w = cs[hi] - cs[lo]
+        out = pd.DataFrame({"event_id": eid, "user_id": uid,
+                            "window_cents": w})
+        return out.sort_values(["window_cents", "event_id"],
+                               ascending=[False, True]).head(k)
+
+    res = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if res.empty:
+        return empty
+    res = res.astype({"event_id": "int64", "user_id": "int64",
+                      "window_cents": "int64"})
+    return (res.sort_values(["window_cents", "event_id"],
+                            ascending=[False, True]).head(k)
+            [["event_id", "user_id", "window_cents"]].reset_index(drop=True))
+
+
+def priority_median_price(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median (percentile_cont twin) WITHOUT a global sort:
+    the counting-histogram plan of orders_price_deciles, grouped — the
+    exchange carries (priority, cents) counts, whose cardinality is bounded
+    by the PRICE DOMAIN × group count, not by the row count, so the driver
+    prefix-sum stays tiny at any row scale. The interpolated median is kept
+    exact-integer as ``median_x2_cents`` = lower-middle + upper-middle
+    (equal when n is odd) — twice DuckDB's percentile_cont(0.5), which is
+    exactly representable, so the compare is integer-exact."""
+    from ..ops.agg import grouped_sums
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t.column("o_orderpriority"),
+                         "cents": _scale_i64(t.column("o_totalprice"), 100.0)})
+
+    hist = grouped_sums(ds.map_batches(to_cents, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["o_orderpriority", "cents"], sum_cols={},
+                        count_alias="cnt")
+    empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64"),
+                          "median_x2_cents": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values(["o_orderpriority", "cents"]).reset_index(drop=True)
+    rows = []
+    for prio, g in hist.groupby("o_orderpriority", sort=True):
+        vals = g["cents"].to_numpy(np.int64)
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        # 1-indexed middle positions: (n+1)//2 and n//2 + 1
+        lo_v = vals[np.searchsorted(cum, (n + 1) // 2, side="left")]
+        hi_v = vals[np.searchsorted(cum, n // 2 + 1, side="left")]
+        rows.append((prio, n, int(lo_v + hi_v)))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "n",
+                                       "median_x2_cents"]) \
+        .astype({"n": "int64", "median_x2_cents": "int64"})
+
+
+def most_common_event_per_user(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Grouped MODE (argmax-by-count): each user's most frequent event type,
+    ties to the lexicographically smallest type — the count-argmax member of
+    the argmax family next to latest_event_per_user (argmax-by-timestamp).
+    Per-batch (user, type) partial counts shrink the exchange to distinct
+    pairs per block; user co-groups then hold COMPLETE per-user counts, so
+    one vectorized sort + drop_duplicates picks every user's mode, local
+    top-k per bucket, tiny driver merge. Oracle: row_number() OVER
+    (PARTITION BY user ORDER BY n DESC, type) = 1."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["user_id", "event_type", "c_part"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "mode_type": pd.Series(dtype="object"),
+                          "n_mode": pd.Series(dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty
+        c = (g.groupby(["user_id", "event_type"], as_index=False)
+             .agg(n_mode=("c_part", "sum")))
+        c = c.sort_values(["user_id", "n_mode", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        c = c.drop_duplicates("user_id", keep="first")
+        c = c.rename(columns={"event_type": "mode_type"})
+        c = c.sort_values(["n_mode", "user_id"], ascending=[False, True])
+        return c[["user_id", "mode_type", "n_mode"]].head(k)
+
+    res = _keyed_segments(parts, "user_id").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if res.empty:
+        return empty
+    res = res.astype({"user_id": "int64", "n_mode": "int64"})
+    return (res.sort_values(["n_mode", "user_id"],
+                            ascending=[False, True]).head(k)
+            [["user_id", "mode_type", "n_mode"]].reset_index(drop=True))

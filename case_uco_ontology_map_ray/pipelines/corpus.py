@@ -1766,3 +1766,73 @@ def rrf_hybrid_search(sf_dir: str, k: int = 10, rrf_k: int = 60) -> pd.DataFrame
     return (fused.sort_values(["rrf_nano", "doc_id"],
                               ascending=[False, True]).head(k)
             [["doc_id", "rrf_nano"]].reset_index(drop=True))
+
+
+def doc_token_entropy(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Per-document Shannon entropy of the token distribution (H = ln n −
+    Σc·ln c / n) — the diversity member of the quality-signal family next
+    to repetition/compression ratios: low entropy flags template/repetitive
+    text, high entropy flags token soup. MAP-ONLY at any scale: a document
+    never spans batches, so each batch computes its own docs' tf vectors
+    (the tfidf explode), reduces them to (n_tokens, n_distinct, Σc·ln c)
+    per doc with one Arrow group_by, and prunes to a local top-k — the
+    driver merges k-row partials and no shuffle ever forms. Entropy is
+    rounded at 4dp on both sides (the tfidf/unigram-LM convention: the
+    Σc·ln c float association order is engine-specific, absorbed by the
+    rounding)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.agg import round_away
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_tokens": pd.Series(dtype="int64"),
+                          "n_distinct": pd.Series(dtype="int64"),
+                          "entropy_r": pd.Series(dtype="float64")})
+
+    def per_batch(t: pa.Table) -> pd.DataFrame:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        doc_ix = np.repeat(np.arange(len(offs) - 1, dtype=np.int64),
+                           np.diff(offs))
+        pairs = pa.table({"d": pa.array(doc_ix, pa.int64()),
+                          "tok": pc.list_flatten(toks)})
+        pairs = pairs.filter(pc.not_equal(pairs.column("tok"), ""))
+        if pairs.num_rows == 0:
+            return empty
+        tf = pairs.group_by(["d", "tok"]).aggregate([([], "count_all")])
+        d = tf.column("d").to_numpy(zero_copy_only=False)
+        c = tf.column("count_all").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        red = pa.table({"d": pa.array(d, pa.int64()),
+                        "c": pa.array(c.astype(np.int64), pa.int64()),
+                        "clogc": pa.array(c * np.log(c), pa.float64())}) \
+            .group_by(["d"]).aggregate([("c", "sum"), ([], "count_all"),
+                                        ("clogc", "sum")])
+        red = red.rename_columns(["d", "n_tokens", "n_distinct", "clogc"])
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = red.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        clogc = red.column("clogc").to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({
+            "doc_id": doc_ids[red.column("d").to_numpy(zero_copy_only=False)],
+            "n_tokens": red.column("n_tokens").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_distinct": red.column("n_distinct")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "entropy_r": round_away(np.log(n) - clogc / n, 4)})
+        return out.sort_values(["entropy_r", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    res = ds.map_batches(per_batch, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if res.empty:
+        return empty
+    res = res.astype({"doc_id": "int64", "n_tokens": "int64",
+                      "n_distinct": "int64", "entropy_r": "float64"})
+    return (res.sort_values(["entropy_r", "doc_id"],
+                            ascending=[False, True]).head(k)
+            [["doc_id", "n_tokens", "n_distinct", "entropy_r"]]
+            .reset_index(drop=True))
