@@ -987,6 +987,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_median_price": analytics.priority_median_price,
         "most_common_event_per_user": analytics.most_common_event_per_user,
         "doc_token_entropy": corpus.doc_token_entropy,
+        "welch_ttest_click_purchase": analytics.welch_ttest_click_purchase,
+        "user_spend_quartiles": analytics.user_spend_quartiles,
+        "user_daily_interpolation": analytics.user_daily_interpolation,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3694,5 +3697,111 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, n_distinct,
                    round(ln(n_tokens) - clogc / n_tokens, 4) AS entropy_r
             FROM d ORDER BY entropy_r DESC, doc_id LIMIT 50
+        """,
+        # two-sample Welch t-test from exact integer sufficient statistics;
+        # v1/v2 computed once in a CTE and reused (identical IEEE trees);
+        # df at MICRO (O(n) x 1e9 would pass 2^52)
+        "welch_ttest_click_purchase": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100, 0) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+                 s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(c) AS BIGINT) AS s,
+                              CAST(sum(c * c) AS BIGINT) AS ss
+                       FROM e GROUP BY 1),
+                 m AS (SELECT
+                    (SELECT n FROM s WHERE event_type = 'click') AS n1,
+                    (SELECT s FROM s WHERE event_type = 'click') AS s1,
+                    (SELECT ss FROM s WHERE event_type = 'click') AS ss1,
+                    (SELECT n FROM s WHERE event_type = 'purchase') AS n2,
+                    (SELECT s FROM s WHERE event_type = 'purchase') AS s2,
+                    (SELECT ss FROM s WHERE event_type = 'purchase') AS ss2),
+                 d AS (SELECT *,
+                    ((CAST(ss1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                    / CAST(n1 AS DOUBLE) AS v1,
+                    ((CAST(ss2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                    / CAST(n2 AS DOUBLE) AS v2
+                   FROM m)
+            SELECT n1 AS n_click, n2 AS n_purchase,
+                   s1 AS sum_click, s2 AS sum_purchase,
+                   ss1 AS ss_click, ss2 AS ss_purchase,
+                   CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                              / sqrt(v1 + v2) * 1000000000.0, 0) AS BIGINT)
+                       AS t_nano,
+                   CAST(round((v1 + v2) * (v1 + v2)
+                              / (v1 * v1 / (CAST(n1 AS DOUBLE) - 1.0)
+                                 + v2 * v2 / (CAST(n2 AS DOUBLE) - 1.0))
+                              * 1000000.0, 0) AS BIGINT) AS df_micro
+            FROM d
+        """,
+        # ntile window rollup (remainder rule: first n MOD k tiles take the
+        # extra row); the engine derives every tile stat from the cents
+        # histogram, the oracle from the literal window
+        "user_spend_quartiles": """
+            WITH s AS (SELECT user_id,
+                              CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                   AS BIGINT) AS cents
+                       FROM events GROUP BY 1),
+                 t AS (SELECT cents,
+                              ntile(4) OVER (ORDER BY cents, user_id) AS tile
+                       FROM s)
+            SELECT tile, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   min(cents) AS min_cents, max(cents) AS max_cents
+            FROM t GROUP BY 1 ORDER BY 1
+        """,
+        # time-series linear-interpolation gap-fill; per-day values quantize
+        # at micro in ONE pinned expression so per-user sums are exact ints
+        "user_daily_interpolation": """
+            WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                    AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+                 span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                          FROM ud GROUP BY 1),
+                 grid AS (SELECT user_id,
+                                 CAST(unnest(generate_series(
+                                     d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                          FROM span),
+                 j AS (SELECT g.user_id, g.day, u.c
+                       FROM grid g LEFT JOIN ud u
+                         ON g.user_id = u.user_id AND g.day = u.day),
+                 w AS (SELECT user_id, day, c,
+                        last_value(c IGNORE NULLS) OVER (
+                            PARTITION BY user_id ORDER BY day) AS pc,
+                        last_value(CASE WHEN c IS NOT NULL THEN day END
+                                   IGNORE NULLS) OVER (
+                            PARTITION BY user_id ORDER BY day) AS pdy,
+                        first_value(c IGNORE NULLS) OVER (
+                            PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS nc,
+                        first_value(CASE WHEN c IS NOT NULL THEN day END
+                                    IGNORE NULLS) OVER (
+                            PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS ndy
+                       FROM j),
+                 r AS (SELECT user_id,
+                              CAST(count(*) AS BIGINT) AS n_days,
+                              CAST(count(c) AS BIGINT) AS n_obs,
+                              CAST(count(*) - count(c) AS BIGINT)
+                                  AS n_interp,
+                              CAST(coalesce(sum(CASE WHEN c IS NULL THEN
+                                  pc * 1000000
+                                  + CAST(round((nc - pc) * (day - pdy)
+                                               / (ndy - pdy) * 1000000.0, 0)
+                                         AS BIGINT)
+                                  END), 0) AS BIGINT)
+                                  AS sum_interp_microcents
+                       FROM w GROUP BY 1)
+            SELECT user_id, n_days, n_obs, n_interp, sum_interp_microcents
+            FROM r ORDER BY n_interp DESC, user_id LIMIT 50
         """,
     }

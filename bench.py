@@ -330,6 +330,9 @@ def run_bench() -> dict:
         ("priority_median_price", analytics.priority_median_price),
         ("most_common_event_per_user", analytics.most_common_event_per_user),
         ("doc_token_entropy", corpus.doc_token_entropy),
+        ("welch_ttest_click_purchase", analytics.welch_ttest_click_purchase),
+        ("user_spend_quartiles", analytics.user_spend_quartiles),
+        ("user_daily_interpolation", analytics.user_daily_interpolation),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -2610,3 +2610,221 @@ def most_common_event_per_user(sf_dir: str, k: int = 50) -> pd.DataFrame:
     return (res.sort_values(["n_mode", "user_id"],
                             ascending=[False, True]).head(k)
             [["user_id", "mode_type", "n_mode"]].reset_index(drop=True))
+
+
+def welch_ttest_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Welch t-test (unequal variances) on event value between
+    click and purchase events — the hypothesis-testing member of the
+    sufficient-statistics family next to corr/OLS: the exchange carries
+    (n, Σc, Σc²) per (type, block) as exact int64 sums, and the driver
+    derives t and the Welch–Satterthwaite df in ONE pinned IEEE expression
+    tree identical to the DuckDB twin. df quantizes at MICRO (df is O(n);
+    x1e9 would pass 2^52 where half-away rounding goes 1-ulp inexact —
+    the returnflag_price_regression lesson)."""
+    import math
+
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("event_type"),
+                     value_set=pa.array(["click", "purchase"]))
+        f = t.filter(m)
+        c = _scale_i64(f.column("value"), 100.0)
+        cn = c.to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": f.column("event_type"), "c": c,
+                         "cc": pa.array(cn * cn, pa.int64())})
+
+    stats = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["event_type"],
+                         sum_cols={"s": "c", "ss": "cc"}, count_alias="n")
+    cols = ["n_click", "n_purchase", "sum_click", "sum_purchase",
+            "ss_click", "ss_purchase"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols}
+                         | {"t_nano": pd.Series(dtype="int64"),
+                            "df_micro": pd.Series(dtype="int64")})
+    by = {r.event_type: r for r in stats.itertuples()}
+    if "click" not in by or "purchase" not in by:
+        return empty
+
+    def moments(r):
+        n, s, ss = float(r.n), float(r.s), float(r.ss)
+        var = (ss - s * s / n) / (n - 1.0)
+        return n, s, ss, var / n
+
+    n1, s1, ss1, v1 = moments(by["click"])
+    n2, s2, ss2, v2 = moments(by["purchase"])
+    # pinned IEEE expression order — identical to the SQL twin
+    t_stat = (s1 / n1 - s2 / n2) / math.sqrt(v1 + v2)
+    df = (v1 + v2) * (v1 + v2) / (v1 * v1 / (n1 - 1.0)
+                                  + v2 * v2 / (n2 - 1.0))
+    return pd.DataFrame({
+        "n_click": pd.array([int(n1)], dtype="int64"),
+        "n_purchase": pd.array([int(n2)], dtype="int64"),
+        "sum_click": pd.array([int(s1)], dtype="int64"),
+        "sum_purchase": pd.array([int(s2)], dtype="int64"),
+        "ss_click": pd.array([int(ss1)], dtype="int64"),
+        "ss_purchase": pd.array([int(ss2)], dtype="int64"),
+        "t_nano": pd.array([int(round_away(
+            np.array([t_stat * 1000000000.0]), 0)[0])], dtype="int64"),
+        "df_micro": pd.array([int(round_away(
+            np.array([df * 1000000.0]), 0)[0])], dtype="int64")})
+
+
+def user_spend_quartiles(sf_dir: str, k_tiles: int = 4) -> pd.DataFrame:
+    """ntile() window twin: users ranked by (total event cents, user_id)
+    and split into k tiles with SQL's remainder rule (the first n MOD k
+    tiles take the extra row), then a per-tile rollup — completes the
+    rank-window family (row_number / dense_rank / ntile).
+
+    NO per-row rank ever materializes: within one cents value the
+    user_id tie-break only permutes users who contribute the SAME value,
+    so every tile statistic (count, sum, min, max) is a pure function of
+    the CENTS HISTOGRAM — per-user totals stay a Dataset, the histogram
+    exchange is money-domain-bounded (the decile plan), and the driver
+    intersects each value's rank interval with the tile boundaries."""
+    from ..ops.agg import grouped_sums, grouped_sums_ds
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "c": _scale_i64(t.column("value"), 100.0)})
+
+    totals = grouped_sums_ds(ds.map_batches(prep, batch_format="pyarrow",
+                                            zero_copy_batch=True),
+                             keys=["user_id"], sum_cols={"cents": "c"})
+    hist = grouped_sums(totals.map_batches(
+        lambda t: t.select(["cents"]), batch_format="pyarrow"),
+        keys=["cents"], sum_cols={}, count_alias="cnt")
+    empty = pd.DataFrame({"tile": pd.Series(dtype="int64"),
+                          "n_users": pd.Series(dtype="int64"),
+                          "sum_cents": pd.Series(dtype="int64"),
+                          "min_cents": pd.Series(dtype="int64"),
+                          "max_cents": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    vals = hist["cents"].to_numpy(np.int64)
+    cnt = hist["cnt"].to_numpy(np.int64)
+    cum = cnt.cumsum()
+    n = int(cum[-1])
+    size, rem = divmod(n, k_tiles)
+    rows = []
+    lo = 0  # ranks covered so far
+    for t in range(1, k_tiles + 1):
+        width = size + 1 if t <= rem else size
+        hi = lo + width
+        if width == 0:
+            continue
+        # overlap of each value's rank interval (cum-cnt, cum] with (lo, hi]
+        ov = np.minimum(cum, hi) - np.maximum(cum - cnt, lo)
+        ov = np.maximum(ov, 0)
+        rows.append((t, int(ov.sum()), int((vals * ov).sum()),
+                     int(vals[np.searchsorted(cum, lo + 1)]),
+                     int(vals[np.searchsorted(cum, hi)])))
+        lo = hi
+    return pd.DataFrame(rows, columns=["tile", "n_users", "sum_cents",
+                                       "min_cents", "max_cents"]) \
+        .astype({c: "int64" for c in ["tile", "n_users", "sum_cents",
+                                      "min_cents", "max_cents"]})
+
+
+def user_daily_interpolation(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Time-series gap-fill with LINEAR INTERPOLATION (the non-trivial
+    sibling of the zero-fill dimension grid): each user's daily spend
+    series over [first, last] observed day, missing days interpolated
+    between the nearest observed neighbours, reported as a per-user rollup
+    (n_days, n_obs, n_interp, Σ interpolated micro-cents). Interpolated
+    values quantize per-day at micro in ONE pinned expression —
+    ``prev*1e6 + round((next-prev)*(d-dp)/(dn-dp)*1e6)`` — so the per-user
+    sum is an exact integer on both sides regardless of association order.
+
+    Scale shape: per-batch (user, day) partial sums shrink the exchange to
+    distinct pairs per block; user co-groups then hold complete series, and
+    ONE vectorized pass per bucket builds every user's day grid (composite
+    user-rank·span + day keys make a single searchsorted find each grid
+    day's observed neighbours — grids never leave [d0, d1], so neighbours
+    are provably same-user). Oracle: generate_series day grid + IGNORE
+    NULLS window neighbours."""
+    from ..ops.agg import round_away
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pa.table({
+            "user_id": t.column("user_id"),
+            "day": pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32()),
+            "c": _scale_i64(t.column("value"), 100.0)})
+        agg = x.group_by(["user_id", "day"]).aggregate([("c", "sum")])
+        return agg.rename_columns(["user_id", "day", "c_part"])
+
+    parts = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "n_days": pd.Series(dtype="int64"),
+                          "n_obs": pd.Series(dtype="int64"),
+                          "n_interp": pd.Series(dtype="int64"),
+                          "sum_interp_microcents": pd.Series(dtype="int64")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty
+        obs = (g.groupby(["user_id", "day"], as_index=False)
+               .agg(c=("c_part", "sum"))
+               .sort_values(["user_id", "day"], kind="mergesort"))
+        uid = obs["user_id"].to_numpy(np.int64)
+        day = obs["day"].to_numpy(np.int64)
+        cents = obs["c"].to_numpy(np.int64)
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        seg_start = np.flatnonzero(new_seg)
+        seg_end = np.r_[seg_start[1:], len(uid)] - 1
+        d0, d1 = day[seg_start], day[seg_end]
+        lens = d1 - d0 + 1
+        total = int(lens.sum())
+        # grid: for each user, every day in [d0, d1]
+        cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        gi = np.arange(total, dtype=np.int64)
+        seg_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        gday = gi - cum[seg_of] + d0[seg_of]
+        # composite keys: same-user locality is guaranteed because each
+        # user's grid stays inside its own [d0, d1]
+        span = int(day.max() - day.min()) + 2
+        urank = (np.cumsum(new_seg) - 1).astype(np.int64)
+        assert (int(urank[-1]) + 1) < (2 ** 62) // span, "key overflow"
+        okey = urank * span + (day - day.min())
+        gkey = seg_of * span + (gday - day.min())
+        nxt = np.searchsorted(okey, gkey, side="left")
+        prv = np.searchsorted(okey, gkey, side="right") - 1
+        is_obs = okey[nxt] == gkey
+        miss = ~is_obs
+        dp, dn = day[prv[miss]], day[nxt[miss]]
+        cp, cn = cents[prv[miss]], cents[nxt[miss]]
+        gd = gday[miss]
+        micro = cp * 1000000 + round_away(
+            (cn - cp) * (gd - dp) / (dn - dp) * 1000000.0, 0).astype(np.int64)
+        sums = np.zeros(len(lens), dtype=np.int64)
+        np.add.at(sums, seg_of[miss], micro)
+        n_interp = np.bincount(seg_of[miss], minlength=len(lens)) \
+            .astype(np.int64)
+        out = pd.DataFrame({"user_id": uid[seg_start],
+                            "n_days": lens.astype(np.int64),
+                            "n_obs": (seg_end - seg_start + 1)
+                            .astype(np.int64),
+                            "n_interp": n_interp,
+                            "sum_interp_microcents": sums})
+        return out.sort_values(["n_interp", "user_id"],
+                               ascending=[False, True]).head(k)
+
+    res = _keyed_segments(parts, "user_id").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if res.empty:
+        return empty
+    res = res.astype({c: "int64" for c in res.columns})
+    return (res.sort_values(["n_interp", "user_id"],
+                            ascending=[False, True]).head(k)
+            [["user_id", "n_days", "n_obs", "n_interp",
+              "sum_interp_microcents"]].reset_index(drop=True))

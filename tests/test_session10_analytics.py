@@ -17,6 +17,8 @@ from case_uco_ontology_map_ray.pipelines.analytics import (
     most_common_event_per_user,
     priority_median_price,
     returnflag_price_regression,
+    user_daily_interpolation,
+    user_spend_quartiles,
     user_value_range_window,
 )
 from case_uco_ontology_map_ray.pipelines.corpus import doc_token_entropy
@@ -152,3 +154,77 @@ def test_doc_token_entropy_closed_forms(ray_session, tmp_path):
     assert got[1] == (4, 4, round(math.log(4), 4))
     # H("x x y") = ln(3) - (2 ln 2)/3
     assert got[2] == (3, 2, round(math.log(3) - 2 * math.log(2) / 3, 4))
+
+
+def test_spend_quartiles_remainder_and_tied_boundary(ray_session, tmp_path):
+    """10 users -> tile sizes 3,3,2,2 (first n MOD k tiles take the extra
+    row); three users TIE on cents straddling the tile-1/2 boundary — the
+    histogram plan must split their count across tiles without knowing
+    which user went where (they contribute identical values)."""
+    d = np.datetime64("2024-01-01T00:00:00", "us")
+    # users 1..10; users 2,3,4 all spend 5.00; others distinct
+    spend = {1: 1.0, 2: 5.0, 3: 5.0, 4: 5.0, 5: 6.0, 6: 7.0, 7: 8.0,
+             8: 9.0, 9: 10.0, 10: 11.0}
+    rows = [(u, "view", d, v) for u, v in spend.items()]
+    _write_events(tmp_path, rows)
+    out = user_spend_quartiles(str(tmp_path))
+    got = {int(r.tile): (int(r.n_users), int(r.sum_cents),
+                         int(r.min_cents), int(r.max_cents))
+           for r in out.itertuples()}
+    # sorted cents: 100,500,500,500,600,700,800,900,1000,1100
+    assert got == {1: (3, 1100, 100, 500),
+                   2: (3, 1800, 500, 700),
+                   3: (2, 1700, 800, 900),
+                   4: (2, 2100, 1000, 1100)}
+
+
+def test_daily_interpolation_values(ray_session, tmp_path):
+    day = np.timedelta64(1, "D")
+    d0 = np.datetime64("2024-01-01T10:00:00", "us")
+    rows = [
+        # user 1: days 0 and 3 observed (100, 400 cents) -> days 1,2
+        # interpolated at 200, 300 cents
+        (1, "view", d0, 1.0), (1, "view", d0 + 3 * day, 4.0),
+        # user 2: days 0 and 2 observed (100, 101) -> day 1 = 100.5 cents
+        (2, "view", d0, 1.0), (2, "view", d0 + 2 * day, 1.01),
+        # user 3: single day -> nothing to interpolate
+        (3, "view", d0, 9.0),
+        # user 1 second event on day 0 sums into the day total
+        (1, "click", d0 + np.timedelta64(2, "h"), 0.5),
+    ]
+    _write_events(tmp_path, rows)
+    out = user_daily_interpolation(str(tmp_path))
+    got = {int(r.user_id): (int(r.n_days), int(r.n_obs), int(r.n_interp),
+                            int(r.sum_interp_microcents))
+           for r in out.itertuples()}
+    # user 1: day0=150, day3=400 -> day1 = 150 + (400-150)*1/3 = 233.333...
+    # micro = 150e6 + round(250*1/3*1e6) = 233333333; day2 = 316666667
+    assert got[1] == (4, 2, 2, 233333333 + 316666667)
+    assert got[2] == (3, 2, 1, 100500000)
+    assert got[3] == (1, 1, 0, 0)
+
+
+def test_welch_ttest_closed_form(ray_session, tmp_path):
+    import math
+    d = np.datetime64("2024-01-01T00:00:00", "us")
+    clicks = [1.0, 2.0, 3.0, 4.0]
+    purchases = [10.0, 12.0, 14.0]
+    rows = ([(i, "click", d, v) for i, v in enumerate(clicks)]
+            + [(100 + i, "purchase", d, v)
+               for i, v in enumerate(purchases)]
+            + [(999, "view", d, 1e9)])  # other types must be excluded
+    _write_events(tmp_path, rows)
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        welch_ttest_click_purchase,
+    )
+    out = welch_ttest_click_purchase(str(tmp_path))
+    r = out.iloc[0]
+    c = np.array(clicks) * 100
+    p = np.array(purchases) * 100
+    v1 = c.var(ddof=1) / len(c)
+    v2 = p.var(ddof=1) / len(p)
+    t = (c.mean() - p.mean()) / math.sqrt(v1 + v2)
+    df = (v1 + v2) ** 2 / (v1 ** 2 / (len(c) - 1) + v2 ** 2 / (len(p) - 1))
+    assert int(r.n_click) == 4 and int(r.n_purchase) == 3
+    assert abs(int(r.t_nano) - t * 1e9) <= 2  # ulp-level tolerance
+    assert abs(int(r.df_micro) - df * 1e6) <= 2
