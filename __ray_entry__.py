@@ -990,6 +990,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_ttest_click_purchase": analytics.welch_ttest_click_purchase,
         "user_spend_quartiles": analytics.user_spend_quartiles,
         "user_daily_interpolation": analytics.user_daily_interpolation,
+        "chi2_event_hour": analytics.chi2_event_hour,
+        "event_type_transitions": analytics.event_type_transitions,
+        "user_decayed_spend": analytics.user_decayed_spend,
+        "session_dwell_stats": analytics.session_dwell_stats,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3803,5 +3807,104 @@ def oracle_sql() -> dict[str, str]:
                        FROM w GROUP BY 1)
             SELECT user_id, n_days, n_obs, n_interp, sum_interp_microcents
             FROM r ORDER BY n_interp DESC, user_id LIMIT 50
+        """,
+        # contingency-table chi2; the grid is completed (zero cells
+        # contribute e) and EACH cell quantizes at micro in one pinned
+        # expression — chi2 is O(n), a total-level micro would pass 2^52
+        "chi2_event_hour": """
+            WITH c AS (SELECT event_type,
+                              CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                              CAST(count(*) AS BIGINT) AS o
+                       FROM events GROUP BY 1, 2),
+                 rt AS (SELECT event_type, CAST(sum(o) AS DOUBLE) AS r
+                        FROM c GROUP BY 1),
+                 ct AS (SELECT hr, CAST(sum(o) AS DOUBLE) AS cl
+                        FROM c GROUP BY 1),
+                 tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c),
+                 grid AS (SELECT rt.event_type, ct.hr, rt.r, ct.cl, tot.n,
+                                 CAST(coalesce(c.o, 0) AS DOUBLE) AS o,
+                                 rt.r * ct.cl / tot.n AS e
+                          FROM rt CROSS JOIN ct CROSS JOIN tot
+                          LEFT JOIN c ON c.event_type = rt.event_type
+                                     AND c.hr = ct.hr)
+            SELECT (SELECT CAST(sum(o) AS BIGINT) FROM grid) AS n_events,
+                   (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_types,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_hours,
+                   ((SELECT count(*) FROM rt) - 1)
+                   * ((SELECT count(*) FROM ct) - 1) AS df,
+                   CAST(sum(CAST(round((o - e) * (o - e) / e * 1000000.0, 0)
+                                 AS BIGINT)) AS BIGINT) AS chi2_micro
+            FROM grid
+        """,
+        # first-order Markov transition matrix: lead() within user in
+        # (ts, event_id) order, row-normalized at micro
+        "event_type_transitions": """
+            WITH s AS (SELECT user_id, event_type,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+                       FROM events),
+                 p AS (SELECT event_type AS prev_type, nxt AS next_type,
+                              CAST(count(*) AS BIGINT) AS n_pairs
+                       FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+                 r AS (SELECT prev_type, CAST(sum(n_pairs) AS DOUBLE) AS tot
+                       FROM p GROUP BY 1)
+            SELECT prev_type, next_type, n_pairs,
+                   CAST(round(CAST(n_pairs AS DOUBLE) / tot * 1000000.0, 0)
+                        AS BIGINT) AS p_micro
+            FROM p JOIN r USING (prev_type) ORDER BY 1, 2
+        """,
+        # dyadic EWMA: 0.5^k is an exact power of two and cents*1e6 < 2^53,
+        # so each per-day term is IEEE-exact on both engines before the
+        # micro quantization (DuckDB power() == numpy power, bit-for-bit)
+        "user_decayed_spend": """
+            WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                                    AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+                 m AS (SELECT user_id, max(day) AS d1 FROM ud GROUP BY 1),
+                 t AS (SELECT ud.user_id,
+                              CAST(round(CAST(c AS DOUBLE)
+                                         * power(0.5, CAST(date_diff('day',
+                                               day, d1) AS DOUBLE))
+                                         * 1000000.0, 0) AS BIGINT) AS tm
+                       FROM ud JOIN m ON ud.user_id = m.user_id)
+            SELECT user_id, CAST(sum(tm) AS BIGINT) AS decayed_microcents,
+                   CAST(count(*) AS BIGINT) AS n_days_obs
+            FROM t GROUP BY 1
+            ORDER BY decayed_microcents DESC, user_id LIMIT 50
+        """,
+        # full SQL sessionization chain (lag -> gap flag -> cumsum session
+        # id -> row_number landing pick) grouped by landing type
+        "session_dwell_stats": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                     OR epoch_us(ts)
+                                        - epoch_us(lag(ts) OVER w)
+                                        > 1800000000
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+                 s AS (SELECT *, sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM o),
+                 s2 AS (SELECT *, row_number() OVER (
+                            PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+                        FROM s),
+                 g AS (SELECT user_id, sid,
+                              CAST(count(*) AS BIGINT) AS n,
+                              epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell,
+                              max(CASE WHEN rn = 1 THEN event_type END)
+                                  AS landing
+                       FROM s2 GROUP BY 1, 2)
+            SELECT landing AS landing_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounces,
+                   CAST(sum(dwell) AS BIGINT) AS sum_dwell_us
+            FROM g GROUP BY 1 ORDER BY 1
         """,
     }

@@ -333,6 +333,10 @@ def run_bench() -> dict:
         ("welch_ttest_click_purchase", analytics.welch_ttest_click_purchase),
         ("user_spend_quartiles", analytics.user_spend_quartiles),
         ("user_daily_interpolation", analytics.user_daily_interpolation),
+        ("chi2_event_hour", analytics.chi2_event_hour),
+        ("event_type_transitions", analytics.event_type_transitions),
+        ("user_decayed_spend", analytics.user_decayed_spend),
+        ("session_dwell_stats", analytics.session_dwell_stats),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

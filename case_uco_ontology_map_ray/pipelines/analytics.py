@@ -2828,3 +2828,202 @@ def user_daily_interpolation(sf_dir: str, k: int = 50) -> pd.DataFrame:
                             ascending=[False, True]).head(k)
             [["user_id", "n_days", "n_obs", "n_interp",
               "sum_interp_microcents"]].reset_index(drop=True))
+
+
+def chi2_event_hour(sf_dir: str) -> pd.DataFrame:
+    """Chi-square test of independence between event_type and hour-of-day —
+    the contingency-table member of the sufficient-statistics family. The
+    exchange carries one exact int64 count per observed (type, hour) cell;
+    the driver completes the grid (observed-types × observed-hours, zero
+    cells included: they contribute their full expectation) and quantizes
+    EACH cell's contribution at micro in one pinned IEEE expression —
+    ``(o - e) * (o - e) / e * 1e6`` with ``e = r * cl / n`` — so the chi2
+    total is an exact integer sum on both sides regardless of cell order.
+    chi2 is O(n): quantizing the TOTAL at micro would pass 2^52 at ~1e9
+    events (the df_micro lesson); per-cell quantization keeps every rounded
+    term small."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hr = pc.hour(t.column("ts")).cast(pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "hr": hr})
+
+    cells = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["event_type", "hr"], sum_cols={},
+                         count_alias="o")
+    cols = ["n_events", "n_types", "n_hours", "df", "chi2_micro"]
+    if cells.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    # complete the grid: zero cells contribute (0-e)^2/e = e
+    grid = (cells.set_index(["event_type", "hr"])["o"]
+            .unstack(fill_value=0))
+    o = grid.to_numpy(np.int64).astype(np.float64)
+    r = o.sum(axis=1, keepdims=True)  # row totals (per type)
+    cl = o.sum(axis=0, keepdims=True)  # column totals (per hour)
+    n = float(o.sum())
+    e = r * cl / n
+    chi = round_away((o - e) * (o - e) / e * 1000000.0, 0).astype(np.int64)
+    return pd.DataFrame({
+        "n_events": pd.array([int(n)], dtype="int64"),
+        "n_types": pd.array([o.shape[0]], dtype="int64"),
+        "n_hours": pd.array([o.shape[1]], dtype="int64"),
+        "df": pd.array([(o.shape[0] - 1) * (o.shape[1] - 1)], dtype="int64"),
+        "chi2_micro": pd.array([int(chi.sum())], dtype="int64")})
+
+
+def event_type_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    count consecutive (prev_type, next_type) pairs in (ts, event_id) order
+    per user, then row-normalize to transition probabilities (micro).
+
+    Scale shape: user co-groups ( ``_keyed_segments`` buckets) sessionize
+    the lead() in ONE vectorized pass per bucket — pairs never cross users
+    because the shifted comparison masks user boundaries — and each bucket
+    emits only its local (prev, next) partial counts (≤ |types|² rows), so
+    the global exchange is the tiny transition matrix, not the pair stream.
+    Oracle: SQL window lead() partitioned by user."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    empty = pd.DataFrame({"prev_type": pd.Series(dtype=str),
+                          "next_type": pd.Series(dtype=str)}
+                         | {c: pd.Series(dtype="int64")
+                            for c in ["n_pairs", "p_micro"]})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty[["prev_type", "next_type", "n_pairs"]]
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        p = pd.DataFrame({"prev_type": et[:-1][same],
+                          "next_type": et[1:][same]})
+        out = (p.groupby(["prev_type", "next_type"], as_index=False)
+               .size().rename(columns={"size": "n_pairs"}))
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    parts = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    mat = (parts.groupby(["prev_type", "next_type"], as_index=False)
+           .agg(n_pairs=("n_pairs", "sum")))
+    tot = mat.groupby("prev_type")["n_pairs"].transform("sum")
+    mat["p_micro"] = round_away(
+        mat["n_pairs"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        * 1000000.0, 0).astype(np.int64)
+    mat = mat.astype({"n_pairs": "int64", "p_micro": "int64"})
+    return (mat.sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
+
+
+def user_decayed_spend(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Exponentially-decayed user spend with a DYADIC decay (α = 1/2 per
+    day): decayed = Σ_d cents_d · 0.5^(last_day − d) over each user's
+    observed days. 0.5^k is an exact power of two and cents·1e6 < 2^53, so
+    every per-day term ``c · pow(0.5, k) · 1e6`` is EXACT in IEEE double on
+    both engines (verified: DuckDB power() and numpy agree bit-for-bit on
+    0.5^0..63) — the decay weighting needs no epsilon tolerance at all.
+    Terms quantize at micro and integer-sum per user.
+
+    Scale shape: per-batch (user, day) partials shrink the exchange to
+    distinct pairs; user co-groups compute max-day + weighted sum in one
+    segment pass per bucket and emit local top-k only."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pa.table({
+            "user_id": t.column("user_id"),
+            "day": pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32()),
+            "c": _scale_i64(t.column("value"), 100.0)})
+        agg = x.group_by(["user_id", "day"]).aggregate([("c", "sum")])
+        return agg.rename_columns(["user_id", "day", "c_part"])
+
+    parts = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    cols = ["user_id", "decayed_microcents", "n_days_obs"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty
+        obs = (g.groupby(["user_id", "day"], as_index=False)
+               .agg(c=("c_part", "sum"))
+               .sort_values(["user_id", "day"], kind="mergesort"))
+        uid = obs["user_id"].to_numpy(np.int64)
+        day = obs["day"].to_numpy(np.int64)
+        cents = obs["c"].to_numpy(np.int64)
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        seg_of = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        seg_end = np.r_[seg_start[1:], len(uid)] - 1
+        kdecay = (day[seg_end[seg_of]] - day).astype(np.float64)
+        term = round_away(cents.astype(np.float64) * np.power(0.5, kdecay)
+                          * 1000000.0, 0).astype(np.int64)
+        sums = np.zeros(len(seg_start), dtype=np.int64)
+        np.add.at(sums, seg_of, term)
+        out = pd.DataFrame({"user_id": uid[seg_start],
+                            "decayed_microcents": sums,
+                            "n_days_obs": (seg_end - seg_start + 1)
+                            .astype(np.int64)})
+        return out.sort_values(["decayed_microcents", "user_id"],
+                               ascending=[False, True]).head(k)
+
+    res = _keyed_segments(parts, "user_id").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if res.empty:
+        return empty
+    res = res.astype({c: "int64" for c in cols})
+    return (res.sort_values(["decayed_microcents", "user_id"],
+                            ascending=[False, True]).head(k)
+            [cols].reset_index(drop=True))
+
+
+def session_dwell_stats(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionized dwell/bounce rollup by LANDING event type: 30-min-gap
+    sessions per user (ts, event_id order), each session keyed by its first
+    event's type; per landing type report session count, bounce count
+    (single-event sessions) and total dwell (last−first ts, µs) — the
+    attribution-flavoured sibling of ``event_sessions`` whose oracle pins
+    the full lag→cumsum→row_number SQL sessionization chain.
+
+    Scale shape: the bucket pass emits one partial row per landing type per
+    bucket (≤ |types| · buckets rows), never per-session rows."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    empty = pd.DataFrame({"landing_type": pd.Series(dtype=str)}
+                         | {c: pd.Series(dtype="int64")
+                            for c in ["n_sessions", "n_bounces",
+                                      "sum_dwell_us"]})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("int64")
+        et = g["event_type"].to_numpy()
+        boundary = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(t) > gap_us)]
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:], len(t)] - 1
+        s = pd.DataFrame({"landing_type": et[starts],
+                          "one": np.ones(len(starts), dtype=np.int64),
+                          "bounce": (ends == starts).astype(np.int64),
+                          "dwell": t[ends] - t[starts]})
+        return (s.groupby("landing_type", as_index=False)
+                .agg(n_sessions=("one", "sum"), n_bounces=("bounce", "sum"),
+                     sum_dwell_us=("dwell", "sum")))
+
+    parts = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    out = (parts.groupby("landing_type", as_index=False)
+           .agg(n_sessions=("n_sessions", "sum"),
+                n_bounces=("n_bounces", "sum"),
+                sum_dwell_us=("sum_dwell_us", "sum")))
+    out = out.astype({c: "int64" for c in ["n_sessions", "n_bounces",
+                                           "sum_dwell_us"]})
+    return out.sort_values("landing_type").reset_index(drop=True)
