@@ -994,6 +994,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": analytics.event_type_transitions,
         "user_decayed_spend": analytics.user_decayed_spend,
         "session_dwell_stats": analytics.session_dwell_stats,
+        "mannwhitney_auc_click_purchase":
+            analytics.mannwhitney_auc_click_purchase,
+        "ks_click_purchase": analytics.ks_click_purchase,
+        "event_value_psi": analytics.event_value_psi,
+        "copurchase_triangles": analytics.copurchase_triangles,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3906,5 +3911,117 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bounces,
                    CAST(sum(dwell) AS BIGINT) AS sum_dwell_us
             FROM g GROUP BY 1 ORDER BY 1
+        """,
+        # tie-corrected Mann-Whitney via per-row AVERAGE ranks
+        # (2*avgrank = 2*rank() + tie_count - 1) — an independent
+        # formulation of the engine's histogram plan; the integer identity
+        # 2R_b - n_b(n_b+1) == sum_v b_v(2*A_less + a_v) is exact
+        "mannwhitney_auc_click_purchase": """
+            WITH x AS (SELECT event_type,
+                              CAST(round(value * 100, 0) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+                 r AS (SELECT event_type,
+                              2 * rank() OVER (ORDER BY c)
+                              + count(*) OVER (PARTITION BY c) - 1 AS r2
+                       FROM x),
+                 s AS (SELECT CAST(sum(CASE WHEN event_type = 'click'
+                                            THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                              CAST(sum(CASE WHEN event_type = 'purchase'
+                                            THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                              CAST(sum(CASE WHEN event_type = 'purchase'
+                                            THEN r2 ELSE 0 END) AS BIGINT) AS r2b
+                       FROM r)
+            SELECT na AS n_click, nb AS n_purchase,
+                   r2b - nb * (nb + 1) AS u2_purchase,
+                   CAST(round(CAST(r2b - nb * (nb + 1) AS DOUBLE)
+                              / (2.0 * na * nb) * 1000000000.0, 0)
+                        AS BIGINT) AS auc_nano
+            FROM s
+        """,
+        # two-sample KS on the distinct-cents grid: window cumsums, exact
+        # integer numerator (cumA*nb - cumB*na), one nano quantization
+        "ks_click_purchase": """
+            WITH x AS (SELECT event_type,
+                              CAST(round(value * 100, 0) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+                 h AS (SELECT c,
+                              CAST(sum(CASE WHEN event_type = 'click'
+                                            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                              CAST(sum(CASE WHEN event_type = 'purchase'
+                                            THEN 1 ELSE 0 END) AS BIGINT) AS b
+                       FROM x GROUP BY 1),
+                 cu AS (SELECT sum(a) OVER (ORDER BY c) AS ca,
+                               sum(b) OVER (ORDER BY c) AS cb
+                        FROM h),
+                 t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                              CAST(sum(b) AS BIGINT) AS nb
+                       FROM h),
+                 m AS (SELECT CAST(max(abs(cu.ca * t.nb - cu.cb * t.na))
+                                   AS BIGINT) AS d_num
+                       FROM cu CROSS JOIN t)
+            SELECT t.na AS n_click, t.nb AS n_purchase, m.d_num,
+                   CAST(round(CAST(m.d_num AS DOUBLE)
+                              / (CAST(t.na AS DOUBLE) * t.nb)
+                              * 1000000000.0, 0) AS BIGINT) AS ks_nano
+            FROM t CROSS JOIN m
+        """,
+        # PSI over $10 bands, weekday vs weekend; bands present on BOTH
+        # sides only (deterministic convention, no smoothing); per-band
+        # nano quantization in ONE pinned expression (ln is libm on both)
+        "event_value_psi": """
+            WITH x AS (SELECT CAST(round(value * 100, 0) AS BIGINT) // 1000
+                                  AS band,
+                              CASE WHEN isodow(ts) IN (6, 7)
+                                   THEN 1 ELSE 0 END AS we
+                       FROM events),
+                 h AS (SELECT band,
+                              CAST(sum(1 - we) AS BIGINT) AS a,
+                              CAST(sum(we) AS BIGINT) AS b
+                       FROM x GROUP BY 1),
+                 c AS (SELECT band, a, b FROM h WHERE a > 0 AND b > 0),
+                 t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                              CAST(sum(b) AS BIGINT) AS nb,
+                              CAST(count(*) AS BIGINT) AS nbands
+                       FROM c),
+                 terms AS (SELECT CAST(round(
+                               (CAST(a AS DOUBLE) / t.na
+                                - CAST(b AS DOUBLE) / t.nb)
+                               * ln((CAST(a AS DOUBLE) / t.na)
+                                    / (CAST(b AS DOUBLE) / t.nb))
+                               * 1000000000.0, 0) AS BIGINT) AS tn
+                           FROM c CROSS JOIN t)
+            SELECT t.na AS n_weekday_common, t.nb AS n_weekend_common,
+                   t.nbands AS n_bands_common,
+                   (SELECT CAST(sum(tn) AS BIGINT) FROM terms) AS psi_nano
+            FROM t
+        """,
+        # min-node triangle enumeration via 3-way self-join (independent of
+        # the engine's degree-oriented wedge plan); wedges from the degree
+        # table; deg*(deg-1)/2 is exact integer (even product)
+        "copurchase_triangles": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                 e AS (SELECT DISTINCT a.l_partkey AS k1, b.l_partkey AS k2
+                       FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                                          AND a.l_partkey < b.l_partkey),
+                 nd AS (SELECT k, CAST(count(*) AS BIGINT) AS deg
+                        FROM (SELECT k1 AS k FROM e
+                              UNION ALL SELECT k2 FROM e)
+                        GROUP BY 1),
+                 w AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                              CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS nw
+                       FROM nd),
+                 t AS (SELECT CAST(count(*) AS BIGINT) AS nt
+                       FROM e e1
+                       JOIN e e2 ON e1.k1 = e2.k1 AND e1.k2 < e2.k2
+                       JOIN e e3 ON e3.k1 = e1.k2 AND e3.k2 = e2.k2)
+            SELECT w.nn AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   w.nw AS n_wedges, t.nt AS n_triangles,
+                   CAST(CASE WHEN w.nw > 0
+                        THEN round(3.0 * t.nt / w.nw * 1000000000.0, 0)
+                        ELSE 0 END AS BIGINT) AS gcc_nano
+            FROM w CROSS JOIN t
         """,
     }

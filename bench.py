@@ -337,6 +337,11 @@ def run_bench() -> dict:
         ("event_type_transitions", analytics.event_type_transitions),
         ("user_decayed_spend", analytics.user_decayed_spend),
         ("session_dwell_stats", analytics.session_dwell_stats),
+        ("mannwhitney_auc_click_purchase",
+         analytics.mannwhitney_auc_click_purchase),
+        ("ks_click_purchase", analytics.ks_click_purchase),
+        ("event_value_psi", analytics.event_value_psi),
+        ("copurchase_triangles", analytics.copurchase_triangles),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

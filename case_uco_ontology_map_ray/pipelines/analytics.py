@@ -3027,3 +3027,292 @@ def session_dwell_stats(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     out = out.astype({c: "int64" for c in ["n_sessions", "n_bounces",
                                            "sum_dwell_us"]})
     return out.sort_values("landing_type").reset_index(drop=True)
+
+
+def mannwhitney_auc_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Exact Mann-Whitney U / AUC between click and purchase event values —
+    the rank-based nonparametric member of the stats family, computed with
+    NO global sort: the exchange is the per-cents counting histogram (one
+    int64 (click, purchase) count pair per distinct cents value, domain-
+    bounded), and the driver evaluates the tie-corrected statistic as pure
+    integers: ``2U = sum_v b_v * (2*A_less(v) + a_v)`` (each purchase row
+    beats every strictly-smaller click and half-ties every equal click).
+    AUC = U / (n_a * n_b), quantized at nano in one pinned expression.
+
+    The SQL twin is a genuinely independent formulation — per-row average
+    ranks via ``2*rank() + tie_count - 1`` and ``2U = 2R_b - n_b(n_b+1)``;
+    the integer identity between the two is exact, so the compare has zero
+    float tolerance on U itself."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t.column("event_type"),
+                              value_set=pa.array(["click", "purchase"])))
+        isa = pc.cast(pc.equal(f.column("event_type"), "click"), pa.int64())
+        return pa.table({"cents": _scale_i64(f.column("value"), 100.0),
+                         "a": isa,
+                         "b": pc.subtract(pa.scalar(1, pa.int64()), isa)})
+
+    hist = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["cents"], sum_cols={"a": "a", "b": "b"})
+    cols = ["n_click", "n_purchase", "u2_purchase", "auc_nano"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    a = hist["a"].to_numpy(np.int64)
+    b = hist["b"].to_numpy(np.int64)
+    n_a, n_b = int(a.sum()), int(b.sum())
+    if n_a == 0 or n_b == 0:
+        return empty
+    a_less = np.cumsum(a) - a
+    # object (Python-int) arithmetic BEFORE the multiply: the per-value
+    # product b_v * 2*A_less is O(n^2) and wraps int64 past ~3e9/side
+    u2 = int((b.astype(object)
+              * (2 * a_less.astype(object) + a.astype(object))).sum())
+    auc_nano = int(round_away(
+        np.float64(u2) / (2.0 * n_a * n_b) * 1000000000.0, 0))
+    return pd.DataFrame({"n_click": pd.array([n_a], dtype="int64"),
+                         "n_purchase": pd.array([n_b], dtype="int64"),
+                         "u2_purchase": pd.array([u2], dtype="int64"),
+                         "auc_nano": pd.array([auc_nano], dtype="int64")})
+
+
+def ks_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between click and
+    purchase value distributions: D = max_v |F_a(v) - F_b(v)| evaluated on
+    the distinct-cents grid. Same counting-histogram exchange as the
+    Mann-Whitney plan; the driver keeps the numerator exact by clearing
+    denominators — ``d_num = max |cumA*n_b - cumB*n_a|`` in Python ints
+    (cumA*n_b is O(n^2): int64 wraps past ~3e9 rows per side) — and
+    quantizes D = d_num/(n_a*n_b) at nano once. SQL twin: window cumsums
+    over the grouped grid."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t.column("event_type"),
+                              value_set=pa.array(["click", "purchase"])))
+        isa = pc.cast(pc.equal(f.column("event_type"), "click"), pa.int64())
+        return pa.table({"cents": _scale_i64(f.column("value"), 100.0),
+                         "a": isa,
+                         "b": pc.subtract(pa.scalar(1, pa.int64()), isa)})
+
+    hist = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["cents"], sum_cols={"a": "a", "b": "b"})
+    cols = ["n_click", "n_purchase", "d_num", "ks_nano"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    a = hist["a"].to_numpy(np.int64)
+    b = hist["b"].to_numpy(np.int64)
+    n_a, n_b = int(a.sum()), int(b.sum())
+    if n_a == 0 or n_b == 0:
+        return empty
+    ca = np.cumsum(a, dtype=object)
+    cb = np.cumsum(b, dtype=object)
+    d_num = int(np.max(np.abs(ca * n_b - cb * n_a)))
+    ks_nano = int(round_away(
+        np.float64(d_num) / (np.float64(n_a) * n_b) * 1000000000.0, 0))
+    return pd.DataFrame({"n_click": pd.array([n_a], dtype="int64"),
+                         "n_purchase": pd.array([n_b], dtype="int64"),
+                         "d_num": pd.array([d_num], dtype="int64"),
+                         "ks_nano": pd.array([ks_nano], dtype="int64")})
+
+
+def event_value_psi(sf_dir: str) -> pd.DataFrame:
+    """Population stability index between the weekday and weekend event
+    value distributions over fixed $10 bands (band = cents // 1000) — the
+    drift-monitoring member of the stats family. The exchange is one
+    (weekday, weekend) count pair per observed band; the driver restricts
+    to bands observed on BOTH sides (the deterministic PSI convention used
+    here — no epsilon smoothing), renormalizes each side over the common
+    bands, and quantizes EACH band's ``(p-q)*ln(p/q)`` at nano in one
+    pinned IEEE expression (numpy log == DuckDB ln, both libm) so the sum
+    is an exact integer on both engines regardless of band order."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _scale_i64(t.column("value"), 100.0)
+        band = np.floor_divide(cents.to_numpy(zero_copy_only=False), 1000)
+        # Arrow day_of_week: Monday=0 .. Sunday=6 -> weekend = {5, 6}
+        we = pc.cast(pc.greater_equal(pc.day_of_week(t.column("ts")),
+                                      pa.scalar(5)), pa.int64())
+        return pa.table({"band": pa.array(band, pa.int64()),
+                         "we": we,
+                         "wd": pc.subtract(pa.scalar(1, pa.int64()), we)})
+
+    hist = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["band"], sum_cols={"a": "wd", "b": "we"})
+    cols = ["n_weekday_common", "n_weekend_common", "n_bands_common",
+            "psi_nano"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if hist.empty:
+        return empty
+    common = hist[(hist["a"] > 0) & (hist["b"] > 0)]
+    if common.empty:
+        return empty
+    a = common["a"].to_numpy(np.float64)
+    b = common["b"].to_numpy(np.float64)
+    na, nb = float(a.sum()), float(b.sum())
+    p = a / na
+    q = b / nb
+    terms = round_away((p - q) * np.log(p / q) * 1000000000.0, 0)
+    return pd.DataFrame({
+        "n_weekday_common": pd.array([int(na)], dtype="int64"),
+        "n_weekend_common": pd.array([int(nb)], dtype="int64"),
+        "n_bands_common": pd.array([len(common)], dtype="int64"),
+        "psi_nano": pd.array([int(terms.astype(np.int64).sum())],
+                             dtype="int64")})
+
+
+def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count + global clustering coefficient over the co-purchase
+    graph (distinct part pairs sharing an order) — completes the graph
+    family (pagerank / components / k-core / triangles). Degree-ordered
+    orientation: every edge points from its (degree, id)-smaller endpoint,
+    so each node's out-degree is O(sqrt(m)) and every triangle is counted
+    exactly once at its unique two-out-edge apex. Wedges are expanded
+    INSIDE src co-groups with the ragged `_expand_pairs` kernel (never
+    corpus-sized in one task), pre-counted per packed (v,w) key, then
+    closed against the edge set in ONE co-grouped pass over the union of
+    wedge partials and edges (complete packed-key groups per bucket).
+    The degree table is node-sized and broadcast into the orientation
+    kernel; at node counts past worker memory, swap it for the existing
+    two-sided `bucket_join` — the orientation is the only lookup.
+
+    Oracle: independent SQL formulation — min-node triangle enumeration
+    via 3-way self-join, wedges from the degree table."""
+    from ..ops.joins import _expand_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def distinct_lp(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    pre = ds.map_batches(distinct_lp, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    pair_schema = {"pairkey": pd.Series(dtype="int64")}
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["l_orderkey", "l_partkey"])
+             .sort_values(["l_orderkey", "l_partkey"], kind="mergesort"))
+        okey = g["l_orderkey"].to_numpy(np.int64)
+        part = g["l_partkey"].to_numpy(np.int64)
+        n = len(okey)
+        if n == 0:
+            return pd.DataFrame(pair_schema)
+        seg_start = np.flatnonzero(np.r_[True, okey[1:] != okey[:-1]])
+        seg_len = np.diff(np.r_[seg_start, n])
+        ends = np.repeat(seg_start + seg_len, seg_len)
+        i_idx, j_idx = _expand_pairs(np.arange(n, dtype=np.int64) + 1, ends)
+        # parts are sorted within the order segment -> part[i] < part[j]
+        pk = (part[i_idx] << np.int64(32)) | part[j_idx]
+        return pd.DataFrame({"pairkey": pd.unique(pk)})
+
+    pair_parts = _keyed_segments(pre, "l_orderkey").map_groups(
+        order_pairs, batch_format="pandas")
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pairkey": pd.unique(
+            g["pairkey"].to_numpy(np.int64))})
+
+    # pairkey groups are complete per bucket -> local distinct is global
+    edges = _keyed_segments(pair_parts, "pairkey").map_groups(
+        bucket_distinct, batch_format="pandas").materialize()
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column("pairkey").to_numpy(zero_copy_only=False)
+        node = np.concatenate([pk >> np.int64(32),
+                               pk & np.int64(0xFFFFFFFF)])
+        return pa.table({"node": pa.array(node, pa.int64())})
+
+    deg = grouped_sums(edges.map_batches(unpack, batch_format="pyarrow"),
+                       keys=["node"], sum_cols={}, count_alias="deg")
+    cols = ["n_nodes", "n_edges", "n_wedges", "n_triangles", "gcc_nano"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if deg.empty:
+        return empty
+    deg = deg.sort_values("node").reset_index(drop=True)
+    node_ids = deg["node"].to_numpy(np.int64)
+    degs = deg["deg"].to_numpy(np.int64)
+    n_nodes = len(deg)
+    n_edges = int(degs.sum()) // 2
+    n_wedges = int(sum(int(d) * (int(d) - 1) // 2 for d in degs))
+
+    def orient(t: pa.Table) -> pa.Table:
+        pk = t.column("pairkey").to_numpy(zero_copy_only=False)
+        u = pk >> np.int64(32)
+        v = pk & np.int64(0xFFFFFFFF)
+        du = degs[np.searchsorted(node_ids, u)]
+        dv = degs[np.searchsorted(node_ids, v)]
+        # src = (degree, id)-smaller endpoint
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table({"src": pa.array(np.where(u_first, u, v), pa.int64()),
+                         "dst": pa.array(np.where(u_first, v, u), pa.int64())})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "dst"], kind="mergesort")
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
+        n = len(src)
+        if n == 0:
+            return pd.DataFrame(pair_schema | {"n_w": pd.Series(dtype="int64")})
+        seg_start = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        seg_len = np.diff(np.r_[seg_start, n])
+        ends = np.repeat(seg_start + seg_len, seg_len)
+        i_idx, j_idx = _expand_pairs(np.arange(n, dtype=np.int64) + 1, ends)
+        wv, ww = dst[i_idx], dst[j_idx]
+        lo = np.minimum(wv, ww)
+        hi = np.maximum(wv, ww)
+        wk = (lo << np.int64(32)) | hi
+        out = (pd.DataFrame({"pairkey": wk})
+               .groupby("pairkey", as_index=False)
+               .size().rename(columns={"size": "n_w"}))
+        return out.astype({"pairkey": "int64", "n_w": "int64"})
+
+    # wedges form inside COMPLETE src co-groups (out-degree is O(sqrt(m))
+    # under the degree orientation, so a src segment is never huge)
+    wedges = _keyed_segments(oriented, "src").map_groups(
+        wedge_bucket, batch_format="pandas")
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"pairkey": t.column("pairkey"),
+                         "n_w": pa.array(np.zeros(n, np.int64)),
+                         "is_edge": pa.array(np.ones(n, np.int64))})
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.table({"pairkey": t.column("pairkey"),
+                         "n_w": t.column("n_w").cast(pa.int64()),
+                         "is_edge": pa.array(
+                             np.zeros(t.num_rows, np.int64))})
+
+    both = (edges.map_batches(tag_edge, batch_format="pyarrow")
+            .union(wedges.map_batches(tag_wedge, batch_format="pyarrow")))
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby("pairkey", as_index=False)
+             .agg(n_w=("n_w", "sum"), is_edge=("is_edge", "max")))
+        t = int(c.loc[c["is_edge"] > 0, "n_w"].sum())
+        return pd.DataFrame({"tri": pd.array([t], dtype="int64")})
+
+    tri_parts = _keyed_segments(both, "pairkey").map_groups(
+        close_bucket, batch_format="pandas").to_pandas()
+    n_tri = int(tri_parts["tri"].sum()) if not tri_parts.empty else 0
+    gcc_nano = (int(round_away(
+        3.0 * n_tri / n_wedges * 1000000000.0, 0)) if n_wedges else 0)
+    return pd.DataFrame({"n_nodes": pd.array([n_nodes], dtype="int64"),
+                         "n_edges": pd.array([n_edges], dtype="int64"),
+                         "n_wedges": pd.array([n_wedges], dtype="int64"),
+                         "n_triangles": pd.array([n_tri], dtype="int64"),
+                         "gcc_nano": pd.array([gcc_nano], dtype="int64")})

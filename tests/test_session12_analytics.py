@@ -1,0 +1,121 @@
+"""Unit tests for the session-12 operators: tie-corrected Mann-Whitney /
+AUC against hand-computed U, KS max-gap on a known grid, PSI common-band
+convention (identical distributions -> 0; one-sided bands dropped), and
+triangle counting on a hand-built co-purchase graph (orientation totality,
+duplicate-edge collapse, clustering coefficient)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from case_uco_ontology_map_ray.pipelines.analytics import (
+    copurchase_triangles,
+    event_value_psi,
+    ks_click_purchase,
+    mannwhitney_auc_click_purchase,
+)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_type, ts, value)"""
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+
+_TS = np.datetime64("2024-01-03T12:00:00", "us")  # a Wednesday
+
+
+def test_mannwhitney_hand_computed(ray_session, tmp_path):
+    """clicks {1,2,3}, purchases {2,3,4}: U_purchase = 1.5+2.5+3 = 7
+    (ties count half), 2U = 14, AUC = 7/9."""
+    rows = [("click", _TS, v) for v in (1.0, 2.0, 3.0)]
+    rows += [("purchase", _TS, v) for v in (2.0, 3.0, 4.0)]
+    rows += [("view", _TS, 99.0)]  # other types must be excluded
+    _write_events(tmp_path, rows)
+    r = mannwhitney_auc_click_purchase(str(tmp_path)).iloc[0]
+    assert (int(r.n_click), int(r.n_purchase)) == (3, 3)
+    assert int(r.u2_purchase) == 14
+    assert int(r.auc_nano) == 777777778  # round-half-away(7/9 * 1e9)
+
+
+def test_ks_hand_computed(ray_session, tmp_path):
+    """Same grids: cumA = 1,2,3,3 / cumB = 0,1,2,3 over values 1..4 ->
+    d_num = max|cA*3 - cB*3| = 3, KS = 1/3."""
+    rows = [("click", _TS, v) for v in (1.0, 2.0, 3.0)]
+    rows += [("purchase", _TS, v) for v in (2.0, 3.0, 4.0)]
+    _write_events(tmp_path, rows)
+    r = ks_click_purchase(str(tmp_path)).iloc[0]
+    assert int(r.d_num) == 3
+    assert int(r.ks_nano) == 333333333
+
+
+def test_mannwhitney_empty_when_one_side_missing(ray_session, tmp_path):
+    _write_events(tmp_path, [("click", _TS, 1.0), ("view", _TS, 2.0)])
+    assert mannwhitney_auc_click_purchase(str(tmp_path)).empty
+    assert ks_click_purchase(str(tmp_path)).empty
+
+
+def test_psi_identical_distributions_zero(ray_session, tmp_path):
+    """Same band histogram on a weekday and a weekend day -> every common
+    band has p == q -> PSI exactly 0; a weekday-only band is dropped."""
+    wd = np.datetime64("2024-01-03T12:00:00", "us")  # Wed
+    we = np.datetime64("2024-01-06T12:00:00", "us")  # Sat
+    rows = []
+    for ts in (wd, we):
+        rows += [("view", ts, 5.0)] * 3 + [("view", ts, 15.0)] * 2
+    rows += [("view", wd, 25.0)]  # band 2 observed on weekdays only
+    _write_events(tmp_path, rows)
+    r = event_value_psi(str(tmp_path)).iloc[0]
+    assert (int(r.n_weekday_common), int(r.n_weekend_common)) == (5, 5)
+    assert int(r.n_bands_common) == 2
+    assert int(r.psi_nano) == 0
+
+
+def test_psi_empty_when_no_common_bands(ray_session, tmp_path):
+    wd = np.datetime64("2024-01-03T12:00:00", "us")
+    we = np.datetime64("2024-01-06T12:00:00", "us")
+    _write_events(tmp_path, [("view", wd, 5.0), ("view", we, 15.0)])
+    assert event_value_psi(str(tmp_path)).empty
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: (orderkey, partkey)"""
+    t = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+
+
+def test_triangles_hand_built_graph(ray_session, tmp_path):
+    """Order 1 buys parts {1,2,3} -> triangle 1-2-3; order 2 buys {1,2}
+    (duplicate edge must collapse); order 3 buys {3,4} (pendant edge).
+    Edges {12,13,23,34}: degrees 2,2,3,1 -> wedges 1+1+3+0 = 5,
+    triangles = 1, gcc = 3/5."""
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 3), (3, 4),
+            (1, 1)]  # duplicate lineitem row must not create a self-pair
+    _write_lineitem(tmp_path, rows)
+    r = copurchase_triangles(str(tmp_path)).iloc[0]
+    assert (int(r.n_nodes), int(r.n_edges)) == (4, 4)
+    assert int(r.n_wedges) == 5
+    assert int(r.n_triangles) == 1
+    assert int(r.gcc_nano) == 600000000
+
+
+def test_triangles_no_triangle_star(ray_session, tmp_path):
+    """A star (orders {1,2},{1,3},{1,4} around part 1) has wedges but no
+    closure."""
+    _write_lineitem(tmp_path, [(1, 1), (1, 2), (2, 1), (2, 3),
+                               (3, 1), (3, 4)])
+    r = copurchase_triangles(str(tmp_path)).iloc[0]
+    assert (int(r.n_edges), int(r.n_wedges), int(r.n_triangles)) == (3, 3, 0)
+    assert int(r.gcc_nano) == 0
