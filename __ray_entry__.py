@@ -999,6 +999,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_click_purchase": analytics.ks_click_purchase,
         "event_value_psi": analytics.event_value_psi,
         "copurchase_triangles": analytics.copurchase_triangles,
+        "referential_integrity_audit": analytics.referential_integrity_audit,
+        "event_volume_anomalies": analytics.event_volume_anomalies,
+        "peak_concurrent_sessions": analytics.peak_concurrent_sessions,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -4023,5 +4026,101 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(3.0 * t.nt / w.nw * 1000000000.0, 0)
                         ELSE 0 END AS BIGINT) AS gcc_nano
             FROM w CROSS JOIN t
+        """,
+        # bidirectional FK audit; orphan counts are ROW counts on the
+        # referencing side, childless/no-order counts are DISTINCT-KEY
+        # counts on the referenced side (the engine counts keys there)
+        "referential_integrity_audit": """
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+                  AS n_lineitems,
+              (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+                  AS n_orphan_lineitems,
+              (SELECT CAST(count(*) AS BIGINT) FROM
+                 (SELECT o_orderkey FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                    WHERE l.l_orderkey = o.o_orderkey)
+                  GROUP BY 1)) AS n_childless_orders,
+              (SELECT CAST(count(*) AS BIGINT) FROM
+                 (SELECT o_orderkey FROM orders GROUP BY 1
+                  HAVING count(*) > 1)) AS n_dup_orderkeys,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+                  AS n_orphan_orders,
+              (SELECT CAST(count(*) AS BIGINT) FROM
+                 (SELECT c_custkey FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_custkey = c.c_custkey)
+                  GROUP BY 1)) AS n_customers_no_orders,
+              (SELECT CAST(count(*) AS BIGINT) FROM
+                 (SELECT c_custkey FROM customer GROUP BY 1
+                  HAVING count(*) > 1)) AS n_dup_custkeys
+        """,
+        # seasonal z-scores from exact sufficient stats per (dow, hod)
+        # cell; ONE pinned IEEE expression, nano quantization; dow is
+        # Monday=0 (isodow - 1 == Arrow day_of_week)
+        "event_volume_anomalies": """
+            WITH h AS (SELECT date_trunc('hour', ts) AS hour_ts,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+                 g AS (SELECT isodow(hour_ts) - 1 AS dow,
+                              CAST(extract(hour FROM hour_ts) AS BIGINT)
+                                  AS hod,
+                              CAST(count(*) AS DOUBLE) AS n,
+                              CAST(sum(c) AS DOUBLE) AS s,
+                              CAST(sum(c * c) AS DOUBLE) AS ss
+                       FROM h GROUP BY 1, 2),
+                 z AS (SELECT h.hour_ts,
+                              CAST(g.dow AS BIGINT) AS dow, g.hod, h.c,
+                              CAST(round((CAST(h.c AS DOUBLE) - g.s / g.n)
+                                   / sqrt((g.ss - g.s * g.s / g.n)
+                                          / (g.n - 1.0))
+                                   * 1000000000.0, 0) AS BIGINT) AS z_nano
+                       FROM h JOIN g
+                         ON isodow(h.hour_ts) - 1 = g.dow
+                        AND CAST(extract(hour FROM h.hour_ts) AS BIGINT)
+                            = g.hod
+                       WHERE g.n >= 2
+                         AND (g.ss - g.s * g.s / g.n) / (g.n - 1.0) > 0)
+            SELECT hour_ts, dow, hod, c, z_nano FROM z
+            ORDER BY abs(z_nano) DESC, hour_ts LIMIT 25
+        """,
+        # full window-cumsum sweep over the aggregated boundary stream
+        # (+1 at session start, -1 at end+1us); session composition is
+        # tie-order-independent so the lag chain needs no event_id key
+        "peak_concurrent_sessions": """
+            WITH o AS (SELECT user_id, ts,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                     OR epoch_us(ts)
+                                        - epoch_us(lag(ts) OVER w)
+                                        > 1800000000
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                 s AS (SELECT user_id, ts, sum(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM o),
+                 g AS (SELECT user_id, sid,
+                              epoch_us(min(ts)) AS st,
+                              epoch_us(max(ts)) AS en
+                       FROM s GROUP BY 1, 2),
+                 b AS (SELECT st AS t, 1 AS d FROM g
+                       UNION ALL SELECT en + 1, -1 FROM g),
+                 agg AS (SELECT t, CAST(sum(d) AS BIGINT) AS dd
+                         FROM b GROUP BY 1),
+                 c AS (SELECT t, sum(dd) OVER (
+                           ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+                       FROM agg),
+                 p AS (SELECT CAST(max(conc) AS BIGINT) AS peak FROM c)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_sessions,
+                   p.peak AS peak_concurrency,
+                   (SELECT make_timestamp(min(t)) FROM c, p
+                    WHERE c.conc = p.peak) AS peak_ts
+            FROM p
         """,
     }

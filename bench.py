@@ -342,6 +342,10 @@ def run_bench() -> dict:
         ("ks_click_purchase", analytics.ks_click_purchase),
         ("event_value_psi", analytics.event_value_psi),
         ("copurchase_triangles", analytics.copurchase_triangles),
+        ("referential_integrity_audit",
+         analytics.referential_integrity_audit),
+        ("event_volume_anomalies", analytics.event_volume_anomalies),
+        ("peak_concurrent_sessions", analytics.peak_concurrent_sessions),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -3316,3 +3316,218 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
                          "n_wedges": pd.array([n_wedges], dtype="int64"),
                          "n_triangles": pd.array([n_tri], dtype="int64"),
                          "gcc_nano": pd.array([gcc_nano], dtype="int64")})
+
+
+def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Bidirectional foreign-key audit — the data-quality operator a 100-TB
+    ingest runs before anything else: orphan lineitems (l_orderkey with no
+    order), childless orders (no lineitem), duplicate order primary keys,
+    and orders whose o_custkey is missing from customer. BOTH directions of
+    each FK resolve in ONE co-grouped pass over the union of the two key
+    streams (per-batch key-count partials tag their side; a packed-key
+    bucket holds every occurrence of a key from both sides), so the
+    exchange is distinct-key-sized partials, never row-sized.
+    Oracle: NOT EXISTS / HAVING twins per direction."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    def key_partials(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            agg = (pa.table({"k": t.column(col)})
+                   .group_by(["k"]).aggregate([([], "count_all")]))
+            n = agg.num_rows
+            return pa.table({"k": agg.column("k"),
+                             "n": agg.column("count_all").cast(pa.int64()),
+                             "side": pa.array(np.full(n, side, np.int64))})
+        return f
+
+    def audit_bucket(names):
+        left_total, orphan_left, childless_right, dup_right = names
+
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            c = (g.pivot_table(index="k", columns="side", values="n",
+                               aggfunc="sum", fill_value=0)
+                 .reindex(columns=[0, 1], fill_value=0))
+            l, r = c[0].to_numpy(np.int64), c[1].to_numpy(np.int64)
+            return pd.DataFrame({
+                left_total: pd.array([int(l.sum())], dtype="int64"),
+                orphan_left: pd.array([int(l[r == 0].sum())], dtype="int64"),
+                childless_right: pd.array([int(((r > 0) & (l == 0)).sum())],
+                                          dtype="int64"),
+                dup_right: pd.array([int((r > 1).sum())], dtype="int64")})
+        return f
+
+    def run_audit(left_ds, left_col, right_ds, right_col, names):
+        both = (left_ds.map_batches(key_partials(left_col, 0),
+                                    batch_format="pyarrow")
+                .union(right_ds.map_batches(key_partials(right_col, 1),
+                                            batch_format="pyarrow")))
+        parts = _keyed_segments(both, "k").map_groups(
+            audit_bucket(names), batch_format="pandas").to_pandas()
+        return {c: int(parts[c].sum()) for c in names} if not parts.empty \
+            else {c: 0 for c in names}
+
+    a = run_audit(li, "l_orderkey", orders, "o_orderkey",
+                  ["n_lineitems", "n_orphan_lineitems",
+                   "n_childless_orders", "n_dup_orderkeys"])
+    b = run_audit(orders.select_columns(["o_custkey"]), "o_custkey",
+                  cust, "c_custkey",
+                  ["n_orders", "n_orphan_orders",
+                   "n_customers_no_orders", "n_dup_custkeys"])
+    vals = a | b
+    return pd.DataFrame({k: pd.array([v], dtype="int64")
+                         for k, v in vals.items()})
+
+
+def event_volume_anomalies(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Seasonal volume-anomaly detection: hourly event counts scored
+    against the same-(day-of-week, hour-of-day) population — the
+    monitoring sibling of the PSI drift gate. The distributed exchange is
+    the hour-truncated count groupby (domain-bounded: one row per distinct
+    hour, ~10^5 rows for a decade); the z-scores come from exact int64
+    sufficient stats (n, Σc, Σc²) per seasonal cell, evaluated in ONE
+    pinned IEEE expression mirrored by the SQL twin, quantized at nano.
+    Cells with n < 2 or zero variance are dropped (z undefined). Top-k by
+    |z| (ties: earlier hour). dow is Monday=0 on both engines (Arrow
+    day_of_week == isodow - 1)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"hour_ts": pc.floor_temporal(t.column("ts"),
+                                                      unit="hour")})
+
+    hourly = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          keys=["hour_ts"], sum_cols={}, count_alias="c")
+    out_cols = ["hour_ts", "dow", "hod", "c", "z_nano"]
+    empty = pd.DataFrame({"hour_ts": pd.Series(dtype="datetime64[us]")}
+                         | {c: pd.Series(dtype="int64")
+                            for c in out_cols[1:]})
+    if hourly.empty:
+        return empty
+    h = hourly.copy()
+    ts = pd.to_datetime(h["hour_ts"])
+    h["dow"] = ts.dt.dayofweek.astype("int64")  # Monday=0, matches isodow-1
+    h["hod"] = ts.dt.hour.astype("int64")
+    c = h["c"].to_numpy(np.int64)
+    h["cc"] = c * c
+    g = (h.groupby(["dow", "hod"], as_index=False)
+         .agg(n=("c", "size"), s=("c", "sum"), ss=("cc", "sum")))
+    m = h.merge(g, on=["dow", "hod"])
+    n = m["n"].to_numpy(np.float64)
+    s = m["s"].to_numpy(np.float64)
+    ss = m["ss"].to_numpy(np.float64)
+    cf = m["c"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        var = (ss - s * s / n) / (n - 1.0)
+        z = (cf - s / n) / np.sqrt(var)
+    keep = (m["n"].to_numpy(np.int64) >= 2) & (var > 0)
+    m = m[keep].copy()
+    m["z_nano"] = round_away(z[keep] * 1000000000.0, 0).astype(np.int64)
+    m["az"] = m["z_nano"].abs()
+    m = m.sort_values(["az", "hour_ts"], ascending=[False, True]).head(k)
+    m["hour_ts"] = pd.to_datetime(m["hour_ts"]).astype("datetime64[us]")
+    return (m[out_cols].astype({c: "int64" for c in out_cols[1:]})
+            .reset_index(drop=True))
+
+
+def peak_concurrent_sessions(sf_dir: str, gap_minutes: int = 30
+                             ) -> pd.DataFrame:
+    """Peak number of simultaneously-active sessions (30-min-gap sessions,
+    active on [first_ts, last_ts] inclusive) and the earliest instant it
+    is reached — the sweep-line / interval-stabbing operator, distributed
+    with NO global sort: boundary deltas (+1 at start, −1 at end+1µs) are
+    pre-summed per distinct timestamp, DAY co-groups compute their local
+    ordered cumsum, and the cross-day running offset is the driver-side
+    prefix sum of the tiny per-day delta totals (the doc_length_ranks
+    offset-broadcast trick applied to interval concurrency). Each day
+    bucket emits one (peak, earliest-peak-ts) row.
+    Oracle: full window-cumsum sweep over the aggregated boundary stream."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    us_day = 86_400_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def boundaries(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("int64")
+        if len(t) == 0:
+            return pd.DataFrame({"t": pd.Series(dtype="int64"),
+                                 "d": pd.Series(dtype="int64"),
+                                 "ns": pd.Series(dtype="int64")})
+        brk = np.r_[True, (uid[1:] != uid[:-1]) | (np.diff(t) > gap_us)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(t)] - 1
+        bt = np.concatenate([t[starts], t[ends] + 1])
+        bd = np.concatenate([np.ones(len(starts), np.int64),
+                             np.full(len(ends), -1, np.int64)])
+        out = (pd.DataFrame({"t": bt, "d": bd})
+               .groupby("t", as_index=False).agg(d=("d", "sum")))
+        out["ns"] = np.int64(0)
+        out.loc[out.index[:1], "ns"] = np.int64(len(starts))
+        return out.astype({"t": "int64", "d": "int64", "ns": "int64"})
+
+    bnd = _keyed_segments(ds, "user_id").map_groups(
+        boundaries, batch_format="pandas").materialize()
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = np.floor_divide(t.column("t").to_numpy(zero_copy_only=False),
+                              us_day)
+        return t.append_column("day", pa.array(day, pa.int64()))
+
+    with_day = bnd.map_batches(add_day, batch_format="pyarrow")
+    day_tot = grouped_sums(with_day, keys=["day"],
+                           sum_cols={"dsum": "d", "ns": "ns"})
+    cols = ["n_sessions", "peak_concurrency", "peak_ts"]
+    empty = pd.DataFrame({"n_sessions": pd.Series(dtype="int64"),
+                          "peak_concurrency": pd.Series(dtype="int64"),
+                          "peak_ts": pd.Series(dtype="datetime64[us]")})
+    if day_tot.empty:
+        return empty
+    day_tot = day_tot.sort_values("day").reset_index(drop=True)
+    n_sessions = int(day_tot["ns"].sum())
+    days = day_tot["day"].to_numpy(np.int64)
+    run = np.cumsum(day_tot["dsum"].to_numpy(np.int64))
+    offsets = dict(zip(days.tolist(),
+                       np.r_[np.int64(0), run[:-1]].tolist()))
+
+    def day_peak(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["day", "t"], as_index=False).agg(d=("d", "sum"))
+             .sort_values(["day", "t"], kind="mergesort"))
+        day = g["day"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        cum = np.cumsum(g["d"].to_numpy(np.int64))
+        new_day = np.r_[True, day[1:] != day[:-1]]
+        seg_of = np.cumsum(new_day) - 1
+        seg_start = np.flatnonzero(new_day)
+        # per-day local cumsum = global-within-bucket minus the segment base
+        base = np.r_[np.int64(0), cum[:-1]][seg_start]
+        local = cum - base[seg_of]
+        off = np.array([offsets[d] for d in day[seg_start].tolist()],
+                       np.int64)
+        conc = local + off[seg_of]
+        out = []
+        for si in range(len(seg_start)):
+            lo = seg_start[si]
+            hi = seg_start[si + 1] if si + 1 < len(seg_start) else len(day)
+            seg = conc[lo:hi]
+            j = int(np.argmax(seg))  # argmax returns the FIRST max
+            out.append((int(seg[j]), int(t[lo + j])))
+        return pd.DataFrame({"peak": pd.array([p for p, _ in out],
+                                              dtype="int64"),
+                             "t_us": pd.array([u for _, u in out],
+                                              dtype="int64")})
+
+    peaks = _keyed_segments(with_day, "day").map_groups(
+        day_peak, batch_format="pandas").to_pandas()
+    if peaks.empty:
+        return empty
+    best = int(peaks["peak"].max())
+    t_us = int(peaks.loc[peaks["peak"] == best, "t_us"].min())
+    return pd.DataFrame({
+        "n_sessions": pd.array([n_sessions], dtype="int64"),
+        "peak_concurrency": pd.array([best], dtype="int64"),
+        "peak_ts": pd.Series([np.datetime64(t_us, "us")],
+                             dtype="datetime64[us]")})
