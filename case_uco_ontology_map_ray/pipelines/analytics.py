@@ -3171,7 +3171,8 @@ def event_value_psi(sf_dir: str) -> pd.DataFrame:
                              dtype="int64")})
 
 
-def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+def copurchase_triangles(sf_dir: str, small_work: int = 20_000_000
+                         ) -> pd.DataFrame:
     """Triangle count + global clustering coefficient over the co-purchase
     graph (distinct part pairs sharing an order) — completes the graph
     family (pagerank / components / k-core / triangles). Degree-ordered
@@ -3228,6 +3229,9 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     edges = _keyed_segments(pair_parts, "pairkey").map_groups(
         bucket_distinct, batch_format="pandas").materialize()
 
+    cols = ["n_nodes", "n_edges", "n_wedges", "n_triangles", "gcc_nano"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
     def unpack(t: pa.Table) -> pa.Table:
         pk = t.column("pairkey").to_numpy(zero_copy_only=False)
         node = np.concatenate([pk >> np.int64(32),
@@ -3236,8 +3240,6 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
 
     deg = grouped_sums(edges.map_batches(unpack, batch_format="pyarrow"),
                        keys=["node"], sum_cols={}, count_alias="deg")
-    cols = ["n_nodes", "n_edges", "n_wedges", "n_triangles", "gcc_nano"]
-    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
     if deg.empty:
         return empty
     deg = deg.sort_values("node").reset_index(drop=True)
@@ -3246,6 +3248,44 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     n_nodes = len(deg)
     n_edges = int(degs.sum()) // 2
     n_wedges = int(sum(int(d) * (int(d) - 1) // 2 for d in degs))
+
+    # adaptive small path, gated on WORK not edge count: triangle cost is
+    # wedge-dominated (O(m^1.5) directed wedge candidates, bounded above
+    # by the undirected wedge count just computed from degrees), so below
+    # ~small_work wedge+edge units one driver numpy pass beats the three
+    # co-grouped exchanges; above it the distributed form wins (at sf0.1:
+    # 148M wedges -> distributed. Same gate story as linking's graph
+    # analytics; paths pinned identical by the equivalence test).
+    if n_wedges + n_edges <= small_work:
+        pk = np.sort(edges.to_pandas()["pairkey"].to_numpy(np.int64))
+        u = pk >> np.int64(32)
+        v = pk & np.int64(0xFFFFFFFF)
+        du = degs[np.searchsorted(node_ids, u)]
+        dv = degs[np.searchsorted(node_ids, v)]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        o = np.lexsort((dst, src))
+        src, dst = src[o], dst[o]
+        seg_start = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        seg_len = np.diff(np.r_[seg_start, n_edges])
+        ends = np.repeat(seg_start + seg_len, seg_len)
+        i_idx, j_idx = _expand_pairs(
+            np.arange(n_edges, dtype=np.int64) + 1, ends)
+        lo = np.minimum(dst[i_idx], dst[j_idx])
+        hi = np.maximum(dst[i_idx], dst[j_idx])
+        wk = (lo << np.int64(32)) | hi
+        pos = np.searchsorted(pk, wk)
+        pos[pos >= n_edges] = n_edges - 1
+        n_tri = int((pk[pos] == wk).sum())
+        gcc_nano = (int(round_away(
+            3.0 * n_tri / n_wedges * 1000000000.0, 0)) if n_wedges else 0)
+        return pd.DataFrame(
+            {"n_nodes": pd.array([n_nodes], dtype="int64"),
+             "n_edges": pd.array([n_edges], dtype="int64"),
+             "n_wedges": pd.array([n_wedges], dtype="int64"),
+             "n_triangles": pd.array([n_tri], dtype="int64"),
+             "gcc_nano": pd.array([gcc_nano], dtype="int64")})
 
     def orient(t: pa.Table) -> pa.Table:
         pk = t.column("pairkey").to_numpy(zero_copy_only=False)

@@ -242,3 +242,18 @@ def test_peak_concurrency_inclusive_end(ray_session, tmp_path):
     r = peak_concurrent_sessions(str(tmp_path)).iloc[0]
     assert (int(r.n_sessions), int(r.peak_concurrency)) == (2, 2)
     assert r.peak_ts == pd.Timestamp("2024-01-01T10:00:00")
+
+
+def test_triangles_small_equals_distributed(ray_session, tmp_path):
+    """The adaptive small path (driver numpy) and the distributed
+    wedge/closure path compute identical stats on the same graph."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for ok in range(40):
+        parts = rng.choice(30, size=rng.integers(2, 6), replace=False)
+        rows += [(ok, int(p)) for p in parts]
+    _write_lineitem(tmp_path, rows)
+    small = copurchase_triangles(str(tmp_path))
+    dist = copurchase_triangles(str(tmp_path), small_work=0)
+    assert small.to_dict("records") == dist.to_dict("records")
+    assert int(small.iloc[0].n_triangles) > 0
