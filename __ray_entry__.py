@@ -548,6 +548,24 @@ def _kg_node_counts(sf_dir: str):
         triples_from_transcripts(_transcripts_for(sf_dir)))
 
 
+def _kg_literal_values(sf_dir: str):
+    """FULL value-level gate over the literal triple surface (VERDICT r4
+    gap #2): the multiset of (artifact_type, pred, obj) for every non-IRI
+    object must equal DuckDB's own JSON extraction of the same transcripts
+    through the frozen field->predicate contract (_KG_LITERAL_FIELDS) and
+    the same stringification (str/int/bool/float all byte-identical between
+    Python's emission and json_extract_string of the raw token). Covers all
+    48 literal (type, pred) pairs — any routing, normalization, or arity
+    drift on any of them is a value mismatch, not just a count change."""
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        literal_value_counts,
+        triples_from_transcripts,
+    )
+
+    return literal_value_counts(
+        triples_from_transcripts(_transcripts_for(sf_dir)))
+
+
 def _kg_entity_mentions(sf_dir: str):
     """Entity-linking mention extraction, DuckDB-oracled (the linking
     family's first external gate): total path mentions + distinct normalized
@@ -829,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coverage": _kg_coverage,
         "kg_triple_counts": _kg_triple_counts,
         "kg_node_counts": _kg_node_counts,
+        "kg_literal_values": _kg_literal_values,
         "kg_entity_mentions": _kg_entity_mentions,
         "kg_conversation_entities": _kg_conversation_entities,
         "kg_entity_pagerank": _kg_entity_pagerank,
@@ -1138,6 +1157,66 @@ _KG_ARITY = [
     ("Windows Registry run key entries", "uco-observable:numberOfSubkeys", 1),
 ]
 
+# The frozen field->predicate contract for the value-level literal gate
+# (kg_literal_values): one row per extraction branch — (artifact_type,
+# pred, JSON path into the tool-turn payload). Multi-valued fields
+# (ReferencedPaths) contribute one branch per element; fields routed onto
+# TWO predicates (SourceFilename -> applicationFileName AND the
+# relationship's core:source) appear once per predicate. The VALUES are
+# still computed by DuckDB's own JSON parsing — only the routing is a
+# schema constant, exactly like _KG_ARITY.
+_KG_LITERAL_FIELDS = [
+    ("Browser URL history records", "uco-observable:firstVisit", "$.record.FirstVisitTime"),
+    ("Browser URL history records", "uco-observable:lastVisit", "$.record.LastVisitTime"),
+    ("Browser URL history records", "uco-observable:pageTitle", "$.record.PageTitle"),
+    ("Browser URL history records", "uco-observable:url", "$.record.URL"),
+    ("Browser URL history records", "uco-observable:visitCount", "$.record.VisitCount"),
+    ("Browser cookie records", "uco-observable:accessedTime", "$.record.LastAccessTime"),
+    ("Browser cookie records", "uco-observable:cookieName", "$.record.CookieName"),
+    ("Browser cookie records", "uco-observable:cookiePath", "$.record.CookiePath"),
+    ("Browser cookie records", "uco-observable:expirationTime", "$.record.ExpirationTime"),
+    ("Browser cookie records", "uco-observable:isSecure", "$.record.IsSecure"),
+    ("Browser cookie records", "uco-observable:observableCreatedTime", "$.record.CreationTime"),
+    ("IoT Sensor Reading", "dfc-ext:active", "$.record.active"),
+    ("IoT Sensor Reading", "dfc-ext:humidity", "$.record.humidity"),
+    ("IoT Sensor Reading", "dfc-ext:sensor", "$.record.sensor"),
+    ("IoT Sensor Reading", "dfc-ext:temperature", "$.record.temperature"),
+    ("MFT Record", "dfc-ext:entrynumber", "$.record.EntryNumber"),
+    ("MFT Record", "dfc-ext:objectidfiledroid", "$.record.ObjectIdFileDroid"),
+    ("MFT Record", "dfc-ext:securityid", "$.record.SecurityId"),
+    ("MFT Record", "dfc-ext:zoneidcontents", "$.record.ZoneIdContents"),
+    ("MFT Records", "uco-observable:accessedTime", "$.record.SI_Accessed"),
+    ("MFT Records", "uco-observable:allocationStatus", "$.record.InUse"),
+    ("MFT Records", "uco-observable:createdTime", "$.record.SI_Created"),
+    ("MFT Records", "uco-observable:filePath", "$.record.FullPath"),
+    ("MFT Records", "uco-observable:mftFileID", "$.record.EntryNumber"),
+    ("MFT Records", "uco-observable:mftParentID", "$.record.ParentEntryNumber"),
+    ("MFT Records", "uco-observable:modifiedTime", "$.record.SI_Modified"),
+    ("MFT Records", "uco-observable:sequenceNumber", "$.record.SequenceNumber"),
+    ("NTFS USN journal records", "dfc-ext:filename", "$.record.FileName"),
+    ("NTFS USN journal records", "dfc-ext:reason", "$.record.Reason"),
+    ("NTFS USN journal records", "dfc-ext:timestamp", "$.record.Timestamp"),
+    ("NTFS USN journal records", "dfc-ext:usn", "$.record.Usn"),
+    ("Windows Event Log records", "uco-observable:eventID", "$.record.EventID"),
+    ("Windows Event Log records", "uco-observable:eventRecordID", "$.record.RecordNumber"),
+    ("Windows Event Log records", "uco-observable:eventRecordServiceName", "$.record.Channel"),
+    ("Windows Event Log records", "uco-observable:eventRecordText", "$.record.Message"),
+    ("Windows Event Log records", "uco-observable:eventType", "$.record.Level"),
+    ("Windows Event Log records", "uco-observable:startTime", "$.record.TimeCreated"),
+    ("Windows Prefetch execution cache records", "core:source", "$.record.SourceFilename"),
+    ("Windows Prefetch execution cache records", "core:target", "$.record.VolumeSerialNumber"),
+    ("Windows Prefetch execution cache records", "uco-observable:accessedFile", "$.record.ReferencedPaths[0]"),
+    ("Windows Prefetch execution cache records", "uco-observable:accessedFile", "$.record.ReferencedPaths[1]"),
+    ("Windows Prefetch execution cache records", "uco-observable:applicationFileName", "$.record.SourceFilename"),
+    ("Windows Prefetch execution cache records", "uco-observable:firstRun", "$.record.FileCreatedTime"),
+    ("Windows Prefetch execution cache records", "uco-observable:lastRun", "$.record.LastRunTime"),
+    ("Windows Prefetch execution cache records", "uco-observable:timesExecuted", "$.record.RunCount"),
+    ("Windows Prefetch execution cache records", "uco-observable:volume", "$.record.VolumeSerialNumber"),
+    ("Windows Registry run key entries", "uco-observable:key", "$.record.KeyPath"),
+    ("Windows Registry run key entries", "uco-observable:modifiedTime", "$.record.LastWriteTime"),
+    ("Windows Registry run key entries", "uco-observable:numberOfSubkeys", "$.record.SubkeyCount"),
+]
+
 
 def _event_type_pivot_sql() -> str:
     """Pivot oracle generated from the SAME EVENT_TYPES constant the
@@ -1234,6 +1313,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n.n_records * d.per_record AS BIGINT) AS n_nodes
             FROM nrec n JOIN nodes d ON n.artifact_type = d.artifact_type
             ORDER BY n.artifact_type
+        """
+    # value-level literal gate: one UNION ALL branch per _KG_LITERAL_FIELDS
+    # row; every obj VALUE is DuckDB's own json_extract_string of the raw
+    # transcript payload (byte-identical to the engine's _emit_value
+    # stringification for str/int/bool/float tokens)
+    literal_branches = "\n                UNION ALL\n                ".join(
+        f"SELECT t AS artifact_type, '{p}' AS pred,\n"
+        f"                       json_extract_string(text, '{path}') AS obj\n"
+        f"                FROM rec WHERE t = '{t}'"
+        for t, p, path in _KG_LITERAL_FIELDS)
+    kg_literal_values_sql = f"""
+            WITH rec AS (
+                SELECT json_extract_string(text, '$.artifact_type') AS t, text
+                FROM read_parquet('{transcripts_glob}')
+                WHERE role = 'tool' AND text <> ''
+            ), vals AS (
+                {literal_branches}
+            )
+            SELECT artifact_type, pred, obj, count(*) AS n
+            FROM vals WHERE obj IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """
     # shared mention-extraction CTE: SQL independently extracts the
     # generator's three path-bearing record fields and reproduces
@@ -1714,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_triple_counts": kg_triple_counts_sql,
         "kg_node_counts": kg_node_counts_sql,
+        "kg_literal_values": kg_literal_values_sql,
         "kg_entity_mentions": kg_entity_mentions_sql,
         "pii_redaction": _pii_redaction_sql(transcripts_glob),
         # BM25 top-15 for query terms (spark, merge, vector); Lucene-form

