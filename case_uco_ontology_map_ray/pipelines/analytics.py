@@ -3171,7 +3171,34 @@ def event_value_psi(sf_dir: str) -> pd.DataFrame:
                              dtype="int64")})
 
 
-def copurchase_triangles(sf_dir: str, small_work: int = 20_000_000
+def _wedge_keys(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Packed (min,max) wedge keys for all out-neighbour pairs of each src
+    segment. ``src`` must be sorted; dst values fit in 32 bits."""
+    from ..ops.joins import _expand_pairs
+
+    n = len(src)
+    if n == 0:
+        return np.empty(0, np.int64)
+    seg_start = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    seg_len = np.diff(np.r_[seg_start, n])
+    ends = np.repeat(seg_start + seg_len, seg_len)
+    i_idx, j_idx = _expand_pairs(np.arange(n, dtype=np.int64) + 1, ends)
+    lo = np.minimum(dst[i_idx], dst[j_idx])
+    hi = np.maximum(dst[i_idx], dst[j_idx])
+    return (lo << np.int64(32)) | hi
+
+
+def _count_members(sorted_keys: np.ndarray, probes: np.ndarray) -> int:
+    """How many of ``probes`` are present in ``sorted_keys``."""
+    if len(probes) == 0 or len(sorted_keys) == 0:
+        return 0
+    pos = np.searchsorted(sorted_keys, probes)
+    pos[pos >= len(sorted_keys)] = len(sorted_keys) - 1
+    return int((sorted_keys[pos] == probes).sum())
+
+
+def copurchase_triangles(sf_dir: str, small_work: int = 20_000_000,
+                         broadcast_edges: int = 16_000_000
                          ) -> pd.DataFrame:
     """Triangle count + global clustering coefficient over the co-purchase
     graph (distinct part pairs sharing an order) — completes the graph
@@ -3180,9 +3207,22 @@ def copurchase_triangles(sf_dir: str, small_work: int = 20_000_000
     so each node's out-degree is O(sqrt(m)) and every triangle is counted
     exactly once at its unique two-out-edge apex. Wedges are expanded
     INSIDE src co-groups with the ragged `_expand_pairs` kernel (never
-    corpus-sized in one task), pre-counted per packed (v,w) key, then
-    closed against the edge set in ONE co-grouped pass over the union of
-    wedge partials and edges (complete packed-key groups per bucket).
+    corpus-sized in one task). Three closure paths, chosen adaptively
+    from the degree table (work and edge counts are known BEFORE the
+    choice), all pinned identical by the equivalence test:
+
+    - wedges + edges <= small_work: one driver numpy pass (the three
+      exchanges cost more than the work itself);
+    - n_edges <= broadcast_edges (8B x 16M = 128 MB per worker): wedge
+      expansion stays distributed but each src co-group probes a
+      BROADCAST sorted edge-key array (ray.put once, zero-copy view per
+      task) — no wedge stream ever leaves a task, removing the largest
+      exchange (directed wedges >> m rows);
+    - else: wedge partials pre-counted per packed (v,w) key and closed
+      against the edge set in ONE co-grouped pass over the union of
+      wedge partials and edges — nothing is driver- or worker-resident,
+      the true 100-TB path.
+
     The degree table is node-sized and broadcast into the orientation
     kernel; at node counts past worker memory, swap it for the existing
     two-sided `bucket_join` — the orientation is the only lookup.
@@ -3256,6 +3296,16 @@ def copurchase_triangles(sf_dir: str, small_work: int = 20_000_000
     # co-grouped exchanges; above it the distributed form wins (at sf0.1:
     # 148M wedges -> distributed. Same gate story as linking's graph
     # analytics; paths pinned identical by the equivalence test).
+    def result(n_tri: int) -> pd.DataFrame:
+        gcc_nano = (int(round_away(
+            3.0 * n_tri / n_wedges * 1000000000.0, 0)) if n_wedges else 0)
+        return pd.DataFrame(
+            {"n_nodes": pd.array([n_nodes], dtype="int64"),
+             "n_edges": pd.array([n_edges], dtype="int64"),
+             "n_wedges": pd.array([n_wedges], dtype="int64"),
+             "n_triangles": pd.array([n_tri], dtype="int64"),
+             "gcc_nano": pd.array([gcc_nano], dtype="int64")})
+
     if n_wedges + n_edges <= small_work:
         pk = np.sort(edges.to_pandas()["pairkey"].to_numpy(np.int64))
         u = pk >> np.int64(32)
@@ -3266,26 +3316,7 @@ def copurchase_triangles(sf_dir: str, small_work: int = 20_000_000
         src = np.where(u_first, u, v)
         dst = np.where(u_first, v, u)
         o = np.lexsort((dst, src))
-        src, dst = src[o], dst[o]
-        seg_start = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        seg_len = np.diff(np.r_[seg_start, n_edges])
-        ends = np.repeat(seg_start + seg_len, seg_len)
-        i_idx, j_idx = _expand_pairs(
-            np.arange(n_edges, dtype=np.int64) + 1, ends)
-        lo = np.minimum(dst[i_idx], dst[j_idx])
-        hi = np.maximum(dst[i_idx], dst[j_idx])
-        wk = (lo << np.int64(32)) | hi
-        pos = np.searchsorted(pk, wk)
-        pos[pos >= n_edges] = n_edges - 1
-        n_tri = int((pk[pos] == wk).sum())
-        gcc_nano = (int(round_away(
-            3.0 * n_tri / n_wedges * 1000000000.0, 0)) if n_wedges else 0)
-        return pd.DataFrame(
-            {"n_nodes": pd.array([n_nodes], dtype="int64"),
-             "n_edges": pd.array([n_edges], dtype="int64"),
-             "n_wedges": pd.array([n_wedges], dtype="int64"),
-             "n_triangles": pd.array([n_tri], dtype="int64"),
-             "gcc_nano": pd.array([gcc_nano], dtype="int64")})
+        return result(_count_members(pk, _wedge_keys(src[o], dst[o])))
 
     def orient(t: pa.Table) -> pa.Table:
         pk = t.column("pairkey").to_numpy(zero_copy_only=False)
@@ -3300,21 +3331,38 @@ def copurchase_triangles(sf_dir: str, small_work: int = 20_000_000
 
     oriented = edges.map_batches(orient, batch_format="pyarrow")
 
+    # mid path: the wedge EXPANSION stays distributed (src co-groups), but
+    # the closure probes a BROADCAST sorted edge-key array (ray.put once,
+    # zero-copy np view per task) instead of exchanging the directed wedge
+    # partials — this removes the largest data movement (the wedge stream,
+    # >> m rows) and the union/closure co-group. 8 bytes x broadcast_edges
+    # (default 16M = 128 MB) bounds the per-worker array; past that the
+    # co-grouped exchange below is the scale path.
+    if n_edges <= broadcast_edges:
+        import ray as _ray
+
+        pk_ref = _ray.put(np.sort(
+            edges.to_pandas()["pairkey"].to_numpy(np.int64)))
+
+        def wedge_close(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["src", "dst"], kind="mergesort")
+            wk = _wedge_keys(g["src"].to_numpy(np.int64),
+                             g["dst"].to_numpy(np.int64))
+            t = _count_members(_ray.get(pk_ref), wk)
+            return pd.DataFrame({"tri": pd.array([t], dtype="int64")})
+
+        tri_parts = _keyed_segments(oriented, "src").map_groups(
+            wedge_close, batch_format="pandas").to_pandas()
+        return result(int(tri_parts["tri"].sum()) if not tri_parts.empty
+                      else 0)
+
     def wedge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["src", "dst"], kind="mergesort")
         src = g["src"].to_numpy(np.int64)
         dst = g["dst"].to_numpy(np.int64)
-        n = len(src)
-        if n == 0:
+        if len(src) == 0:
             return pd.DataFrame(pair_schema | {"n_w": pd.Series(dtype="int64")})
-        seg_start = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        seg_len = np.diff(np.r_[seg_start, n])
-        ends = np.repeat(seg_start + seg_len, seg_len)
-        i_idx, j_idx = _expand_pairs(np.arange(n, dtype=np.int64) + 1, ends)
-        wv, ww = dst[i_idx], dst[j_idx]
-        lo = np.minimum(wv, ww)
-        hi = np.maximum(wv, ww)
-        wk = (lo << np.int64(32)) | hi
+        wk = _wedge_keys(src, dst)
         out = (pd.DataFrame({"pairkey": wk})
                .groupby("pairkey", as_index=False)
                .size().rename(columns={"size": "n_w"}))
@@ -3348,14 +3396,7 @@ def copurchase_triangles(sf_dir: str, small_work: int = 20_000_000
 
     tri_parts = _keyed_segments(both, "pairkey").map_groups(
         close_bucket, batch_format="pandas").to_pandas()
-    n_tri = int(tri_parts["tri"].sum()) if not tri_parts.empty else 0
-    gcc_nano = (int(round_away(
-        3.0 * n_tri / n_wedges * 1000000000.0, 0)) if n_wedges else 0)
-    return pd.DataFrame({"n_nodes": pd.array([n_nodes], dtype="int64"),
-                         "n_edges": pd.array([n_edges], dtype="int64"),
-                         "n_wedges": pd.array([n_wedges], dtype="int64"),
-                         "n_triangles": pd.array([n_tri], dtype="int64"),
-                         "gcc_nano": pd.array([gcc_nano], dtype="int64")})
+    return result(int(tri_parts["tri"].sum()) if not tri_parts.empty else 0)
 
 
 def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:

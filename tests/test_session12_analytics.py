@@ -245,8 +245,9 @@ def test_peak_concurrency_inclusive_end(ray_session, tmp_path):
 
 
 def test_triangles_small_equals_distributed(ray_session, tmp_path):
-    """The adaptive small path (driver numpy) and the distributed
-    wedge/closure path compute identical stats on the same graph."""
+    """All three adaptive closure paths (driver numpy / broadcast-edge
+    probe / co-grouped exchange) compute identical stats on the same
+    graph."""
     rng = np.random.default_rng(7)
     rows = []
     for ok in range(40):
@@ -254,6 +255,9 @@ def test_triangles_small_equals_distributed(ray_session, tmp_path):
         rows += [(ok, int(p)) for p in parts]
     _write_lineitem(tmp_path, rows)
     small = copurchase_triangles(str(tmp_path))
-    dist = copurchase_triangles(str(tmp_path), small_work=0)
-    assert small.to_dict("records") == dist.to_dict("records")
+    bcast = copurchase_triangles(str(tmp_path), small_work=0)
+    exchange = copurchase_triangles(str(tmp_path), small_work=0,
+                                    broadcast_edges=0)
+    assert small.to_dict("records") == bcast.to_dict("records")
+    assert small.to_dict("records") == exchange.to_dict("records")
     assert int(small.iloc[0].n_triangles) > 0
