@@ -221,3 +221,45 @@ def test_pagerank_quantized_iteration_is_scale_free():
     out = entity_pagerank(rd.from_arrow(tab), iters=3, k=10)
     assert (out.rank_norm == 1.0).all()
     assert (out.degree == 2).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=120))
+def test_wedge_keys_match_brute_force(pairs):
+    """_wedge_keys + _count_members equal a brute-force triangle count on
+    arbitrary edge sets (degree-oriented, same convention as
+    copurchase_triangles)."""
+    import numpy as np
+
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        _count_members,
+        _wedge_keys,
+    )
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in pairs if u != v})
+    pk = np.sort(np.array([(np.int64(u) << np.int64(32)) | np.int64(v)
+                           for u, v in edges], dtype=np.int64))
+    # degree-ordered orientation
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    src, dst = [], []
+    for u, v in edges:
+        if (deg[u], u) < (deg[v], v):
+            src.append(u), dst.append(v)
+        else:
+            src.append(v), dst.append(u)
+    o = np.lexsort((np.array(dst or [0]), np.array(src or [0])))[:len(src)]
+    s = np.array(src, dtype=np.int64)[o] if src else np.empty(0, np.int64)
+    d = np.array(dst, dtype=np.int64)[o] if dst else np.empty(0, np.int64)
+    got = _count_members(pk, _wedge_keys(s, d))
+    eset = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    want = sum(1 for i, a in enumerate(nodes) for b in nodes[i + 1:]
+               for c in nodes if c > b and (a, b) in eset and (a, c) in eset
+               and (b, c) in eset)
+    assert got == want
