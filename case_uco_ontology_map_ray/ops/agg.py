@@ -14,6 +14,22 @@ import pandas as pd
 import pyarrow as pa
 
 
+def ensure_columns(df: pd.DataFrame,
+                   columns: "dict[str, str] | list[str]") -> pd.DataFrame:
+    """Schema-stable collect guard: Ray drops the schema with the last block
+    of a fully-empty lineage, so ``ds.to_pandas()`` on zero rows yields a
+    ZERO-COLUMN frame and downstream sort_values/astype/merge raise KeyError
+    (the ADVICE r4 empty-input pattern). Rebuild an empty frame with the
+    expected columns (dict of name->dtype, or a list for object dtype) when
+    any expected column is missing; non-empty frames pass through untouched.
+    """
+    cols = (columns if isinstance(columns, dict)
+            else {c: "object" for c in columns})
+    if all(c in df.columns for c in cols):
+        return df
+    return pd.DataFrame({c: pd.Series(dtype=d) for c, d in cols.items()})
+
+
 def round_away(x, ndigits: int):
     """Round half away from zero — DuckDB's ROUND() rule (numpy/pandas
     default to half-to-even, which diverges on exact .5 boundaries)."""
@@ -176,7 +192,8 @@ def global_row_number(ds, key_col: str, id_col: str,
 
     counts = grouped_sums(ds, keys=[key_col], sum_cols={}, count_alias="n")
     counts = counts.sort_values(key_col, ascending=key_ascending)
-    base = np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1]))
+    base = (np.empty(0, np.int64) if counts.empty else
+            np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1])))
     offsets = pd.DataFrame({key_col: counts[key_col].to_numpy(),
                             "__base": base.astype(np.int64)})
 

@@ -221,7 +221,10 @@ def _distinct_edges(edges, num_parts: int = 64):
     hash-partitioned finish (the distinct_paths pattern from linking.py)."""
     import pyarrow.compute as pc
 
-    c0, c1 = edges.schema().names[:2]
+    sch = edges.schema()
+    if sch is None:  # no edges at all (schema died with the last block)
+        return edges
+    c0, c1 = sch.names[:2]
 
     def local(t: pa.Table) -> pa.Table:
         agg = t.select([c0, c1]).group_by([c0, c1]).aggregate([])
@@ -318,7 +321,10 @@ def _verify_jaccard(edges, payload, tau: float, emit_jac: bool = False):
     # edges are LSH-bounded candidates (tiny next to the corpus); pin them
     # so the endpoint scan + the join don't re-execute the band lineage
     edges = edges.materialize()
-    c0, c1 = edges.schema().names[:2]
+    sch = edges.schema()
+    if sch is None:  # no candidate edges: nothing to verify
+        return edges
+    c0, c1 = sch.names[:2]
 
     eps = edges.map_batches(
         lambda t: pa.table({"doc_id": pa.concat_arrays(
@@ -464,7 +470,14 @@ def _propagate_components(edges, all_ids, out_col: str,
     # materialize so count + downstream use don't re-execute the whole
     # sketch/band/verify lineage
     edges = edges.materialize()
-    c0, c1 = edges.schema().names[:2]
+    sch = edges.schema()
+    if sch is None:  # no edges at all: every doc is its own component
+        return all_ids.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id"),
+                                out_col: t.column("doc_id")}),
+            batch_format="pyarrow",
+        )
+    c0, c1 = sch.names[:2]
     # Star incidence: edge (u, v) -> group u contains {u, v}; min-label over
     # the bipartite (group, member) graph = component min.
     incidence = edges.map_batches(

@@ -92,6 +92,15 @@ def _pool_size(frac: float = 0.5) -> int:
     return max(1, int(cpus * frac))
 
 
+def _empty_like(ds):
+    """Schema-preserving empty: slice every block to zero rows. If the
+    input has no blocks at all (fully-empty lazy lineage), the result is
+    equally empty — callers collecting to pandas must still guard columns
+    (see ops.agg.ensure_columns)."""
+    return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str], how: str = "inner"):
     """Map-side join of a Dataset against a small pandas table.
 
@@ -158,6 +167,10 @@ def adaptive_semi_join(left, right, on: str, right_on: str | None = None,
             return pa.table({right_on: t.column(right_on).combine_chunks().unique()})
 
         kdf = keys_ds.map_batches(local_distinct, batch_format="pyarrow").to_pandas()
+        if right_on not in kdf.columns:
+            # fully-empty right side (Ray drops the schema with the last
+            # block): semi result is empty, anti result is the whole left
+            return left if negate else _empty_like(left)
         arr = pa.Array.from_pandas(kdf[right_on].drop_duplicates())
         return semi_filter(left, arr, on, negate=negate)
     # reuse the materialized key projection — the right lineage never re-runs
@@ -239,6 +252,8 @@ def bucket_semi_join(left, right, on: str, right_on: str | None = None,
         num_buckets = auto_num_buckets(left, right)
     right_on = right_on or on
     lschema = left.schema()
+    if lschema is None:  # fully-empty left: semi AND anti results are empty
+        return left
     left_cols = list(lschema.names)
 
     def prep_left(t: pa.Table) -> pa.Table:
@@ -294,6 +309,8 @@ def asof_join(left, right, on: str, ts: str, right_ts_name: str,
     if num_buckets is None:
         num_buckets = auto_num_buckets(left, right)
     lschema = left.schema()
+    if lschema is None:  # fully-empty left: inner as-of result is empty
+        return left
     left_cols = list(lschema.names)
 
     def prepare(side_tag):
@@ -362,6 +379,13 @@ def bucket_join(left, right, on: "str | list[str]",
         num_buckets = auto_num_buckets(left, right)
     on_list = [on] if isinstance(on, str) else list(on)
     lschema, rschema = left.schema(), right.schema()
+    if lschema is None:
+        # fully-empty left: inner/left are empty; outer degenerates to right
+        return right if how == "outer" else left
+    if rschema is None:
+        # fully-empty right: inner drops everything; left/outer keep left
+        # rows (right columns absent — the schema died with the last block)
+        return _empty_like(left) if how == "inner" else left
     left_cols = list(lschema.names)
     right_cols = list(rschema.names)
     col_types = dict(zip(lschema.names, lschema.types))

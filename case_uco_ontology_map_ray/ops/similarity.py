@@ -164,8 +164,12 @@ def embedding_neardup_lsh(ds, tau: float = 0.95, id_col: str = "vec_id",
     import ray
 
     if dim is None:
-        first = ds.take(1)[0]
-        dim = len(first["embedding"])
+        rows = ds.take(1)
+        if not rows:  # empty corpus: no pairs
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        dim = len(rows[0]["embedding"])
     rng = np.random.RandomState(seed)
     proj = rng.randn(dim, n_bits)
     ref = ray.put(proj)
@@ -431,8 +435,10 @@ def kmeans_fit(ds, n_clusters: int = 8, n_iter: int = 5,
 
     cents = _sample_centroids(ds, n_clusters, id_col, seed)
     if len(cents) == 0:
-        # empty corpus: nothing to fit (the ADVICE-r4 empty-lineage edge)
-        return cents, []
+        # empty corpus: nothing to fit (the ADVICE-r4 empty-lineage edge);
+        # one all-zero history entry keeps history[-1] consumers working
+        return cents, [{"inertia": 0.0, "moved": 0.0,
+                        "sizes": [0] * n_clusters}]
     k = len(cents)
     history = []
 

@@ -368,6 +368,9 @@ def approx_distinct_by_group(ds, group_col: str, column: str, p: int = 12):
 
     out = parts.groupby(group_col).map_groups(
         merge_group, batch_format="pandas").to_pandas()
+    if group_col not in out.columns:  # fully-empty input lost the schema
+        out = pd.DataFrame({group_col: pd.Series(dtype="object"),
+                            "approx_distinct": pd.Series(dtype="int64")})
     return out.sort_values(group_col).reset_index(drop=True)
 
 

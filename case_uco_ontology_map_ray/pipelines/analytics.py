@@ -18,7 +18,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..ops.agg import grouped_sums, grouped_sums_ds, round_away, topk_ds, topk_rounded
+from ..ops.agg import (
+    ensure_columns,
+    grouped_sums,
+    grouped_sums_ds,
+    round_away,
+    topk_ds,
+    topk_rounded,
+)
 from ..ops.joins import (adaptive_semi_join, broadcast_join, bucket_semi_join,
                          semi_filter)
 
@@ -134,8 +141,10 @@ def q3_top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
                        round_col="revenue", ndigits=2, divisor=10000.0,
                        columns=["l_orderkey", "revenue"])
     # attach o_orderdate for just the k winners (broadcast of k keys)
-    dates = semi_filter(open_orders, top["l_orderkey"].to_numpy(),
-                        "o_orderkey").to_pandas()
+    dates = ensure_columns(
+        semi_filter(open_orders, top["l_orderkey"].to_numpy(),
+                    "o_orderkey").to_pandas(),
+        {"o_orderkey": "int64", "o_orderdate": "datetime64[us]"})
     out = top.merge(dates[["o_orderkey", "o_orderdate"]],
                     left_on="l_orderkey", right_on="o_orderkey")
     out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
@@ -235,10 +244,10 @@ def customer_order_totals(sf_dir: str, k: int = 10) -> pd.DataFrame:
                        ascending=[False, True], k=k,
                        round_col="total", ndigits=2,
                        columns=["o_custkey", "total", "n_orders"])
-    cust = semi_filter(
+    cust = ensure_columns(semi_filter(
         rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"]),
         top["o_custkey"].to_numpy(), "c_custkey",
-    ).to_pandas()
+    ).to_pandas(), {"c_custkey": "int64", "c_name": "object"})
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
     out = out.sort_values(["total", "o_custkey"], ascending=[False, True])
     return out[["c_custkey", "c_name", "n_orders", "total"]].reset_index(drop=True)
@@ -282,8 +291,12 @@ def _nation_order_fine(sf_dir: str) -> pd.DataFrame:
     row per (custkey, block), not per order."""
     from ..ops.joins import bucket_join
 
-    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
-    region = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
+    nation = ensure_columns(
+        rd.read_parquet(_t(sf_dir, "nation")).to_pandas(),
+        {"n_nationkey": "int64", "n_name": "object", "n_regionkey": "int64"})
+    region = ensure_columns(
+        rd.read_parquet(_t(sf_dir, "region")).to_pandas(),
+        {"r_regionkey": "int64", "r_name": "object"})
     dims = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
         ["n_nationkey", "n_name", "r_name"]].rename(
         columns={"n_nationkey": "c_nationkey"})
@@ -514,7 +527,10 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30, k: int = 15) -> pd.DataFr
 
     sessions = _keyed_segments(ds, "user_id").map_groups(
         per_bucket, batch_format="pandas")
-    out = sessions.to_pandas()
+    out = ensure_columns(sessions.to_pandas(),
+                         {"user_id": "int64",
+                          "session_start": "datetime64[us]",
+                          "n_events": "int64"})
     out = out.sort_values(["n_events", "user_id", "session_start"],
                           ascending=[False, True, True]).head(k)
     return out[["user_id", "session_start", "n_events"]].reset_index(drop=True)
@@ -582,8 +598,11 @@ def purchase_last_click(sf_dir: str) -> pd.DataFrame:
         lambda t: t.filter(pc.equal(t.column("event_type"), "click")).select(["user_id", "ts"]),
         batch_format="pyarrow",
     )
-    out = asof_join(purchases, clicks, on="user_id", ts="ts",
-                    right_ts_name="prev_click_ts").to_pandas()
+    out = ensure_columns(
+        asof_join(purchases, clicks, on="user_id", ts="ts",
+                  right_ts_name="prev_click_ts").to_pandas(),
+        {"event_id": "int64", "user_id": "int64",
+         "ts": "datetime64[us]", "prev_click_ts": "datetime64[us]"})
     out = out.sort_values("event_id").reset_index(drop=True)
     for c in ("ts", "prev_click_ts"):
         out[c] = out[c].astype("datetime64[us]")
@@ -636,7 +655,9 @@ def rolling_hour_counts(sf_dir: str, k: int = 25) -> pd.DataFrame:
 
     rolled = _keyed_segments(ds, "user_id").map_groups(
         per_bucket, batch_format="pandas")
-    out = rolled.to_pandas()
+    out = ensure_columns(rolled.to_pandas(),
+                         {"event_id": "int64", "user_id": "int64",
+                          "ts": "datetime64[us]", "n_last_hour": "int64"})
     out = out.sort_values(["n_last_hour", "event_id"],
                           ascending=[False, True]).head(k)
     out["ts"] = out["ts"].astype("datetime64[us]")
@@ -664,9 +685,10 @@ def top_events_per_type(sf_dir: str, per_group: int = 3) -> pd.DataFrame:
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["value", "event_id"], ascending=[False, True]).head(per_group)
 
-    out = pre.groupby("event_type").map_groups(final_topk, batch_format="pandas").to_pandas()
-    from ..ops.agg import round_away
-
+    out = ensure_columns(
+        pre.groupby("event_type").map_groups(
+            final_topk, batch_format="pandas").to_pandas(),
+        {"event_type": "object", "event_id": "int64", "value": "float64"})
     out["value"] = round_away(out["value"], 2)
     return out.sort_values(["event_type", "value", "event_id"],
                            ascending=[True, False, True])[
@@ -755,7 +777,10 @@ def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(out)
 
     out = counts.groupby("event_type").map_groups(per_type, batch_format="pandas")
-    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    out = ensure_columns(out.to_pandas(),
+                         {"event_type": "object", "p50": "float64",
+                          "p90": "float64"})
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 def orders_per_customer_histogram(sf_dir: str) -> pd.DataFrame:
@@ -882,7 +907,9 @@ def user_funnel(sf_dir: str, stages=("view", "click", "purchase")) -> pd.DataFra
     return pd.DataFrame({
         "stage": stage_set,
         "stage_idx": np.arange(1, len(stage_set) + 1, dtype=np.int64),
-        "n_users": [int(partials[f"n{i}"].sum()) for i in range(len(stage_set))],
+        "n_users": [int(partials[f"n{i}"].sum())
+                    if f"n{i}" in partials.columns else 0
+                    for i in range(len(stage_set))],
     })
 
 
@@ -900,8 +927,11 @@ def brand_price_band_pairs(sf_dir: str, band_cents: int = 100) -> pd.DataFrame:
         lambda t: t.append_column("price_cents", _scale_i64(t.column("p_retailprice"), 100.0))
                    .drop_columns(["p_retailprice"]),
         batch_format="pyarrow")
-    out = banded_self_join(ds, group_col="p_brand", value_col="price_cents",
-                           band=band_cents, id_col="p_partkey").to_pandas()
+    out = ensure_columns(
+        banded_self_join(ds, group_col="p_brand", value_col="price_cents",
+                         band=band_cents, id_col="p_partkey").to_pandas(),
+        {"p_brand": "object", "id_lo": "int64", "id_hi": "int64",
+         "dvalue": "int64"})
     out = out.rename(columns={"id_lo": "k1", "id_hi": "k2", "dvalue": "dprice_cents"})
     out = out.sort_values(["p_brand", "k1", "k2"]).reset_index(drop=True)
     return out[["p_brand", "k1", "k2", "dprice_cents"]]
@@ -934,20 +964,25 @@ def cheapest_supplier_per_part(sf_dir: str, k: int = 500) -> pd.DataFrame:
         return g.nsmallest(k, "l_partkey")[["l_partkey", "l_suppkey", "min_price_cents"]]
 
     cand = ds.map_batches(combine, batch_format="pyarrow")
-    picked = _keyed_segments(cand, "l_partkey").map_groups(
-        finish, batch_format="pandas").to_pandas()
+    picked = ensure_columns(
+        _keyed_segments(cand, "l_partkey").map_groups(
+            finish, batch_format="pandas").to_pandas(),
+        {"l_partkey": "int64", "l_suppkey": "int64",
+         "min_price_cents": "int64"})
     picked = picked.nsmallest(k, "l_partkey").reset_index(drop=True)
 
     part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
     keys = pa.array(picked["l_partkey"].to_numpy())
-    pnames = part.map_batches(
+    pnames = ensure_columns(part.map_batches(
         lambda t: t.filter(pc.is_in(t.column("p_partkey"), value_set=keys)),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow").to_pandas(),
+        {"p_partkey": "int64", "p_name": "object"})
     sup = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
     skeys = pa.array(picked["l_suppkey"].unique())
-    snames = sup.map_batches(
+    snames = ensure_columns(sup.map_batches(
         lambda t: t.filter(pc.is_in(t.column("s_suppkey"), value_set=skeys)),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow").to_pandas(),
+        {"s_suppkey": "int64", "s_name": "object"})
     out = (picked.rename(columns={"l_partkey": "p_partkey", "l_suppkey": "s_suppkey"})
            .merge(pnames, on="p_partkey").merge(snames, on="s_suppkey"))
     out = out.sort_values("p_partkey").reset_index(drop=True)
@@ -1062,7 +1097,8 @@ def approx_users_by_type_invariants(sf_dir: str) -> pd.DataFrame:
     pre = ds.map_batches(pairs, batch_format="pyarrow")
     exact = (pre.groupby(["event_type", "user_id"]).count()
              .groupby("event_type").count().to_pandas())
-    exact = exact.rename(columns={"count()": "exact"})
+    exact = ensure_columns(exact.rename(columns={"count()": "exact"}),
+                           {"event_type": "object", "exact": "int64"})
 
     m = approx.merge(exact, on="event_type")
     rel = (m["approx_distinct"] - m["exact"]).abs() / m["exact"].clip(lower=1)
@@ -1217,7 +1253,9 @@ def q5_local_supplier_revenue(sf_dir: str, year: int = 1995) -> pd.DataFrame:
 
     fine = grouped_sums(joined.map_batches(local_only, batch_format="pyarrow"),
                         keys=["s_nationkey"], sum_cols={"rev": "rev"})
-    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    nation = ensure_columns(
+        rd.read_parquet(_t(sf_dir, "nation")).to_pandas(),
+        {"n_nationkey": "int64", "n_name": "object"})
     out = fine.merge(nation[["n_nationkey", "n_name"]],
                      left_on="s_nationkey", right_on="n_nationkey")
     out["revenue"] = round_away(out["rev"] / 10000.0, 2)
@@ -1770,7 +1808,10 @@ def profile_orders(sf_dir: str) -> pd.DataFrame:
                                batch_format="pyarrow"),
         keys=["column"], sum_cols={}, count_alias="n_distinct")
 
-    out = base.set_index("column").loc[cols].reset_index()
+    # reindex (not .loc) so an empty corpus still yields one all-zero row
+    # per profiled column instead of a KeyError
+    out = (base.set_index("column").reindex(cols, fill_value=0)
+           .reset_index())
     nd = n_distinct.set_index("column")["n_distinct"]
     out["n_distinct"] = pd.Series([int(nd.get(c, 0)) for c in cols],
                                   dtype="int64")
@@ -2267,9 +2308,10 @@ def rolling_7d_distinct_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame
                         zero_copy_batch=True).materialize()
 
     # the distinct END days present in the data (small: one row per day)
-    days = ud.map_batches(
+    days = ensure_columns(ud.map_batches(
         lambda t: t.select(["day"]).group_by(["day"]).aggregate([]),
-        batch_format="pyarrow").groupby("day").count().to_pandas()
+        batch_format="pyarrow").groupby("day").count().to_pandas(),
+        ["day"])
     valid_days = np.sort(days["day"].to_numpy().astype("datetime64[D]")
                          .astype(np.int32))
 

@@ -19,19 +19,33 @@ def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _finish(out: pd.DataFrame, keys: "list[str] | str",
+            dtypes: "dict | None" = None) -> pd.DataFrame:
+    """Final collect guard (the ADVICE r4 empty-input pattern): a fully-
+    empty lineage loses its schema in Ray, so ``to_pandas()`` yields a
+    ZERO-COLUMN frame — skip the sort/astype instead of raising KeyError;
+    otherwise apply dtypes and the canonical row order."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not all(k in out.columns for k in keys):
+        return out
+    if dtypes:
+        out = out.astype(dtypes)
+    return out.sort_values(keys).reset_index(drop=True)
+
+
 def _emb(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
     out = dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def dedup_minhash_documents(sf_dir: str) -> pd.DataFrame:
     out = dd.minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    out = out.astype({"doc_id": "int64", "cluster_id": "int64"})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id",
+                   {"doc_id": "int64", "cluster_id": "int64"})
 
 
 def _split_exact_groups(docs, clusters, label_col: str) -> tuple[int, int, int]:
@@ -115,8 +129,8 @@ def dedup_simhash_invariants(sf_dir: str) -> pd.DataFrame:
 
 def dedup_simhash_documents(sf_dir: str) -> pd.DataFrame:
     out = dd.simhash_groups(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    out = out.astype({"doc_id": "int64", "group_id": "int64"})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id",
+                   {"doc_id": "int64", "group_id": "int64"})
 
 
 def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
@@ -157,7 +171,7 @@ def ngram_jaccard_lsh_invariants(sf_dir: str) -> pd.DataFrame:
 
 def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     out = tx.token_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def text_stats_by_lang(sf_dir: str) -> pd.DataFrame:
@@ -166,19 +180,19 @@ def text_stats_by_lang(sf_dir: str) -> pd.DataFrame:
 
 def doc_quality(sf_dir: str) -> pd.DataFrame:
     out = tx.quality_scores(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def doc_lang_id(sf_dir: str) -> pd.DataFrame:
     out = tx.lang_id(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     """Sub-word (BPE-ish pre-tokenizer) token counts; oracle: DuckDB
     regexp_extract_all with the same RE2 pattern."""
     out = tx.bpe_token_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
@@ -191,7 +205,7 @@ def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     out = tx.doc_fingerprints(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
@@ -311,11 +325,20 @@ def _query_vector(sf_dir: str) -> np.ndarray:
         )
         .to_pandas()
     )
+    if "embedding" not in t.columns or len(t) == 0:
+        return None  # empty embeddings table: there is no query vector
     return np.asarray(t["embedding"].iloc[0], dtype=np.float64)
+
+
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                         "cos": pd.Series(dtype="float64")})
 
 
 def similarity_topk(sf_dir: str) -> pd.DataFrame:
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_topk()
     return sim.brute_force_topk(_emb(sf_dir), q, k=10, exclude_ids=(0,))
 
 
@@ -325,6 +348,8 @@ def similarity_topk_ivf(sf_dir: str) -> pd.DataFrame:
     the centroid-assign/probe/merge machinery is what's under gate. Partial
     probes (the sublinear scale path) are exercised rows-only via tests."""
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_topk()
     return sim.ivf_topk(_emb(sf_dir), q, k=10, n_centroids=8, nprobe=8)
 
 
@@ -339,6 +364,8 @@ def similarity_ivf_index(sf_dir: str) -> pd.DataFrame:
     import os
 
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_topk()
     # cache key includes a fingerprint of the embeddings files (path + size
     # + mtime), not just the directory path — regenerated embeddings under
     # the same path must invalidate the index (same stale-cache class as the
@@ -403,7 +430,7 @@ def doc_repetition(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signals (dup word/line fractions, top-bigram
     fraction) — DuckDB-oracled."""
     out = tx.repetition_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def doc_sample(sf_dir: str, pct: float = 10) -> pd.DataFrame:
@@ -413,7 +440,7 @@ def doc_sample(sf_dir: str, pct: float = 10) -> pd.DataFrame:
 
     out = bernoulli_sample(_docs(sf_dir, ["doc_id", "lang"]),
                            "doc_id", pct, method="md5").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
@@ -435,7 +462,7 @@ def doc_chunks(sf_dir: str) -> pd.DataFrame:
     (DuckDB substring + generate_series reproduce the chunk grid)."""
     out = tx.chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
                              size=120, stride=90).to_pandas()
-    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    return _finish(out, ["doc_id", "chunk_idx"])
 
 
 def doc_packing(sf_dir: str, max_tokens: int = 256) -> pd.DataFrame:
@@ -590,7 +617,7 @@ def dedup_incremental_documents(sf_dir: str) -> pd.DataFrame:
         return docs.map_batches(f, batch_format="pyarrow")
 
     out = incremental_exact_dedup(split(True), split(False)).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def doc_length_band_stats(sf_dir: str, lo_q: float = 0.05,
@@ -711,7 +738,7 @@ def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(score, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def doc_split_assign(sf_dir: str) -> pd.DataFrame:
@@ -725,7 +752,7 @@ def doc_split_assign(sf_dir: str) -> pd.DataFrame:
     out = split_assign(_docs(sf_dir, ["doc_id", "lang"]), "doc_id",
                        {"train": 0.8, "val": 0.1, "test": 0.1},
                        method="md5").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def doc_language_rebalance(sf_dir: str) -> pd.DataFrame:
@@ -752,6 +779,11 @@ def doc_language_rebalance(sf_dir: str) -> pd.DataFrame:
 
     before = grouped_sums(docs.map_batches(local, batch_format="pyarrow"),
                           keys=["lang"], sum_cols={"n_before": "n_part"})
+    if before.empty:  # empty corpus: nothing to rebalance
+        return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                             "n_before": pd.Series(dtype="int64"),
+                             "rate_pct": pd.Series(dtype="int64"),
+                             "n_after": pd.Series(dtype="int64")})
     n_min = int(before["n_before"].min())
     rates = {l: int(100 * n_min // n) for l, n in
              zip(before["lang"], before["n_before"].astype(int))}
@@ -801,7 +833,7 @@ def embedding_quantization(sf_dir: str) -> pd.DataFrame:
         })
 
     out = q.map_batches(summarize, batch_format="pyarrow").to_pandas()
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return _finish(out, "vec_id")
 
 
 def similarity_topk_quantized(sf_dir: str) -> pd.DataFrame:
@@ -810,6 +842,8 @@ def similarity_topk_quantized(sf_dir: str) -> pd.DataFrame:
     oracle gates the whole coarse/beam/re-rank machinery (the sublinear
     partial-beam path is recall-tested in units)."""
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_topk()
     return sim.quantized_topk(_emb(sf_dir), q, k=10, beam=None,
                               exclude_ids=(0,))
 
@@ -842,10 +876,10 @@ def doc_quality_filter(sf_dir: str) -> pd.DataFrame:
             ("viol_stopword", v_sr), ("viol_upper", v_ur)]})
 
     parts = scored.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return pd.DataFrame({c: pd.array([int(parts[c].sum())], dtype="int64")
-                         for c in ["n_docs", "n_kept", "viol_mean_tok",
-                                   "viol_punct", "viol_stopword",
-                                   "viol_upper"]})
+    return pd.DataFrame({c: pd.array(
+        [int(parts[c].sum()) if c in parts.columns else 0], dtype="int64")
+        for c in ["n_docs", "n_kept", "viol_mean_tok",
+                  "viol_punct", "viol_stopword", "viol_upper"]})
 
 
 def frequent_tokens_invariants(sf_dir: str) -> pd.DataFrame:
@@ -937,9 +971,8 @@ def ngram_contamination_bloom(sf_dir: str, holdout_source: str = "src0",
     counts = grouped_sums_ds(train.map_batches(flag, batch_format="pyarrow"),
                              keys=["doc_id"], sum_cols={},
                              count_alias="n_flagged_grams")
-    out = counts.to_pandas().astype({"doc_id": "int64",
-                                     "n_flagged_grams": "int64"})
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(counts.to_pandas(), "doc_id",
+                   {"doc_id": "int64", "n_flagged_grams": "int64"})
 
 
 def ngram_contamination_bloom_invariants(sf_dir: str) -> pd.DataFrame:
@@ -959,10 +992,15 @@ def ngram_contamination_bloom_invariants(sf_dir: str) -> pd.DataFrame:
         lambda t: _word_grams(t, 4, with_doc=False), batch_format="pyarrow")
     train = ds.filter(expr="source != 'src0'").map_batches(
         lambda t: _word_grams(t, 4, with_doc=True), batch_format="pyarrow")
-    exact = grouped_sums_ds(bucket_semi_join(train, test, on="gram"),
-                            keys=["doc_id"], sum_cols={},
-                            count_alias="n_exact").to_pandas()
-    bloom = ngram_contamination_bloom(sf_dir)
+    from ..ops.agg import ensure_columns
+
+    exact = ensure_columns(
+        grouped_sums_ds(bucket_semi_join(train, test, on="gram"),
+                        keys=["doc_id"], sum_cols={},
+                        count_alias="n_exact").to_pandas(),
+        {"doc_id": "int64", "n_exact": "int64"})
+    bloom = ensure_columns(ngram_contamination_bloom(sf_dir),
+                           {"doc_id": "int64", "n_flagged_grams": "int64"})
     merged = exact.merge(bloom, on="doc_id", how="left")
     n_missed = int(merged["n_flagged_grams"].isna().sum())
     hit = merged.dropna(subset=["n_flagged_grams"])
@@ -1003,7 +1041,7 @@ def doc_compression_ratios(sf_dir: str) -> pd.DataFrame:
     """zlib compression-ratio quality signal per document (rows-only: no
     SQL zlib; determinism + repetition-sensitivity unit-tested)."""
     out = tx.compression_ratios(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def frequent_tokens_by_lang_invariants(sf_dir: str) -> pd.DataFrame:
@@ -1076,8 +1114,8 @@ def semdedup_embeddings(sf_dir: str, n_clusters: int = 8,
     """SemDeDup assignment/keep table (rows-only: cluster ids are
     seed-defined; the external gate is ``semdedup_invariants``)."""
     out = sim.semdedup(_emb(sf_dir), n_clusters=n_clusters, tau=tau).to_pandas()
-    out = out.astype({"vec_id": "int64", "cluster": "int64", "keep": "bool"})
-    return out.sort_values("vec_id").reset_index(drop=True)
+    return _finish(out, "vec_id", {"vec_id": "int64", "cluster": "int64",
+                                   "keep": "bool"})
 
 
 def semdedup_invariants(sf_dir: str, n_clusters: int = 8,
@@ -1114,7 +1152,7 @@ def semdedup_invariants(sf_dir: str, n_clusters: int = 8,
 def doc_normalize(sf_dir: str) -> pd.DataFrame:
     """Byte-exact normalized text per document (oracled)."""
     out = tx.normalize_texts(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _finish(out, "doc_id")
 
 
 def crosscorpus_contamination_pairs(sf_dir: str, holdout_source: str = "src0",
