@@ -314,7 +314,10 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
     bucket_join. Both produce the identical labeling (the clustering
     itself is adaptive inside the dedup engine, independent of this gate).
     """
-    mentions = triples if "pid" in triples.schema().names else mentions_from_triples(triples)
+    tri_schema = triples.schema()
+    mentions = (triples if tri_schema is not None
+                and "pid" in tri_schema.names
+                else mentions_from_triples(triples))
     # two consumers read the mention stream (distinct-paths dedup and the
     # final link pass): materialize the 6-column projection ONCE so the
     # upstream lineage (triple construction) doesn't re-execute per
@@ -338,6 +341,17 @@ def canonical_entities(triples: rd.Dataset, num_perm: int = 32, bands: int = 8,
     ).map_batches(
         lambda t: t.rename_columns(["pid", "label"]), batch_format="pyarrow",
     ).materialize()
+
+    if n_paths == 0:
+        # empty corpus: no mentions -> empty entity table + no link triples
+        entity = pd.DataFrame(
+            {"pid": pd.Series(dtype="int64"),
+             "norm_path": pd.Series(dtype="object"),
+             "label": pd.Series(dtype="int64"),
+             "canonical_path": pd.Series(dtype="object"),
+             "canonical_id": pd.Series(dtype="object")})
+        return entity, mentions.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow")
 
     if n_paths <= small_threshold:
         lab_df = labels_ds.to_pandas()  # every pid has exactly one row
@@ -474,6 +488,9 @@ def conversation_entity_stats(triples: rd.Dataset, salt_k: int = 8) -> pd.DataFr
 
     counts = pre.groupby("__part").map_groups(count_part, batch_format="pyarrow")
     out = counts.groupby("conv_id").aggregate(Sum("n", alias_name="n_entities")).to_pandas()
+    if "conv_id" not in out.columns:  # fully-empty lineage lost the schema
+        out = pd.DataFrame({"conv_id": pd.Series(dtype="object"),
+                            "n_entities": pd.Series(dtype="int64")})
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
@@ -505,6 +522,8 @@ def _conv_pid_incidence(mentions: rd.Dataset) -> rd.Dataset:
 def _collect_incidence(incidence: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
     """(band, pid) arrays, globally distinct."""
     df = incidence.to_pandas()
+    if "band" not in df.columns:  # fully-empty lineage lost the schema
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     band = df["band"].to_numpy(dtype=np.int64)
     pid = df["pid"].to_numpy(dtype=np.int64)
     key = np.stack([band, pid], axis=1)

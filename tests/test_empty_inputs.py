@@ -55,3 +55,34 @@ def test_query_survives_empty_corpus(empty_sf, name):
         r = r.to_pandas()
     # empty input -> empty (or all-zero summary) result, never an exception
     assert len(r) >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_family_survives_empty_transcripts(tmp_path):
+    """The flagship path on a zero-row transcripts table: construction,
+    dedup, validation, canonicalization, and the graph analytics all
+    return empty results instead of raising."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines import kg, linking
+
+    src = str(tmp_path / "transcripts")
+    import os
+
+    os.makedirs(src)
+    sch = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                     ("role", pa.string()), ("text", pa.string()),
+                     ("tool", pa.string()), ("ts", pa.timestamp("us"))])
+    pq.write_table(sch.empty_table(), f"{src}/part-0.parquet")
+
+    assert kg.triples_from_transcripts(src).count() == 0
+    assert kg.distinct_triples_by_record(src).count() == 0
+    assert kg.validated_triples(src).count() == 0
+    assert len(kg.literal_value_counts(kg.triples_from_transcripts(src))) == 0
+    ent, link = linking.canonical_entities(kg.triples_from_transcripts(src))
+    assert len(ent) == 0 and link.count() == 0
+    assert len(linking.entity_pagerank(
+        kg.triples_from_transcripts(src), iters=2, k=5)) == 0
+    assert len(linking.conversation_entity_stats(
+        kg.triples_from_transcripts(src))) == 0
