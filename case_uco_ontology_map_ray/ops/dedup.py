@@ -62,6 +62,15 @@ BROADCAST_VERIFY_THRESHOLD = 2_000_000
 # candidate extraction runs as one collected numpy sort instead of two
 # all-to-all exchanges; 8M rows = 128 MB on the collecting node
 SMALL_BAND_ROWS = 8_000_000
+# all-driver dedup path gate: collected (doc_id, sig, shingles) bound —
+# exact bytes from the materialized sketch, so never a guess. Deliberately
+# TINY: a same-window A/B at the 120k-path canonicalize slice measured the
+# driver path at 40-84 s vs 23 s distributed — the exact-Jaccard verify is
+# real compute that parallelizes well, so serializing it on the driver
+# loses as soon as the candidate set is non-trivial. Below ~8 MB of sketch
+# the work is sub-second either way and the ~6 saved Ray phase rounds
+# dominate (unit-test and tiny-corpus latency).
+DRIVER_SKETCH_BYTES = 8 << 20
 
 
 def _md5_column(texts: list[str]) -> list[str]:
@@ -558,6 +567,89 @@ def _propagate_components(edges, all_ids, out_col: str,
     return joined.map_batches(emit, batch_format="pyarrow")
 
 
+def _minhash_driver_small(sketched, mh: "MinHasher", bands: int, tau: float,
+                          max_bucket: int, max_rounds: int):
+    """All-driver tail of ``minhash_lsh_dedup`` for sketch tables that fit
+    one node (gated by exact materialized bytes): band explode, star
+    candidates, exact-Jaccard verify and min-label components in one numpy
+    pass over a single collect. Reuses the exact kernels of the distributed
+    path, so the clustering is identical (pinned by
+    test_minhash_driver_matches_distributed)."""
+    import ray
+
+    from ..pipelines.linking import _labels_vectorized
+
+    tabs = list(sketched.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+    if not tabs:
+        return ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_id": pa.array([], pa.int64())}))
+    t = pa.concat_tables(tabs).combine_chunks()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # candidates: same band keys + per-band star edges as the small band
+    # path (global lexsort == per-bucket sort, buckets contain whole bands)
+    sigs = _sig_matrix(t.column("sig"), mh.num_perm)
+    band = mh.band_keys_batch(sigs, bands).ravel()
+    doc = np.repeat(ids, bands)
+    order = np.lexsort((doc, band))
+    band, doc = band[order], doc[order]
+    seg = np.zeros(len(band), dtype=np.int64)
+    if len(band):
+        seg[1:] = np.cumsum(band[1:] != band[:-1])
+    u, v = _star_edges_np(doc, seg, max_bucket)
+    if len(u):
+        eorder = np.lexsort((v, u))
+        u, v = u[eorder], v[eorder]
+        m = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        u, v = u[m], v[m]
+
+    # exact-Jaccard verify against the in-memory shingle CSR (the same
+    # reorder-by-sorted-id + _csr_gather + _pair_jaccard as _verify_jaccard)
+    col = t.column("shingles").combine_chunks()
+    lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    iorder = np.argsort(ids, kind="stable")
+    sorted_ids = ids[iorder]
+    if len(sorted_ids) > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
+        raise ValueError(
+            "verify payload contains duplicate doc_ids; shingle sets "
+            "must be unique per document")
+    starts = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    sel_lens = lens[iorder]
+    sorted_starts = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(sel_lens, out=sorted_starts[1:])
+    total = int(sorted_starts[-1])
+    gather = (np.arange(total, dtype=np.int64)
+              - np.repeat(sorted_starts[:-1], sel_lens)
+              + np.repeat(starts[:-1][iorder], sel_lens))
+    csr_vals = vals[gather]
+    if len(u):
+        iu = np.searchsorted(sorted_ids, u)
+        iv = np.searchsorted(sorted_ids, v)
+        vu, lu = _csr_gather(csr_vals, sorted_starts, iu)
+        vv, lv = _csr_gather(csr_vals, sorted_starts, iv)
+        jacs = _pair_jaccard(vu, lu, vv, lv)
+        keep = jacs >= tau
+        u, v = u[keep], v[keep]
+
+    # components: the same star incidence as _propagate_components
+    # (edge (u, v) -> group u contains {u, v}), min-label fixpoint
+    labels = ids.copy()
+    if len(u):
+        upids, ulabs = _labels_vectorized(
+            np.concatenate([u, u]), np.concatenate([u, v]), max_rounds)
+        pos = np.searchsorted(upids, ids)
+        pos_c = np.minimum(pos, len(upids) - 1)
+        hit = upids[pos_c] == ids
+        labels[hit] = ulabs[pos_c[hit]]
+    return ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "cluster_id": pa.array(labels, pa.int64())}))
+
+
 def minhash_lsh_dedup(
     ds,
     num_perm: int = 64,
@@ -568,6 +660,7 @@ def minhash_lsh_dedup(
     max_bucket: int = 64,
     max_rounds: int = 8,
     small_band_rows: int = SMALL_BAND_ROWS,
+    driver_sketch_bytes: int = DRIVER_SKETCH_BYTES,
 ):
     """MinHash-LSH near-dup clustering.
 
@@ -598,6 +691,18 @@ def minhash_lsh_dedup(
 
     n_docs = sketched.count()
     if n_docs * bands <= small_band_rows:
+        from .joins import _est_memory_bytes
+
+        if _est_memory_bytes(sketched) <= driver_sketch_bytes:
+            # All-driver path for TINY sketches only (see gate constant:
+            # the 120k-path A/B showed the distributed verify wins well
+            # before 256 MB — verify is parallel compute, not latency):
+            # band explode, star candidates, exact-Jaccard verify and
+            # min-label components in ONE numpy pass over a single
+            # collect, zero further Ray stages. Same kernels, so the
+            # clustering is identical (equivalence-pinned).
+            return _minhash_driver_small(sketched, mh, bands, tau,
+                                         max_bucket, max_rounds)
         # Small path: the (band, doc_id) stream fits one node (16 B/row,
         # gated — default 8M rows = 128 MB), so collect it and run the SAME
         # star-edge kernel over one global (band, doc_id) sort instead of

@@ -65,11 +65,18 @@ def test_minhash_small_matches_distributed():
     ds = rd.from_items(rows).repartition(6)
 
     kw = dict(num_perm=32, bands=16, shingle_k=2, tau=0.5)
-    small = minhash_lsh_dedup(ds, **kw).to_pandas() \
+    driver = minhash_lsh_dedup(ds, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    small = minhash_lsh_dedup(ds, driver_sketch_bytes=0, **kw).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     dist = minhash_lsh_dedup(ds, small_band_rows=0, **kw).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(small, dist)
+    # the all-driver path (default at this scale) pins the same clustering
+    pd.testing.assert_frame_equal(driver.astype(small.dtypes.to_dict()),
+                                  small)
+    # sanity: near/exact dups actually clustered
+    assert (driver.groupby("cluster_id").size() > 1).any()
     # sanity: the planted exact dups actually cluster
     cl = dict(zip(small.doc_id, small.cluster_id))
     assert cl[0] == cl[2]
