@@ -1021,6 +1021,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity_audit": analytics.referential_integrity_audit,
         "event_volume_anomalies": analytics.event_volume_anomalies,
         "peak_concurrent_sessions": analytics.peak_concurrent_sessions,
+        "returnflag_weighted_median_price":
+            analytics.returnflag_weighted_median_price,
+        "copurchase_lift": analytics.copurchase_lift,
+        "event_value_mad_outliers": analytics.event_value_mad_outliers,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3285,6 +3289,94 @@ def oracle_sql() -> dict[str, str]:
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY support DESC, k1, k2 LIMIT 25
+        """,
+        "copurchase_lift": """
+            -- association rules: support / confidence / lift for the top-25
+            -- co-purchased pairs; counts are exact ints, conf/lift in nano
+            -- via the SAME pinned double expression as the engine
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                 pairs AS (
+                    SELECT a.l_partkey AS k1, b.l_partkey AS k2,
+                           CAST(count(*) AS BIGINT) AS support
+                    FROM op a JOIN op b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+                 singles AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+                             FROM op GROUP BY 1),
+                 tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                                AS n_orders FROM op),
+                 top AS (SELECT * FROM pairs
+                         ORDER BY support DESC, k1, k2 LIMIT 25)
+            SELECT t.k1, t.k2, t.support,
+                   CAST(round(1e9 * CAST(t.support AS DOUBLE) / sa.n, 0)
+                        AS BIGINT) AS conf_nano,
+                   CAST(round((1e9 * (CAST(tot.n_orders AS DOUBLE)
+                                      * t.support))
+                              / (CAST(sa.n AS DOUBLE) * sb.n), 0)
+                        AS BIGINT) AS lift_nano
+            FROM top t
+            CROSS JOIN tot
+            JOIN singles sa ON sa.l_partkey = t.k1
+            JOIN singles sb ON sb.l_partkey = t.k2
+            ORDER BY t.support DESC, t.k1, t.k2
+        """,
+        "returnflag_weighted_median_price": """
+            -- quantity-weighted lower median of extended price per flag:
+            -- smallest cents with 2*cumweight >= total weight (all-integer)
+            WITH h AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                                  AS cents,
+                              CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                                   AS BIGINT) AS w
+                       FROM lineitem GROUP BY 1, 2),
+                 c AS (SELECT l_returnflag, cents, w,
+                              SUM(w) OVER (PARTITION BY l_returnflag
+                                           ORDER BY cents) AS cw,
+                              SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+                       FROM h)
+            SELECT l_returnflag,
+                   CAST(max(tw) AS BIGINT) AS total_qty,
+                   CAST(min(cents) FILTER (WHERE 2 * cw >= tw) AS BIGINT)
+                       AS wmedian_cents
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "event_value_mad_outliers": """
+            -- robust outliers per event type: |v - median| > 3 * MAD on the
+            -- cents grid; lower median = first value with 2*cum >= n;
+            -- the deviation histogram re-keys the value histogram —
+            -- every compared quantity is an integer
+            WITH h AS (SELECT event_type,
+                              CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+                 c1 AS (SELECT *, SUM(c) OVER (PARTITION BY event_type
+                                               ORDER BY cents) AS cw,
+                               SUM(c) OVER (PARTITION BY event_type) AS tw
+                        FROM h),
+                 med AS (SELECT event_type,
+                                MIN(cents) FILTER (WHERE 2 * cw >= tw) AS m
+                         FROM c1 GROUP BY 1),
+                 d2 AS (SELECT h.event_type,
+                               abs(h.cents - med.m) AS dev,
+                               CAST(SUM(h.c) AS BIGINT) AS c
+                        FROM h JOIN med USING (event_type) GROUP BY 1, 2),
+                 c2 AS (SELECT *, SUM(c) OVER (PARTITION BY event_type
+                                               ORDER BY dev) AS cw,
+                               SUM(c) OVER (PARTITION BY event_type) AS tw
+                        FROM d2),
+                 mad AS (SELECT event_type,
+                                MIN(dev) FILTER (WHERE 2 * cw >= tw) AS mad
+                         FROM c2 GROUP BY 1)
+            SELECT h.event_type,
+                   CAST(sum(h.c) AS BIGINT) AS n,
+                   CAST(max(med.m) AS BIGINT) AS median_cents,
+                   CAST(max(mad.mad) AS BIGINT) AS mad_cents,
+                   CAST(coalesce(sum(h.c) FILTER (
+                        WHERE abs(h.cents - med.m) > 3 * mad.mad), 0)
+                        AS BIGINT) AS n_outliers
+            FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
+            GROUP BY 1 ORDER BY 1
         """,
         "grouped_corr_quantity_discount": """
             -- Pearson corr from EXACT integer sufficient statistics;

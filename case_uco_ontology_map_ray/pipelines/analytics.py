@@ -3654,3 +3654,215 @@ def peak_concurrent_sessions(sf_dir: str, gap_minutes: int = 30
         "peak_concurrency": pd.array([best], dtype="int64"),
         "peak_ts": pd.Series([np.datetime64(t_us, "us")],
                              dtype="datetime64[us]")})
+
+
+def returnflag_weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """Quantity-WEIGHTED median of extended price per return flag — the
+    weighted-quantile operator (each row counts with weight = quantity).
+    Discrete lower weighted median: the smallest price whose doubled
+    cumulative weight reaches the group total (2*cumw >= W) — an all-
+    integer rule, so the compare against the SQL window twin is exact.
+
+    Scale shape: the exchange carries the (flag, cents) WEIGHT histogram
+    (partial int64 weight sums per batch), bounded by the price domain x
+    flag count — never the row count; the driver prefix-sums tiny
+    per-flag histograms."""
+    from ..ops.agg import grouped_sums
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def to_hist(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "cents": _scale_i64(t.column("l_extendedprice"), 100.0),
+            "w": _scale_i64(t.column("l_quantity"), 1.0)})
+
+    hist = grouped_sums(ds.map_batches(to_hist, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["l_returnflag", "cents"],
+                        sum_cols={"w": "w"})
+    empty = pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                          "total_qty": pd.Series(dtype="int64"),
+                          "wmedian_cents": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values(["l_returnflag", "cents"]).reset_index(drop=True)
+    rows = []
+    for flag, g in hist.groupby("l_returnflag", sort=True):
+        vals = g["cents"].to_numpy(np.int64)
+        cumw = g["w"].to_numpy(np.int64).cumsum()
+        tw = int(cumw[-1])
+        med = int(vals[np.searchsorted(2 * cumw, tw, side="left")])
+        rows.append((flag, tw, med))
+    return pd.DataFrame(rows, columns=["l_returnflag", "total_qty",
+                                       "wmedian_cents"]) \
+        .astype({"total_qty": "int64", "wmedian_cents": "int64"})
+
+
+def copurchase_lift(sf_dir: str, k: int = 25,
+                    min_support: int = 2) -> pd.DataFrame:
+    """Association rules over the co-purchase pairs: support, confidence
+    and lift for the top-k pairs — completes the market-basket family
+    (copurchase_pairs gives raw co-occurrence; this adds the normalized
+    strength a recommender actually ranks by). conf = P(b|a),
+    lift = P(a,b) / (P(a) P(b)) = n_orders * n_ab / (n_a * n_b), both in
+    nano quantization with ONE pinned IEEE expression per value (products
+    of exact int64 counts cast to double in a fixed order).
+
+    Scale shape: pair counts come from the order-co-grouped ragged
+    expansion (as copurchase_pairs); per-part order counts from a partial
+    groupby (part-domain-sized); the distinct-order count from a
+    per-order co-group. Only the k winners join the (dimension-sized)
+    singles table."""
+    from ..ops.agg import grouped_sums, round_away
+    from ..ops.joins import _expand_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def distinct_lp(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    pre = ds.map_batches(distinct_lp, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    seg = _keyed_segments(pre, "l_orderkey").map_groups(
+        lambda g: (g.drop(columns=["__bucket"])
+                   .drop_duplicates(["l_orderkey", "l_partkey"])),
+        batch_format="pandas").materialize()
+
+    # per-part order counts + the distinct-order total, from the SAME
+    # globally-distinct (order, part) stream
+    singles = grouped_sums(seg, keys=["l_partkey"], sum_cols={},
+                           count_alias="n")
+
+    def order_marks(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey"])
+                .group_by(["l_orderkey"]).aggregate([]))
+
+    n_orders = int(
+        seg.map_batches(order_marks, batch_format="pyarrow")
+        .groupby("l_orderkey").count().count())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        okey = g["l_orderkey"].to_numpy(np.int64)
+        part = g["l_partkey"].to_numpy(np.int64)
+        n = len(okey)
+        if n == 0:
+            return pd.DataFrame({"k1": pd.Series(dtype="int64"),
+                                 "k2": pd.Series(dtype="int64"),
+                                 "n_part": pd.Series(dtype="int64")})
+        seg_start = np.flatnonzero(np.r_[True, okey[1:] != okey[:-1]])
+        seg_len = np.diff(np.r_[seg_start, n])
+        ends = np.repeat(seg_start + seg_len, seg_len)
+        i_idx, j_idx = _expand_pairs(np.arange(n, dtype=np.int64) + 1, ends)
+        pairs = pd.DataFrame({"k1": part[i_idx], "k2": part[j_idx]})
+        out = (pairs.groupby(["k1", "k2"], as_index=False)
+               .size().rename(columns={"size": "n_part"}))
+        return out.astype("int64")
+
+    parts = _keyed_segments(seg, "l_orderkey").map_groups(
+        per_bucket, batch_format="pandas")
+
+    def pack(t: pa.Table) -> pa.Table:
+        k1 = t.column("k1").to_numpy(zero_copy_only=False)
+        k2 = t.column("k2").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pairkey", pa.array((k1 << np.int64(32)) | k2, pa.int64()))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby("pairkey", as_index=False)
+             .agg(k1=("k1", "first"), k2=("k2", "first"),
+                  support=("n_part", "sum")))
+        c = c[c["support"] >= min_support]
+        c = c.sort_values(["support", "k1", "k2"],
+                          ascending=[False, True, True]).head(k)
+        return c[["k1", "k2", "support"]].astype("int64")
+
+    from ..ops.agg import ensure_columns
+
+    res = ensure_columns(
+        _keyed_segments(parts.map_batches(pack, batch_format="pyarrow"),
+                        "pairkey").map_groups(
+            bucket_topk, batch_format="pandas").to_pandas(),
+        {"k1": "int64", "k2": "int64", "support": "int64"})
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ["k1", "k2", "support", "conf_nano", "lift_nano"]})
+    if res.empty or singles.empty:
+        return empty
+    top = (res.sort_values(["support", "k1", "k2"],
+                           ascending=[False, True, True]).head(k)
+           .reset_index(drop=True))
+    ns = singles.set_index("l_partkey")["n"]
+    na = ns.loc[top["k1"]].to_numpy(np.int64)
+    nb = ns.loc[top["k2"]].to_numpy(np.int64)
+    s = top["support"].to_numpy(np.int64)
+    # pinned IEEE expressions (exact int64 counts -> double, fixed order;
+    # identical in the SQL twin): conf = 1e9 * s / na,
+    # lift = 1e9 * (n_orders * s) / (na * nb)
+    conf = round_away(1e9 * s.astype(np.float64) / na, 0)
+    lift = round_away(
+        (1e9 * (np.float64(n_orders) * s)) / (na.astype(np.float64) * nb), 0)
+    top["conf_nano"] = conf.astype(np.int64)
+    top["lift_nano"] = lift.astype(np.int64)
+    return top[["k1", "k2", "support", "conf_nano", "lift_nano"]] \
+        .astype("int64")
+
+
+def event_value_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier detection per event type: values whose absolute
+    deviation from the (discrete lower) median exceeds 3x the MAD — the
+    median-absolute-deviation rule, immune to the outliers it hunts
+    (unlike the z-score family already covered by event_volume_anomalies).
+    Every quantity is an integer on the cents grid (lower median = first
+    value with 2*cum >= n; the deviation histogram is a re-keying of the
+    value histogram), so the SQL window twin compares exactly.
+
+    Scale shape: ONE (type, cents) counting-histogram exchange (domain-
+    bounded, as priority_median_price); median, MAD and the outlier count
+    all derive from the collected per-type histogram on the driver."""
+    from ..ops.agg import grouped_sums
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def to_hist(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": _scale_i64(t.column("value"), 100.0)})
+
+    hist = grouped_sums(ds.map_batches(to_hist, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["event_type", "cents"], sum_cols={},
+                        count_alias="c")
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64"),
+                          "median_cents": pd.Series(dtype="int64"),
+                          "mad_cents": pd.Series(dtype="int64"),
+                          "n_outliers": pd.Series(dtype="int64")})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values(["event_type", "cents"]).reset_index(drop=True)
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        vals = g["cents"].to_numpy(np.int64)
+        cnt = g["c"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        med = int(vals[np.searchsorted(2 * cum, n, side="left")])
+        dev = np.abs(vals - med)
+        dorder = np.argsort(dev, kind="stable")
+        dvals, dcnt = dev[dorder], cnt[dorder]
+        # collapse duplicate deviations (v-med and med-v can collide)
+        dseg = np.flatnonzero(np.r_[True, dvals[1:] != dvals[:-1]])
+        dsum = np.add.reduceat(dcnt, dseg)
+        duniq = dvals[dseg]
+        dcum = dsum.cumsum()
+        mad = int(duniq[np.searchsorted(2 * dcum, n, side="left")])
+        n_out = int(cnt[dev > 3 * mad].sum())
+        rows.append((et, n, med, mad, n_out))
+    return pd.DataFrame(rows, columns=["event_type", "n", "median_cents",
+                                       "mad_cents", "n_outliers"]) \
+        .astype({"n": "int64", "median_cents": "int64",
+                 "mad_cents": "int64", "n_outliers": "int64"})
