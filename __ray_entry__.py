@@ -1025,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.returnflag_weighted_median_price,
         "copurchase_lift": analytics.copurchase_lift,
         "event_value_mad_outliers": analytics.event_value_mad_outliers,
+        "benford_price_digits": analytics.benford_price_digits,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3377,6 +3378,27 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_outliers
             FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
             GROUP BY 1 ORDER BY 1
+        """,
+        "benford_price_digits": """
+            -- Benford first-digit audit on the cents grid; digit via the
+            -- first character of the integer's decimal string (exact),
+            -- shares/expectation nano-quantized with the engine's pinned
+            -- expressions
+            WITH c AS (SELECT abs(CAST(round(o_totalprice * 100, 0)
+                                       AS BIGINT)) AS cents
+                       FROM orders),
+                 d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                                   AS BIGINT) AS digit
+                       FROM c WHERE cents > 0),
+                 h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+                       FROM d GROUP BY 1),
+                 t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM h)
+            SELECT h.digit, h.n_obs,
+                   CAST(round(1e9 * CAST(h.n_obs AS DOUBLE) / t.n_total, 0)
+                        AS BIGINT) AS share_nano,
+                   CAST(round(1e9 * log10(1.0 + 1.0 / CAST(h.digit AS DOUBLE)),
+                              0) AS BIGINT) AS benford_nano
+            FROM h CROSS JOIN t ORDER BY h.digit
         """,
         "grouped_corr_quantity_discount": """
             -- Pearson corr from EXACT integer sufficient statistics;

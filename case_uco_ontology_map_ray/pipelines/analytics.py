@@ -3866,3 +3866,46 @@ def event_value_mad_outliers(sf_dir: str) -> pd.DataFrame:
                                        "mad_cents", "n_outliers"]) \
         .astype({"n": "int64", "median_cents": "int64",
                  "mad_cents": "int64", "n_outliers": "int64"})
+
+
+def benford_price_digits(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    numeric data-quality / fraud screen: observed first-significant-digit
+    counts vs the Benford expectation log10(1 + 1/d). Digits are extracted
+    EXACTLY on the cents grid by repeated integer division (no float log10
+    — its power-of-ten boundaries are libm-dependent); shares and the
+    expectation are nano-quantized via one pinned expression each, so the
+    SQL twin (string first-char digit) compares value-exact.
+
+    Scale shape: per-batch digit histogram partials — the exchange carries
+    at most 9 rows per block."""
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        cents = _scale_i64(t.column("o_totalprice"), 100.0) \
+            .to_numpy(zero_copy_only=False)
+        d = np.abs(cents)
+        d = d[d > 0]
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        return pa.table({"digit": pa.array(d, pa.int64())})
+
+    hist = grouped_sums(ds.map_batches(digits, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["digit"], sum_cols={}, count_alias="n_obs")
+    if hist.empty:
+        return pd.DataFrame({"digit": pd.Series(dtype="int64"),
+                             "n_obs": pd.Series(dtype="int64"),
+                             "share_nano": pd.Series(dtype="int64"),
+                             "benford_nano": pd.Series(dtype="int64")})
+    hist = hist.sort_values("digit").reset_index(drop=True)
+    n_total = int(hist["n_obs"].sum())
+    dg = hist["digit"].to_numpy(np.int64).astype(np.float64)
+    obs = hist["n_obs"].to_numpy(np.int64).astype(np.float64)
+    hist["share_nano"] = round_away(1e9 * obs / n_total, 0).astype(np.int64)
+    hist["benford_nano"] = round_away(
+        1e9 * np.log10(1.0 + 1.0 / dg), 0).astype(np.int64)
+    return hist[["digit", "n_obs", "share_nano", "benford_nano"]] \
+        .astype({"digit": "int64", "n_obs": "int64"})

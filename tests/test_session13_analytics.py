@@ -86,3 +86,21 @@ def test_mad_outliers_zero_mad_degenerate(tmp_path):
     r = event_value_mad_outliers(str(tmp_path))
     row = r.iloc[0]
     assert (int(row.mad_cents), int(row.n_outliers)) == (0, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benford_digit_extraction_exact(tmp_path):
+    """First-digit extraction is exact on the cents grid, including the
+    power-of-ten boundaries where float log10 would be libm-dependent."""
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        benford_price_digits,
+    )
+
+    # cents: 100, 1000, 99900, 10 -> digits 1, 1, 9, 1
+    prices = [1.00, 10.00, 999.00, 0.10]
+    _write(tmp_path, "orders", pa.table({
+        "o_totalprice": pa.array(prices, pa.float64())}))
+    r = benford_price_digits(str(tmp_path))
+    got = dict(zip(r.digit, r.n_obs))
+    assert got == {1: 3, 9: 1}
+    assert int(r[r.digit == 1].iloc[0].share_nano) == 750000000
