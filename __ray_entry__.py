@@ -1026,6 +1026,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lift": analytics.copurchase_lift,
         "event_value_mad_outliers": analytics.event_value_mad_outliers,
         "benford_price_digits": analytics.benford_price_digits,
+        "gini_customer_spend": analytics.gini_customer_spend,
+        "autocorr_daily_orders": analytics.autocorr_daily_orders,
+        "key_skew_report": analytics.key_skew_report,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3399,6 +3402,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(1e9 * log10(1.0 + 1.0 / CAST(h.digit AS DOUBLE)),
                               0) AS BIGINT) AS benford_nano
             FROM h CROSS JOIN t ORDER BY h.digit
+        """,
+        "gini_customer_spend": """
+            -- Gini of per-customer spend: exact int rank-sum over sorted
+            -- cents, ONE pinned IEEE expression 2S/(nT) - (n+1)/n
+            WITH s AS (SELECT o_custkey,
+                              CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                            AS BIGINT)) AS BIGINT) AS spend
+                       FROM orders GROUP BY 1),
+                 r AS (SELECT spend,
+                              row_number() OVER (ORDER BY spend) AS rn
+                       FROM s),
+                 a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(spend) AS BIGINT) AS t,
+                              CAST(sum(rn * spend) AS HUGEINT) AS srs
+                       FROM r)
+            SELECT n AS n_customers, t AS total_cents,
+                   CAST(round(1e9 * (2.0 * CAST(srs AS DOUBLE)
+                                     / CAST(n * t AS DOUBLE)
+                                     - (CAST(n AS DOUBLE) + 1.0)
+                                       / CAST(n AS DOUBLE)), 0)
+                        AS BIGINT) AS gini_nano
+            FROM a
+        """,
+        "autocorr_daily_orders": """
+            -- lag-1 autocorrelation of daily order counts over consecutive
+            -- distinct days present; Pearson from exact int64 sufficient
+            -- stats via the grouped_corr pinned expression
+            WITH d AS (SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1),
+                 l AS (SELECT n AS y,
+                              lag(n) OVER (ORDER BY o_orderdate) AS x
+                       FROM d),
+                 p AS (SELECT x, y FROM l WHERE x IS NOT NULL),
+                 s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(x) AS BIGINT) AS sum_x,
+                              CAST(sum(y) AS BIGINT) AS sum_y,
+                              CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                              CAST(sum(y * y) AS BIGINT) AS sum_yy,
+                              CAST(sum(x * y) AS BIGINT) AS sum_xy
+                       FROM p)
+            SELECT n AS n_pairs, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                               - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                              / (sqrt(CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                                      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                                 * sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                                        - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+                              * 1000000000.0, 0) AS BIGINT) AS corr_nano
+            FROM s
+        """,
+        "key_skew_report": """
+            -- key-skew audit per join/groupby key: rows, distinct keys,
+            -- top-1/top-10 mass (ties by key), per-key 4dp-quantized
+            -- c*ln(c) terms (order-exact int sum), pinned entropy expr
+            WITH au AS (
+                SELECT 'events.user_id' AS src, CAST(user_id AS VARCHAR) AS k
+                FROM events
+                UNION ALL
+                SELECT 'events.event_type', event_type FROM events
+                UNION ALL
+                SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR)
+                FROM lineitem
+                UNION ALL
+                SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR)
+                FROM orders
+            ),
+            c AS (SELECT src, k, CAST(count(*) AS BIGINT) AS c
+                  FROM au GROUP BY 1, 2),
+            rkd AS (SELECT src, c,
+                           row_number() OVER (
+                               PARTITION BY src
+                               ORDER BY c DESC, k) AS rk,
+                           CAST(round(1e4 * (CAST(c AS DOUBLE)
+                                             * ln(CAST(c AS DOUBLE))), 0)
+                                AS BIGINT) AS term
+                    FROM c),
+            agg AS (SELECT src,
+                           CAST(sum(c) AS BIGINT) AS n_rows,
+                           CAST(count(*) AS BIGINT) AS n_keys,
+                           CAST(max(c) FILTER (WHERE rk = 1) AS BIGINT)
+                               AS top1_n,
+                           CAST(sum(c) FILTER (WHERE rk <= 10) AS BIGINT)
+                               AS top10_n,
+                           CAST(sum(term) AS BIGINT) AS clnc_e4_sum
+                    FROM rkd GROUP BY 1)
+            SELECT src, n_rows, n_keys, top1_n, top10_n, clnc_e4_sum,
+                   CAST(round(1e9 * (ln(CAST(n_rows AS DOUBLE))
+                                     - (CAST(clnc_e4_sum AS DOUBLE) / 1e4)
+                                       / CAST(n_rows AS DOUBLE)), 0)
+                        AS BIGINT) AS entropy_nano
+            FROM agg ORDER BY src
         """,
         "grouped_corr_quantity_discount": """
             -- Pearson corr from EXACT integer sufficient statistics;

@@ -3909,3 +3909,141 @@ def benford_price_digits(sf_dir: str) -> pd.DataFrame:
         1e9 * np.log10(1.0 + 1.0 / dg), 0).astype(np.int64)
     return hist[["digit", "n_obs", "share_nano", "benford_nano"]] \
         .astype({"digit": "int64", "n_obs": "int64"})
+
+
+def gini_customer_spend(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of customer spend — the inequality / concentration
+    audit (how skewed is revenue across customers). Per-customer spend is
+    an EXACT int64 cents sum; the Gini rank-sum S = sum(i * x_(i)) over the
+    sorted spends is computed in arbitrary-precision Python ints (ties make
+    the rank assignment within equal values immaterial), and the only float
+    math is ONE pinned IEEE expression shared with the SQL twin:
+    gini = 2*S/(n*T) - (n+1)/n.
+
+    Scale shape: the exchange is the customer-domain-sized spend groupby
+    (partial sums per batch); the driver holds one int64 per customer —
+    dimension-sized, the same bound as copurchase_lift's singles table."""
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "c": _scale_i64(t.column("o_totalprice"), 100.0)})
+
+    spend = grouped_sums(ds.map_batches(cents, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["o_custkey"], sum_cols={"spend": "c"})
+    empty = pd.DataFrame({"n_customers": pd.Series(dtype="int64"),
+                          "total_cents": pd.Series(dtype="int64"),
+                          "gini_nano": pd.Series(dtype="int64")})
+    if spend.empty:
+        return empty
+    vals = np.sort(spend["spend"].to_numpy(np.int64))
+    n = len(vals)
+    # exact rank-sum in arbitrary-precision Python ints (int64 overflows
+    # past ~10^7 customers; the dimension-sized driver loop is fine)
+    s = sum(i * v for i, v in enumerate(vals.tolist(), start=1))
+    t_total = int(vals.sum())
+    # pinned IEEE expression (identical structure in the SQL twin)
+    g = 1e9 * (2.0 * float(s) / float(n * t_total)
+               - (float(n) + 1.0) / float(n))
+    return pd.DataFrame({"n_customers": pd.array([n], dtype="int64"),
+                         "total_cents": pd.array([t_total], dtype="int64"),
+                         "gini_nano": pd.array(
+                             [int(round_away(g, 0))], dtype="int64")})
+
+
+def autocorr_daily_orders(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of the daily order-count series — the
+    time-series persistence signal (is today's volume predictive of
+    tomorrow's). Daily counts come from one day-domain-sized groupby; the
+    lag pairs are formed over CONSECUTIVE DISTINCT DAYS PRESENT in the
+    data (the SQL twin's window-lag semantics), and the Pearson correlation
+    derives from exact int64 sufficient statistics via the same pinned IEEE
+    expression as grouped_corr_quantity_discount.
+
+    Scale shape: the exchange carries one int64 per (block, day) partial —
+    day-domain-bounded regardless of row count."""
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"])
+    daily = grouped_sums(ds, keys=["o_orderdate"], sum_cols={},
+                         count_alias="n")
+    cols = ["n_pairs", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols}
+                         | {"corr_nano": pd.Series(dtype="int64")})
+    if len(daily) < 2:
+        return empty
+    daily = daily.sort_values("o_orderdate").reset_index(drop=True)
+    c = daily["n"].to_numpy(np.int64)
+    x, y = c[:-1], c[1:]
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy = int(np.dot(x, x)), int(np.dot(y, y))
+    sxy = int(np.dot(x, y))
+    nf = np.float64(n)
+    num = nf * np.float64(sxy) - np.float64(sx) * np.float64(sy)
+    den = (np.sqrt(nf * np.float64(sxx) - np.float64(sx) * np.float64(sx))
+           * np.sqrt(nf * np.float64(syy) - np.float64(sy) * np.float64(sy)))
+    corr = int(round_away(num / den * 1000000000.0, 0))
+    return pd.DataFrame({"n_pairs": pd.array([n], dtype="int64"),
+                         "sum_x": pd.array([sx], dtype="int64"),
+                         "sum_y": pd.array([sy], dtype="int64"),
+                         "sum_xx": pd.array([sxx], dtype="int64"),
+                         "sum_yy": pd.array([syy], dtype="int64"),
+                         "sum_xy": pd.array([sxy], dtype="int64"),
+                         "corr_nano": pd.array([corr], dtype="int64")})
+
+
+_SKEW_AUDIT = (
+    # (label, table, column) — the hot distribution keys a shuffle planner
+    # cares about: join/groupby keys whose skew decides bucketing strategy
+    ("events.user_id", "events", "user_id"),
+    ("events.event_type", "events", "event_type"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+
+def key_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Key-skew audit over the join/groupby key columns a shuffle planner
+    must know about: rows, distinct keys, top-1/top-10 key mass, and the
+    Shannon entropy of the key distribution. Entropy terms c*ln(c) are
+    quantized PER KEY at 4dp (int64 sum is then order-exact across engines);
+    the final entropy = ln(N) - (sum/1e4)/N is one pinned expression.
+
+    Scale shape: one key-domain-sized counting groupby per audited column
+    (partial counts per batch); the driver reduces each domain to 6 numbers.
+    Top-1/top-10 ties break by key order, pinned identically in SQL."""
+    from ..ops.agg import grouped_sums, round_away
+
+    rows = []
+    for label, table, col in _SKEW_AUDIT:
+        ds = rd.read_parquet(_t(sf_dir, table), columns=[col])
+        counts = grouped_sums(ds, keys=[col], sum_cols={}, count_alias="c")
+        if counts.empty:
+            rows.append((label, 0, 0, 0, 0, 0, 0))
+            continue
+        counts = counts.sort_values(["c", col],
+                                    ascending=[False, True]).reset_index(
+                                        drop=True)
+        c = counts["c"].to_numpy(np.int64)
+        n_rows = int(c.sum())
+        n_keys = len(c)
+        top1 = int(c[0])
+        top10 = int(c[:10].sum())
+        cf = c.astype(np.float64)
+        terms = round_away(1e4 * (cf * np.log(cf)), 0).astype(np.int64)
+        st = int(terms.sum())
+        ent = 1e9 * (np.log(np.float64(n_rows))
+                     - (np.float64(st) / 1e4) / np.float64(n_rows))
+        rows.append((label, n_rows, n_keys, top1, top10, st,
+                     int(round_away(ent, 0))))
+    out = pd.DataFrame(rows, columns=["src", "n_rows", "n_keys", "top1_n",
+                                      "top10_n", "clnc_e4_sum",
+                                      "entropy_nano"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("src").reset_index(drop=True)
