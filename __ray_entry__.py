@@ -1029,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_customer_spend": analytics.gini_customer_spend,
         "autocorr_daily_orders": analytics.autocorr_daily_orders,
         "key_skew_report": analytics.key_skew_report,
+        "orderkey_islands": analytics.orderkey_islands,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3493,6 +3494,30 @@ def oracle_sql() -> dict[str, str]:
                                        / CAST(n_rows AS DOUBLE)), 0)
                         AS BIGINT) AS entropy_nano
             FROM agg ORDER BY src
+        """,
+        "orderkey_islands": """
+            -- gaps-and-islands over distinct order keys: top-k longest
+            -- maximal consecutive runs + global totals (classic
+            -- key - row_number() grouping; the engine's range-bucketed
+            -- boundary stitch must reproduce it exactly)
+            WITH ks AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+                 g AS (SELECT key,
+                              key - row_number() OVER (ORDER BY key) AS grp
+                       FROM ks),
+                 isl AS (SELECT CAST(min(key) AS BIGINT) AS s,
+                                CAST(max(key) AS BIGINT) AS e,
+                                CAST(count(*) AS BIGINT) AS len
+                         FROM g GROUP BY grp),
+                 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_islands,
+                                CAST(sum(len) AS BIGINT) AS n_keys
+                         FROM isl),
+                 top AS (SELECT CAST(row_number() OVER (
+                                    ORDER BY len DESC, s) AS BIGINT) AS rk,
+                                s, e, len
+                         FROM isl ORDER BY len DESC, s LIMIT 10)
+            SELECT top.rk, top.s AS start_key, top.e AS end_key,
+                   top.len AS island_len, tot.n_islands, tot.n_keys
+            FROM top CROSS JOIN tot ORDER BY top.rk
         """,
         "grouped_corr_quantity_discount": """
             -- Pearson corr from EXACT integer sufficient statistics;

@@ -4047,3 +4047,98 @@ def key_skew_report(sf_dir: str) -> pd.DataFrame:
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out.sort_values("src").reset_index(drop=True)
+
+
+def orderkey_islands(sf_dir: str, k: int = 10,
+                     target_buckets: int = 1024) -> pd.DataFrame:
+    """Distributed gaps-and-islands over the distinct order keys: maximal
+    runs of consecutive integers, reported as the top-k longest islands
+    plus global island/key totals. The classic SQL form (key -
+    row_number() grouping) needs a GLOBAL sort; here keys are RANGE-
+    bucketed (value // span, not hashed — islands never span more than two
+    adjacent buckets' boundary), each bucket finds its islands in one
+    sorted-diff pass and pre-aggregates to (meta + top-k interior islands),
+    and the driver stitches ONLY the boundary islands: an island crossing a
+    bucket edge is the previous bucket's last island fused with the next
+    bucket's first (chains through whole buckets when a bucket is a single
+    island). Driver state is O(buckets * k); at extreme key ranges the same
+    stitch applies recursively (buckets of buckets).
+
+    Interior islands (neither first nor last of their bucket) cannot touch
+    a boundary, so each bucket's local top-k is globally sufficient."""
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ["rk", "start_key", "end_key", "island_len",
+                           "n_islands", "n_keys"]})
+    mm = ds.aggregate(Min("o_orderkey"), Max("o_orderkey"))
+    if not mm or mm.get("min(o_orderkey)") is None:
+        return empty
+    kmin, kmax = int(mm["min(o_orderkey)"]), int(mm["max(o_orderkey)"])
+    span = max(1, (kmax - kmin + 1) // target_buckets)
+
+    def pre(t: pa.Table) -> pa.Table:
+        keys = np.unique(t.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "bkt": pa.array((keys - kmin) // span, pa.int64())})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(g["key"].to_numpy(np.int64))
+        brk = np.flatnonzero(np.diff(keys) > 1)
+        starts = keys[np.r_[0, brk + 1]]
+        ends = keys[np.r_[brk, len(keys) - 1]]
+        rows = [(0, len(keys), len(starts), int(starts[0]), int(ends[0]),
+                 int(starts[-1]), int(ends[-1]))]
+        if len(starts) > 2:
+            s_i, e_i = starts[1:-1], ends[1:-1]
+            ln = e_i - s_i + 1
+            order = np.lexsort((s_i, -ln))[:k]
+            rows += [(1, int(s_i[i]), int(e_i[i]), 0, 0, 0, 0)
+                     for i in order]
+        return pd.DataFrame(rows, columns=["kind", "v1", "v2", "v3", "v4",
+                                           "v5", "v6"]).astype("int64")
+
+    agg = ds.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("bkt").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if agg.empty or "kind" not in agg.columns:
+        return empty
+    meta = agg[agg["kind"] == 0].sort_values("v3").reset_index(drop=True)
+    interior = agg[agg["kind"] == 1]
+    cand = [(int(r.v1), int(r.v2)) for r in interior.itertuples()]
+    n_keys = int(meta["v1"].sum())
+    n_islands = int(meta["v2"].sum())
+    open_isl = None
+    for m in meta.itertuples():
+        first = (int(m.v3), int(m.v4))
+        last = (int(m.v5), int(m.v6))
+        single = int(m.v2) == 1
+        if open_isl is not None and open_isl[1] + 1 == first[0]:
+            n_islands -= 1
+            open_isl = (open_isl[0], first[1])
+            if single:
+                continue  # the whole bucket chains on
+            cand.append(open_isl)
+            open_isl = last
+        else:
+            if open_isl is not None:
+                cand.append(open_isl)
+            if single:
+                open_isl = first
+            else:
+                cand.append(first)
+                open_isl = last
+    if open_isl is not None:
+        cand.append(open_isl)
+    cf = pd.DataFrame(cand, columns=["start_key", "end_key"])
+    cf["island_len"] = cf["end_key"] - cf["start_key"] + 1
+    cf = cf.sort_values(["island_len", "start_key"],
+                        ascending=[False, True]).head(k).reset_index(
+                            drop=True)
+    cf.insert(0, "rk", np.arange(1, len(cf) + 1, dtype=np.int64))
+    cf["n_islands"] = n_islands
+    cf["n_keys"] = n_keys
+    return cf.astype("int64")

@@ -113,3 +113,60 @@ def test_key_skew_uniform_entropy_is_ln_k(tmp_path):
     assert et["entropy_nano"] == expected_zero(n_users * per)
     lp = r.loc["lineitem.l_partkey"]
     assert lp["n_keys"] == 1 and lp["entropy_nano"] == expected_zero(3)
+
+
+def _brute_islands(keys, k=10):
+    keys = np.unique(np.asarray(keys, dtype=np.int64))
+    brk = np.flatnonzero(np.diff(keys) > 1)
+    starts = keys[np.r_[0, brk + 1]]
+    ends = keys[np.r_[brk, len(keys) - 1]]
+    import pandas as pd
+    df = pd.DataFrame({"start_key": starts, "end_key": ends})
+    df["island_len"] = df["end_key"] - df["start_key"] + 1
+    df = df.sort_values(["island_len", "start_key"],
+                        ascending=[False, True]).head(k).reset_index(
+                            drop=True)
+    df.insert(0, "rk", np.arange(1, len(df) + 1, dtype=np.int64))
+    df["n_islands"] = len(starts)
+    df["n_keys"] = len(keys)
+    return df.astype("int64")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orderkey_islands_boundary_stitch(tmp_path):
+    """Islands that cross range-bucket boundaries (incl. chains through
+    whole single-island buckets) must stitch to the brute-force answer.
+    target_buckets=7 forces many boundaries on a small key set."""
+    from case_uco_ontology_map_ray.pipelines.analytics import orderkey_islands
+
+    rng = np.random.RandomState(7)
+    # dense blocks + scattered singletons + one long run spanning buckets
+    keys = np.concatenate([
+        np.arange(10, 40),            # long run
+        np.arange(55, 58),
+        np.array([70, 72, 74, 90]),
+        np.arange(95, 130),           # longest run
+        rng.choice(np.arange(200, 400), size=60, replace=False),
+    ])
+    # duplicates must not matter
+    keys = np.concatenate([keys, keys[:20]])
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(keys, pa.int64())}))
+    got = orderkey_islands(str(tmp_path), target_buckets=7)
+    exp = _brute_islands(keys)
+    assert got.to_dict("records") == exp.to_dict("records")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orderkey_islands_random_equivalence(tmp_path):
+    """Randomized equivalence vs brute force at several bucket counts."""
+    from case_uco_ontology_map_ray.pipelines.analytics import orderkey_islands
+
+    rng = np.random.RandomState(123)
+    keys = rng.choice(np.arange(1, 3000), size=900, replace=False)
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(keys, pa.int64())}))
+    exp = _brute_islands(keys).to_dict("records")
+    for tb in (1, 3, 64, 4096):
+        got = orderkey_islands(str(tmp_path), target_buckets=tb)
+        assert got.to_dict("records") == exp, f"target_buckets={tb}"
