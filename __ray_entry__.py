@@ -1030,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_daily_orders": analytics.autocorr_daily_orders,
         "key_skew_report": analytics.key_skew_report,
         "orderkey_islands": analytics.orderkey_islands,
+        "customer_part_hits": analytics.customer_part_hits,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3518,6 +3519,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT top.rk, top.s AS start_key, top.e AS end_key,
                    top.len AS island_len, tot.n_islands, tot.n_keys
             FROM top CROSS JOIN tot ORDER BY top.rk
+        """,
+        "customer_part_hits": """
+            -- HITS hubs/authorities over the bipartite customer->part
+            -- purchase graph; integer-exact micro-grid iteration, one
+            -- pinned normalization expression per half-round (unrolled)
+            WITH edges AS MATERIALIZED (
+                SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            np_ AS (SELECT CAST(count(DISTINCT p) AS DOUBLE) AS v FROM edges),
+            nc_ AS (SELECT CAST(count(DISTINCT c) AS DOUBLE) AS v FROM edges),
+            h0 AS MATERIALIZED (
+                SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM edges
+            ),
+            a1r AS MATERIALIZED (
+                SELECT p, CAST(sum(h) AS BIGINT) AS ar
+                FROM edges JOIN h0 USING (c) GROUP BY 1
+            ),
+            s1 AS (SELECT CAST(sum(ar) AS DOUBLE) AS v FROM a1r),
+            a1 AS MATERIALIZED (
+                SELECT p,
+                       CAST(round((1e6 * (np_.v * CAST(ar AS DOUBLE)))
+                                  / s1.v, 0) AS BIGINT) AS a
+                FROM a1r, s1, np_
+            ),
+            h1r AS MATERIALIZED (
+                SELECT c, CAST(sum(a) AS BIGINT) AS hr
+                FROM edges JOIN a1 USING (p) GROUP BY 1
+            ),
+            t1 AS (SELECT CAST(sum(hr) AS DOUBLE) AS v FROM h1r),
+            h1 AS MATERIALIZED (
+                SELECT c,
+                       CAST(round((1e6 * (nc_.v * CAST(hr AS DOUBLE)))
+                                  / t1.v, 0) AS BIGINT) AS h
+                FROM h1r, t1, nc_
+            ),
+            a2r AS MATERIALIZED (
+                SELECT p, CAST(sum(h) AS BIGINT) AS ar
+                FROM edges JOIN h1 USING (c) GROUP BY 1
+            ),
+            s2 AS (SELECT CAST(sum(ar) AS DOUBLE) AS v FROM a2r),
+            a2 AS MATERIALIZED (
+                SELECT p,
+                       CAST(round((1e6 * (np_.v * CAST(ar AS DOUBLE)))
+                                  / s2.v, 0) AS BIGINT) AS a
+                FROM a2r, s2, np_
+            ),
+            h2r AS MATERIALIZED (
+                SELECT c, CAST(sum(a) AS BIGINT) AS hr
+                FROM edges JOIN a2 USING (p) GROUP BY 1
+            ),
+            t2 AS (SELECT CAST(sum(hr) AS DOUBLE) AS v FROM h2r),
+            h2 AS MATERIALIZED (
+                SELECT c,
+                       CAST(round((1e6 * (nc_.v * CAST(hr AS DOUBLE)))
+                                  / t2.v, 0) AS BIGINT) AS h
+                FROM h2r, t2, nc_
+            ),
+            a3r AS MATERIALIZED (
+                SELECT p, CAST(sum(h) AS BIGINT) AS ar
+                FROM edges JOIN h2 USING (c) GROUP BY 1
+            ),
+            s3 AS (SELECT CAST(sum(ar) AS DOUBLE) AS v FROM a3r),
+            a3 AS MATERIALIZED (
+                SELECT p,
+                       CAST(round((1e6 * (np_.v * CAST(ar AS DOUBLE)))
+                                  / s3.v, 0) AS BIGINT) AS a
+                FROM a3r, s3, np_
+            ),
+            h3r AS MATERIALIZED (
+                SELECT c, CAST(sum(a) AS BIGINT) AS hr
+                FROM edges JOIN a3 USING (p) GROUP BY 1
+            ),
+            t3 AS (SELECT CAST(sum(hr) AS DOUBLE) AS v FROM h3r),
+            h3 AS MATERIALIZED (
+                SELECT c,
+                       CAST(round((1e6 * (nc_.v * CAST(hr AS DOUBLE)))
+                                  / t3.v, 0) AS BIGINT) AS h
+                FROM h3r, t3, nc_
+            )
+            SELECT * FROM (
+                SELECT 'authority' AS side,
+                       CAST(row_number() OVER (ORDER BY a DESC, p)
+                            AS BIGINT) AS rk,
+                       CAST(p AS BIGINT) AS key, a AS score_micro
+                FROM a3 ORDER BY a DESC, p LIMIT 15
+            )
+            UNION ALL
+            SELECT * FROM (
+                SELECT 'hub' AS side,
+                       CAST(row_number() OVER (ORDER BY h DESC, c)
+                            AS BIGINT) AS rk,
+                       CAST(c AS BIGINT) AS key, h AS score_micro
+                FROM h3 ORDER BY h DESC, c LIMIT 15
+            )
+            ORDER BY side, rk
         """,
         "grouped_corr_quantity_discount": """
             -- Pearson corr from EXACT integer sufficient statistics;

@@ -4142,3 +4142,142 @@ def orderkey_islands(sf_dir: str, k: int = 10,
     cf["n_islands"] = n_islands
     cf["n_keys"] = n_keys
     return cf.astype("int64")
+
+
+def customer_part_hits(sf_dir: str, iters: int = 3, k: int = 15,
+                       small_edges: int = 5_000_000) -> pd.DataFrame:
+    """HITS hubs & authorities over the bipartite customer -> part purchase
+    graph (hub = a customer whose basket concentrates on authoritative
+    parts; authority = a part bought by strong hubs) — the mutual-
+    reinforcement companion to the PageRank family. The whole iteration is
+    INTEGER-exact: scores live on a micro grid (int64), each half-round is
+    an int64 sum over edges (order-immaterial), and the only float math is
+    ONE pinned normalization expression per half-round —
+    round((1e6 * (n_side * raw)) / total) — so the unrolled SQL twin
+    compares value-exact after every round.
+
+    Scale shape: edges = one distinct-(cust,part) exchange off the
+    orders x lineitem bucket join; each half-round is a bucket join of the
+    edge list with the node-domain-sized score vector plus a grouped sum —
+    the exchange never exceeds O(edges). Below ``small_edges`` the
+    iteration runs on the driver (factorized bincount, bit-identical by
+    the pinned expression; equivalence test pins both paths)."""
+    from ..ops.agg import grouped_sums_ds, round_away, topk_ds
+    from ..ops.joins import bucket_join
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(lambda t: t.rename_columns(["o_orderkey", "l_partkey"]),
+                     batch_format="pyarrow")
+    joined = bucket_join(orders, li, on="o_orderkey")
+    pairs = joined.map_batches(
+        lambda t: pa.table({"c": t.column("o_custkey"),
+                            "p": t.column("l_partkey")}),
+        batch_format="pyarrow")
+    edges = grouped_sums_ds(pairs, keys=["c", "p"], sum_cols={}) \
+        .materialize()
+    empty = pd.DataFrame({"side": pd.Series(dtype="object"),
+                          "rk": pd.Series(dtype="int64"),
+                          "key": pd.Series(dtype="int64"),
+                          "score_micro": pd.Series(dtype="int64")})
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty
+
+    def finish(auth: pd.DataFrame, hub: pd.DataFrame) -> pd.DataFrame:
+        auth = auth.reset_index(drop=True)
+        hub = hub.reset_index(drop=True)
+        out = pd.concat([
+            pd.DataFrame({"side": "authority",
+                          "rk": np.arange(1, len(auth) + 1),
+                          "key": auth["key"],
+                          "score_micro": auth["score"]}),
+            pd.DataFrame({"side": "hub",
+                          "rk": np.arange(1, len(hub) + 1),
+                          "key": hub["key"],
+                          "score_micro": hub["score"]}),
+        ], ignore_index=True)
+        out["rk"] = out["rk"].astype("int64")
+        out["key"] = out["key"].astype("int64")
+        out["score_micro"] = out["score_micro"].astype("int64")
+        return out
+
+    if n_edges <= small_edges:
+        cs, ps = [], []
+        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+            cs.append(b.column("c").to_numpy(zero_copy_only=False))
+            ps.append(b.column("p").to_numpy(zero_copy_only=False))
+        c_all = np.concatenate(cs).astype(np.int64)
+        p_all = np.concatenate(ps).astype(np.int64)
+        cust, c_idx = np.unique(c_all, return_inverse=True)
+        part, p_idx = np.unique(p_all, return_inverse=True)
+        ncf, npf = np.float64(len(cust)), np.float64(len(part))
+        h = np.full(len(cust), 1_000_000, dtype=np.int64)
+        a = np.zeros(len(part), dtype=np.int64)
+        for _ in range(iters):
+            ar = np.bincount(p_idx, weights=h[c_idx].astype(np.float64),
+                             minlength=len(part))
+            s = int(ar.astype(np.int64).sum())
+            a = round_away((1e6 * (npf * ar)) / np.float64(s), 0) \
+                .astype(np.int64)
+            hr = np.bincount(c_idx, weights=a[p_idx].astype(np.float64),
+                             minlength=len(cust))
+            t = int(hr.astype(np.int64).sum())
+            h = round_away((1e6 * (ncf * hr)) / np.float64(t), 0) \
+                .astype(np.int64)
+        adf = pd.DataFrame({"key": part, "score": a}) \
+            .sort_values(["score", "key"], ascending=[False, True]).head(k)
+        hdf = pd.DataFrame({"key": cust, "score": h}) \
+            .sort_values(["score", "key"], ascending=[False, True]).head(k)
+        return finish(adf, hdf)
+
+    custs = grouped_sums_ds(edges, keys=["c"], sum_cols={}).materialize()
+    parts = grouped_sums_ds(edges, keys=["p"], sum_cols={}).materialize()
+    ncf, npf = np.float64(custs.count()), np.float64(parts.count())
+    h_ds = custs.map_batches(
+        lambda t: t.append_column(
+            "h", pa.array(np.full(t.num_rows, 1_000_000, np.int64))),
+        batch_format="pyarrow").materialize()
+    a_ds = None
+    for _ in range(iters):
+        j1 = bucket_join(edges, h_ds, on="c")
+        a_raw = grouped_sums_ds(
+            j1.map_batches(lambda t: t.select(["p", "h"]),
+                           batch_format="pyarrow"),
+            keys=["p"], sum_cols={"ar": "h"}).materialize()
+        s = np.float64(a_raw.sum("ar"))
+
+        def renorm_a(t: pa.Table, _s=s) -> pa.Table:
+            ar = t.column("ar").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            a = round_away((1e6 * (npf * ar)) / _s, 0).astype(np.int64)
+            return pa.table({"p": t.column("p"),
+                             "a": pa.array(a, pa.int64())})
+
+        a_ds = a_raw.map_batches(renorm_a, batch_format="pyarrow") \
+            .materialize()
+        j2 = bucket_join(edges, a_ds, on="p")
+        h_raw = grouped_sums_ds(
+            j2.map_batches(lambda t: t.select(["c", "a"]),
+                           batch_format="pyarrow"),
+            keys=["c"], sum_cols={"hr": "a"}).materialize()
+        t_tot = np.float64(h_raw.sum("hr"))
+
+        def renorm_h(t: pa.Table, _t=t_tot) -> pa.Table:
+            hr = t.column("hr").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            h = round_away((1e6 * (ncf * hr)) / _t, 0).astype(np.int64)
+            return pa.table({"c": t.column("c"),
+                             "h": pa.array(h, pa.int64())})
+
+        h_ds = h_raw.map_batches(renorm_h, batch_format="pyarrow") \
+            .materialize()
+    adf = topk_ds(a_ds, by=["a", "p"], ascending=[False, True], k=k,
+                  columns=["p", "a"]).rename(columns={"p": "key",
+                                                      "a": "score"})
+    hdf = topk_ds(h_ds, by=["h", "c"], ascending=[False, True], k=k,
+                  columns=["c", "h"]).rename(columns={"c": "key",
+                                                      "h": "score"})
+    return finish(adf, hdf)

@@ -170,3 +170,60 @@ def test_orderkey_islands_random_equivalence(tmp_path):
     for tb in (1, 3, 64, 4096):
         got = orderkey_islands(str(tmp_path), target_buckets=tb)
         assert got.to_dict("records") == exp, f"target_buckets={tb}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_small_equals_distributed(tmp_path):
+    """The driver bincount path and the bucket-join round path must emit
+    identical integer scores (the pinned micro-grid normalization makes
+    float-sum order immaterial)."""
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        customer_part_hits,
+    )
+
+    rng = np.random.RandomState(42)
+    n_orders = 120
+    okey = np.arange(n_orders, dtype=np.int64)
+    cust = rng.randint(0, 15, size=n_orders).astype(np.int64)
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(okey), "o_custkey": pa.array(cust)}))
+    li_ok = np.repeat(okey, 3)
+    li_pk = rng.randint(0, 25, size=len(li_ok)).astype(np.int64)
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array(li_ok), "l_partkey": pa.array(li_pk)}))
+    small = customer_part_hits(str(tmp_path))
+    dist = customer_part_hits(str(tmp_path), small_edges=0)
+    assert small.to_dict("records") == dist.to_dict("records")
+    assert (small["side"] == "authority").sum() > 0
+    assert (small["side"] == "hub").sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_star_graph_authority(tmp_path):
+    """Every customer buys part 1; only customer 0 also buys parts 2..4.
+    Part 1 must be the top authority; customer 0 the top hub."""
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        customer_part_hits,
+    )
+
+    orders, custs, li_o, li_p = [], [], [], []
+    oid = 0
+    for c in range(5):
+        orders.append(oid); custs.append(c)
+        li_o.append(oid); li_p.append(1)
+        oid += 1
+    for p in (2, 3, 4):
+        orders.append(oid); custs.append(0)
+        li_o.append(oid); li_p.append(p)
+        oid += 1
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array(orders, pa.int64()),
+        "o_custkey": pa.array(custs, pa.int64())}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array(li_o, pa.int64()),
+        "l_partkey": pa.array(li_p, pa.int64())}))
+    r = customer_part_hits(str(tmp_path))
+    auth = r[r["side"] == "authority"].reset_index(drop=True)
+    hub = r[r["side"] == "hub"].reset_index(drop=True)
+    assert auth.loc[0, "key"] == 1
+    assert hub.loc[0, "key"] == 0
