@@ -1031,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_report": analytics.key_skew_report,
         "orderkey_islands": analytics.orderkey_islands,
         "customer_part_hits": analytics.customer_part_hits,
+        "bigram_lm_scores": corpus.bigram_lm_scores,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -3615,6 +3616,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM h3 ORDER BY h DESC, c LIMIT 15
             )
             ORDER BY side, rk
+        """,
+        "bigram_lm_scores": r"""
+            -- add-one-smoothed bigram LM: per-doc sum of 4dp-quantized
+            -- -ln((c2+1)/(c1+V)) terms (order-exact int64 sums); same
+            -- whitespace split + empty-token filter as top_bigrams
+            WITH toks AS (SELECT doc_id,
+                                 string_split_regex(trim(text), '\s+') AS t
+                          FROM documents),
+                 flat AS (SELECT unnest(t) AS tok FROM toks),
+                 uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+                         FROM flat WHERE tok <> '' GROUP BY 1),
+                 vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+                 prs AS (SELECT doc_id,
+                                unnest(list_zip(t[1:len(t)-1],
+                                                t[2:len(t)])) AS z
+                         FROM toks WHERE len(t) >= 2),
+                 p2 AS (SELECT doc_id, z[1] AS w1, z[2] AS w2
+                        FROM prs WHERE z[1] <> '' AND z[2] <> ''),
+                 big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                         FROM p2 GROUP BY 1, 2),
+                 terms AS (
+                     SELECT p2.doc_id,
+                            CAST(round(1e4 * -ln(
+                                     (CAST(b.c2 AS DOUBLE) + 1.0)
+                                     / (CAST(u.c1 AS DOUBLE) + vs.v)), 0)
+                                 AS BIGINT) AS term
+                     FROM p2
+                     JOIN big b USING (w1, w2)
+                     JOIN uni u ON u.tok = p2.w1
+                     CROSS JOIN vs)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(term) AS BIGINT) AS nll_e4_sum
+            FROM terms GROUP BY 1 ORDER BY 1
         """,
         "grouped_corr_quantity_discount": """
             -- Pearson corr from EXACT integer sufficient statistics;

@@ -1874,3 +1874,120 @@ def doc_token_entropy(sf_dir: str, k: int = 50) -> pd.DataFrame:
                             ascending=[False, True]).head(k)
             [["doc_id", "n_tokens", "n_distinct", "entropy_r"]]
             .reset_index(drop=True))
+
+
+def bigram_lm_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-document bigram-LM (add-one smoothed) negative-log-likelihood —
+    the order-sensitive upgrade of ``unigram_lm_scores``: a doc of common
+    tokens in an improbable ORDER now scores poorly.
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V); each bigram's -ln P is
+    quantized PER TERM at 4dp so the per-doc score is an order-exact int64
+    sum — the DuckDB twin compares integer-for-integer.
+
+    Two passes: (1) fit — one explode computes partial bigram + unigram
+    counts per batch, two corpus-vocabulary-sized groupbys finish the
+    model; (2) score — the sorted (bigram, unigram) model arrays are
+    broadcast once via ray.put and each batch scores its docs with
+    searchsorted lookups + CSR segment sums. Past broadcast size the same
+    fit tables feed a bucket_join on the bigram key instead (one extra
+    exchange; self-scoring keeps every bigram in-vocabulary either way).
+    Docs with fewer than two tokens carry no bigram evidence and are
+    omitted (the SQL twin's JOIN semantics)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..ops.agg import grouped_sums, round_away
+    from ..ops.text import _segment_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table):
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = toks.values
+        sval = vals.to_numpy(zero_copy_only=False)
+        n = len(sval)
+        # adjacent positions j, j+1 inside the same list and non-empty
+        # (the only possible empty token is the singleton of empty text,
+        # which can never pair)
+        in_doc = np.ones(max(n - 1, 0), dtype=bool)
+        in_doc[offs[1:-1] - 1] = False  # j+1 crosses a doc boundary
+        nonempty = sval != ""
+        pairable = in_doc & nonempty[:-1] & nonempty[1:] \
+            if n > 1 else np.zeros(0, dtype=bool)
+        return toks, offs, vals, pairable
+
+    def count_parts(t: pa.Table) -> pa.Table:
+        toks, offs, vals, pairable = explode(t)
+        j = np.flatnonzero(pairable)
+        w1 = vals.take(pa.array(j, pa.int64()))
+        w2 = vals.take(pa.array(j + 1, pa.int64()))
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        out = pa.table({"gram": bg}).group_by(["gram"]).aggregate(
+            [([], "count_all")]).rename_columns(["gram", "c_part"])
+        uni = pa.table({"gram": vals.filter(
+            pc.not_equal(vals, ""))}).group_by(["gram"]).aggregate(
+            [([], "count_all")]).rename_columns(["gram", "c_part"])
+        out = out.append_column("kind", pa.array([1] * out.num_rows, pa.int8()))
+        uni = uni.append_column("kind", pa.array([0] * uni.num_rows, pa.int8()))
+        return pa.concat_tables([out, uni])
+
+    model = grouped_sums(ds.map_batches(count_parts, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["kind", "gram"], sum_cols={"c": "c_part"})
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="object"),
+                          "n_bigrams": pd.Series(dtype="int64"),
+                          "nll_e4_sum": pd.Series(dtype="int64")})
+    if model.empty:
+        return empty
+    uni = model[model["kind"] == 0]
+    big = model[model["kind"] == 1]
+    if big.empty:
+        return empty
+    v_size = np.float64(len(uni))
+    uo = np.argsort(uni["gram"].to_numpy(), kind="stable")
+    u_keys = uni["gram"].to_numpy()[uo]
+    u_cnt = uni["c"].to_numpy(np.int64)[uo]
+    bo = np.argsort(big["gram"].to_numpy(), kind="stable")
+    b_keys = big["gram"].to_numpy()[bo]
+    b_cnt = big["c"].to_numpy(np.int64)[bo]
+    handle = ray.put((u_keys, u_cnt, b_keys, b_cnt))
+
+    def score(t: pa.Table) -> pa.Table:
+        uk, uc, bk, bc = ray.get(handle)
+        toks, offs, vals, pairable = explode(t)
+        j = np.flatnonzero(pairable)
+        w1 = vals.take(pa.array(j, pa.int64()))
+        w2 = vals.take(pa.array(j + 1, pa.int64()))
+        bg = pc.binary_join_element_wise(w1, w2, " ") \
+            .to_numpy(zero_copy_only=False)
+        c2 = bc[np.searchsorted(bk, bg)] if len(bg) else \
+            np.zeros(0, np.int64)
+        c1 = uc[np.searchsorted(uk, w1.to_numpy(zero_copy_only=False))] \
+            if len(bg) else np.zeros(0, np.int64)
+        # pinned per-term expression (identical in SQL):
+        # round(1e4 * -ln((c2 + 1.0) / (c1 + V)), 0)
+        term = round_away(
+            1e4 * -np.log((c2.astype(np.float64) + 1.0)
+                          / (c1.astype(np.float64) + v_size)),
+            0).astype(np.int64)
+        # per-doc CSR sums over the flat bigram-candidate axis (n_vals - 1)
+        n_pairs_axis = max(len(vals) - 1, 0)
+        tflat = np.zeros(n_pairs_axis, dtype=np.int64)
+        cflat = np.zeros(n_pairs_axis, dtype=np.int64)
+        tflat[j] = term
+        cflat[j] = 1
+        poffs = np.minimum(offs, n_pairs_axis)
+        nb = _segment_sum(cflat, poffs)
+        ts = _segment_sum(tflat, poffs)
+        keep = nb > 0
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "n_bigrams": pa.array(nb[keep], pa.int64()),
+            "nll_e4_sum": pa.array(ts[keep], pa.int64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return _finish(out, "doc_id")

@@ -1205,3 +1205,44 @@ def test_grouped_bottomk_sample_exact_k_per_group(ray_session):
     m2 = (grouped_bottomk_sample(rd.from_arrow(t), "g", "id", k=3)
           .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
     assert m1.equals(m2) and m1.groupby("g").size().tolist() == [3, 3, 3, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_lm_order_sensitivity(tmp_path):
+    """Docs built from the same tokens score by ORDER: a doc repeating the
+    corpus-dominant bigram scores lower (more likely) than one using the
+    same unigrams in a rare order; unigram evidence alone cannot separate
+    them."""
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import bigram_lm_scores
+
+    common = "a b " * 20              # dominant bigram (a, b)
+    docs = pa.table({
+        "doc_id": pa.array(["bg", "common", "rare"]),
+        "text": pa.array([common, "a b a b a b", "b a b a b a"]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    r = bigram_lm_scores(str(tmp_path)).set_index("doc_id")
+    assert int(r.loc["common", "n_bigrams"]) == 5
+    assert int(r.loc["rare", "n_bigrams"]) == 5
+    # same unigrams, same length — only bigram order separates them
+    assert int(r.loc["common", "nll_e4_sum"]) < int(r.loc["rare",
+                                                          "nll_e4_sum"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_lm_short_docs_omitted(tmp_path):
+    """Docs with < 2 tokens carry no bigram evidence and are omitted."""
+    import pyarrow.parquet as pq
+
+    from case_uco_ontology_map_ray.pipelines.corpus import bigram_lm_scores
+
+    docs = pa.table({
+        "doc_id": pa.array(["one", "none", "two"]),
+        "text": pa.array(["solo", "   ", "pair here"]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    r = bigram_lm_scores(str(tmp_path))
+    assert sorted(r["doc_id"]) == ["two"]
+    assert int(r.loc[r["doc_id"] == "two", "n_bigrams"].iloc[0]) == 1
