@@ -1032,6 +1032,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orderkey_islands": analytics.orderkey_islands,
         "customer_part_hits": analytics.customer_part_hits,
         "bigram_lm_scores": corpus.bigram_lm_scores,
+        # --- session-14 additions (all oracled)
+        "doc_quality_budget": corpus.doc_quality_budget,
+        "doc_temperature_mixture": corpus.doc_temperature_mixture,
+        "blocklist_filter": corpus.blocklist_filter,
+        "zipf_token_fit": corpus.zipf_token_fit,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -1934,6 +1939,124 @@ def oracle_sql() -> dict[str, str]:
             FROM tok2 t JOIN vocab v USING (tok)
             GROUP BY t.doc_id
             ORDER BY t.doc_id
+        """,
+        "doc_quality_budget": r"""
+            -- token-budget quality pruning: keep lowest-avg_nll docs while
+            -- the running token total BEFORE each doc stays under
+            -- B = total_tokens // 3; same scoring CTE as unigram_lm_scores,
+            -- ties broken by the engine's md5 rank rule
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tok2 AS (
+                SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), vocab AS (
+                SELECT tok, count(*) AS c FROM tok2 GROUP BY 1
+            ), tot AS (
+                SELECT sum(c) * 1.0 AS n FROM vocab
+            ), scored AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       round(avg(-ln(v.c / (SELECT n FROM tot))), 4) AS avg_nll
+                FROM tok2 t JOIN vocab v USING (tok)
+                GROUP BY t.doc_id
+            ), b AS (
+                SELECT CAST(sum(n_tokens) // 3 AS BIGINT) AS budget FROM scored
+            ), ord AS (
+                SELECT doc_id, n_tokens, avg_nll,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY avg_nll,
+                                    md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                    doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cumb
+                FROM scored
+            )
+            SELECT doc_id, n_tokens, avg_nll FROM ord
+            WHERE cumb < (SELECT budget FROM b)
+            ORDER BY doc_id
+        """,
+        "doc_temperature_mixture": """
+            -- temperature mixing: per-language quota = total * n^alpha
+            -- (nano-quantized int) // sum, capped at n; md5-rank selection
+            WITH before AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY 1
+            ), w AS (
+                SELECT lang, n,
+                       CAST(round(1e9 * pow(CAST(n AS DOUBLE), 0.5), 0)
+                            AS BIGINT) AS wn
+                FROM before
+            ), q AS (
+                SELECT lang,
+                       least(CAST(300 * wn // (SELECT sum(wn) FROM w)
+                                  AS BIGINT), n) AS quota
+                FROM w
+            ), ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                    doc_id) AS rn
+                FROM documents
+            )
+            SELECT r.doc_id, r.lang FROM ranked r JOIN q USING (lang)
+            WHERE r.rn <= q.quota
+            ORDER BY r.lang, r.doc_id
+        """,
+        "blocklist_filter": r"""
+            -- C4-style blocklist: RE2 word-boundary counts per rule (DuckDB
+            -- regexp is RE2 like Arrow's, so counts match exactly)
+            SELECT doc_id, n_spark, n_slow, n_vector,
+                   n_spark + n_slow + n_vector AS n_blocked,
+                   CAST(CASE WHEN n_spark + n_slow + n_vector = 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\bspark\b'))
+                            AS BIGINT) AS n_spark,
+                       CAST(len(regexp_extract_all(text, '\bslow\b'))
+                            AS BIGINT) AS n_slow,
+                       CAST(len(regexp_extract_all(text, '\bvector\b'))
+                            AS BIGINT) AS n_vector
+                FROM documents
+            )
+            ORDER BY doc_id
+        """,
+        "zipf_token_fit": r"""
+            -- Zipf OLS fit over the top-100 token frequencies: ln(rank) /
+            -- ln(count) micro-quantized to int64, EXACT integer sufficient
+            -- statistics (HUGEINT), one pinned IEEE expression per output
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), vocab AS (
+                SELECT tok, count(*) AS c FROM toks
+                WHERE tok <> '' GROUP BY 1
+            ), topv AS (
+                SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk
+                FROM vocab QUALIFY rnk <= 100
+            ), q AS (
+                SELECT CAST(round(1e6 * ln(CAST(rnk AS DOUBLE)), 0)
+                            AS BIGINT) AS x,
+                       CAST(round(1e6 * ln(CAST(c AS DOUBLE)), 0)
+                            AS BIGINT) AS y
+                FROM topv
+            ), s AS (
+                SELECT count(*) AS nv, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM q
+            )
+            SELECT CAST(nv AS BIGINT) AS v,
+                   CAST(round(1e9 * (CAST(nv * sxy - sx * sy AS DOUBLE)
+                                     / CAST(nv * sxx - sx * sx AS DOUBLE)),
+                              0) AS BIGINT) AS slope_nano,
+                   CAST(round(1e9 * ((CAST(sy AS DOUBLE) / 1e6
+                                      - (CAST(nv * sxy - sx * sy AS DOUBLE)
+                                         / CAST(nv * sxx - sx * sx AS DOUBLE))
+                                        * (CAST(sx AS DOUBLE) / 1e6)) / nv),
+                              0) AS BIGINT) AS intercept_nano
+            FROM s
         """,
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_entity_pagerank": kg_entity_pagerank_sql,

@@ -213,13 +213,18 @@ def weighted_bottomk(ds, key_col: str, weight_col: str, k: int,
     return out.rename(columns={"__rank": "rank"}).reset_index(drop=True)
 
 
-def grouped_bottomk_sample(ds, group_col: str, key_col: str, k: int,
-                           seed: int = 42, method: str = "mix64"):
+def grouped_bottomk_sample(ds, group_col: str, key_col: str,
+                           k: "int | dict", seed: int = 42,
+                           method: str = "mix64"):
     """Exact-k uniform sample PER GROUP (balanced per-stratum subsampling,
     e.g. k docs per language): within each group keep the k keys with the
     smallest deterministic hash rank — the per-group twin of
     ``bottomk_sample`` and the exact-size complement of
     ``stratified_sample``'s rates.
+
+    ``k`` may be a dict mapping group value -> per-group k (groups absent
+    from the dict are dropped) — the shape temperature-based data mixing
+    needs, where each stratum gets its own target count.
 
     Shape: each batch pre-prunes to its local per-group bottom-k
     (vectorized sort + head — the combiner, so the exchange carries at
@@ -243,15 +248,20 @@ def grouped_bottomk_sample(ds, group_col: str, key_col: str, k: int,
         return t.append_column("__rank", ranks)
 
     def local_prune(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(["__rank", key_col], kind="mergesort")
-                .groupby(group_col, sort=False).head(k))
+        df = df.sort_values(["__rank", key_col], kind="mergesort")
+        if isinstance(k, int):
+            return df.groupby(group_col, sort=False).head(k)
+        kk = df[group_col].map(k).fillna(0).astype("int64").to_numpy()
+        pos = df.groupby(group_col, sort=False).cumcount().to_numpy()
+        return df[pos < kk]
 
     pruned = (ds.map_batches(add_rank, batch_format="pyarrow")
               .map_batches(local_prune, batch_format="pandas"))
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        kg = k if isinstance(k, int) else int(k.get(g[group_col].iloc[0], 0))
         return (g.sort_values(["__rank", key_col], kind="mergesort")
-                .head(k).drop(columns=["__rank"]))
+                .head(kg).drop(columns=["__rank"]))
 
     return pruned.groupby(group_col).map_groups(merge_group,
                                                 batch_format="pandas")

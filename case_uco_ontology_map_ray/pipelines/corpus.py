@@ -664,10 +664,10 @@ def doc_length_quantiles_by_lang(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)[["lang", "q50", "q90"]]
 
 
-def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
-    """Per-document unigram-LM negative-log-likelihood score (the CCNet-
-    style corpus-LM quality signal: low avg_nll = text made of common
-    corpus tokens, high = rare-token soup).
+def _unigram_scored(ds):
+    """Shared engine of the unigram-LM quality signal: returns the LAZY
+    scored Dataset with columns (doc_id, n_tokens:int64, avg_nll:float64
+    rounded 4dp away-from-zero). See ``unigram_lm_scores`` for semantics.
 
     Two passes over the documents: (1) fit — one explode computes partial
     token counts per batch, one global groupby(token) finishes the corpus
@@ -679,9 +679,6 @@ def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
     corpus token; past broadcast size the same fit table feeds a
     bucket_join on ``tok`` instead (same partials, one extra exchange) —
     self-scoring guarantees every token is in-vocabulary either way.
-
-    Oracle: DuckDB with the same whitespace split, ``-ln(c/N)`` averaged
-    per doc, rounded 4dp (see __ray_entry__).
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -689,8 +686,6 @@ def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
 
     from ..ops.agg import grouped_sums, round_away
     from ..ops.text import _segment_sum
-
-    ds = _docs(sf_dir, ["doc_id", "text"])
 
     def count_parts(t: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(
@@ -703,6 +698,11 @@ def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
     vocab = grouped_sums(ds.map_batches(count_parts, batch_format="pyarrow",
                                         zero_copy_batch=True),
                          keys=["tok"], sum_cols={"c": "c_part"})
+    if vocab.empty:  # empty / all-blank corpus: nothing scorable
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "avg_nll": pa.array([], pa.float64())}))
     toks_sorted = np.sort(vocab["tok"].to_numpy())
     order = np.argsort(vocab["tok"].to_numpy(), kind="stable")
     counts_sorted = vocab["c"].to_numpy(dtype=np.int64)[order]
@@ -736,9 +736,112 @@ def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
                 round_away(doc_nll[keep] / kept[keep], 4), pa.float64()),
         })
 
-    out = ds.map_batches(score, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def unigram_lm_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-document unigram-LM negative-log-likelihood score (the CCNet-
+    style corpus-LM quality signal: low avg_nll = text made of common
+    corpus tokens, high = rare-token soup). Engine in ``_unigram_scored``.
+
+    Oracle: DuckDB with the same whitespace split, ``-ln(c/N)`` averaged
+    per doc, rounded 4dp (see __ray_entry__).
+    """
+    out = _unigram_scored(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     return _finish(out, "doc_id")
+
+
+def doc_quality_budget(sf_dir: str) -> pd.DataFrame:
+    """Token-budget quality pruning (the FineWeb/DataComp selection shape):
+    keep the highest-quality documents — lowest unigram-LM avg_nll, the
+    CCNet perplexity rule — until a token budget is filled. The budget is
+    data-derived on both engines: ``B = total_scored_tokens // 3``. A doc
+    is kept iff the running token total BEFORE it, in global order
+    (avg_nll ASC, md5 rank, doc_id), is still below B — so the budget is
+    exceeded by at most one document.
+
+    NO GLOBAL SORT: (1) the scored stream reduces to a counting histogram
+    over coarse score buckets (avg_nll quantized 4dp -> int, //100 = 2dp
+    buckets; one bucket-keyed exchange, bucket-domain-sized); (2) the
+    driver prefix-sums the tiny bucket table ascending and finds the ONE
+    boundary bucket where the budget crossing lands — every bucket below
+    it is kept wholesale by a map-only filter, every bucket above is
+    dropped; (3) only the boundary bucket's docs are collected and
+    rank-ordered to place the crossing exactly. 100-TB shape: the collected
+    boundary set is ~corpus/n_buckets; if still large, the same histogram
+    step recurses INSIDE the boundary bucket at finer quantization.
+
+    Oracle: the unigram_lm_scores CTE chain + a window cumsum over
+    (avg_nll, md5(doc_id||':42'), doc_id) — see __ray_entry__.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums, round_away
+
+    scored = _unigram_scored(_docs(sf_dir, ["doc_id", "text"])).materialize()
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_tokens": pd.Series(dtype="int64"),
+                          "avg_nll": pd.Series(dtype="float64")})
+
+    def _with_bucket(t: pa.Table) -> pa.Table:
+        q = round_away(
+            t.column("avg_nll").to_numpy(zero_copy_only=False) * 1e4, 0
+        ).astype(np.int64)
+        return t.append_column("__b", pa.array(q // 100, pa.int64()))
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        t = _with_bucket(t)
+        agg = (t.select(["__b", "n_tokens"]).group_by(["__b"])
+               .aggregate([("n_tokens", "sum")]))
+        return agg.rename_columns(["__b", "tok_part"])
+
+    hist = grouped_sums(scored.map_batches(hist_part, batch_format="pyarrow"),
+                        keys=["__b"], sum_cols={"toks": "tok_part"})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("__b").reset_index(drop=True)
+    toks = hist["toks"].astype("int64").to_numpy()
+    total = int(toks.sum())
+    budget = total // 3
+    cum_through = np.cumsum(toks)
+    bidx = int(np.searchsorted(cum_through, budget, side="left"))
+    # bidx = first bucket whose cumulative-through reaches B; buckets
+    # below it are fully kept (their docs' cum-before < B by minimality)
+    beta = int(hist["__b"].iloc[bidx])
+    cum_before_beta = int(cum_through[bidx - 1]) if bidx else 0
+
+    def keep_below(t: pa.Table) -> pa.Table:
+        t = _with_bucket(t)
+        return (t.filter(pc.less(t.column("__b"), beta))
+                .drop_columns(["__b"]))
+
+    kept = scored.map_batches(keep_below, batch_format="pyarrow").to_pandas()
+
+    def boundary_only(t: pa.Table) -> pa.Table:
+        t = _with_bucket(t)
+        return (t.filter(pc.equal(t.column("__b"), beta))
+                .drop_columns(["__b"]))
+
+    bound = scored.map_batches(boundary_only,
+                               batch_format="pyarrow").to_pandas()
+    if not bound.empty:
+        bq = round_away(bound["avg_nll"].to_numpy() * 1e4, 0).astype(np.int64)
+        rnk = [hashlib.md5(f"{d}:42".encode()).hexdigest()
+               for d in bound["doc_id"]]
+        bound = bound.assign(__q=bq, __r=rnk).sort_values(
+            ["__q", "__r", "doc_id"], kind="mergesort")
+        cum_before = (np.cumsum(bound["n_tokens"].to_numpy(dtype=np.int64))
+                      - bound["n_tokens"].to_numpy(dtype=np.int64)
+                      + cum_before_beta)
+        bound = bound[cum_before < budget].drop(columns=["__q", "__r"])
+        kept = pd.concat([kept, bound], ignore_index=True)
+    if kept.empty:
+        return empty
+    return _finish(kept, "doc_id", {"doc_id": "int64", "n_tokens": "int64",
+                                    "avg_nll": "float64"})
 
 
 def doc_split_assign(sf_dir: str) -> pd.DataFrame:
@@ -802,6 +905,155 @@ def doc_language_rebalance(sf_dir: str) -> pd.DataFrame:
     out = out.astype({"n_before": "int64"})
     return (out[["lang", "n_before", "rate_pct", "n_after"]]
             .sort_values("lang").reset_index(drop=True))
+
+
+def doc_temperature_mixture(sf_dir: str, alpha: float = 0.5,
+                            total: int = 300) -> pd.DataFrame:
+    """Temperature-based multilingual data mixing (the mT5/XLM-R sampling
+    rule): language L gets a share of the ``total``-doc training mix
+    proportional to ``n_L ** alpha`` (alpha < 1 upsamples rare languages
+    relative to their corpus share), then the per-language quota is filled
+    with an exact deterministic per-group bottom-k sample.
+
+    Cross-engine exactness: the weight ``n**alpha`` is libm pow on both
+    engines, nano-quantized to int64 BEFORE the share division, so the
+    quota ``total * w_L // sum(w)`` is all-integer — no float sum-order
+    risk. Quotas cap at n_L. Selection is the md5-rank rule (DuckDB
+    row_number() twin). 100-TB shape: the weight table is one row per
+    language (driver-sized by definition); the sample is the per-group
+    bottom-k combiner + one co-grouped merge, <= quota rows per group per
+    block on the exchange.
+
+    Oracle: SQL derives the same quotas and samples by the same window
+    rank — see __ray_entry__.
+    """
+    from ..ops.agg import grouped_sums, round_away
+    from ..ops.sample import grouped_bottomk_sample
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "n_part"])
+
+    before = grouped_sums(docs.map_batches(local, batch_format="pyarrow"),
+                          keys=["lang"], sum_cols={"n": "n_part"})
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "lang": pd.Series(dtype="object")})
+    if before.empty:
+        return empty
+    n = before["n"].astype("int64").to_numpy()
+    # pinned expression twin of SQL round(1e9 * pow(n::DOUBLE, alpha), 0)
+    wn = round_away(1e9 * np.power(n.astype(np.float64), alpha),
+                    0).astype(np.int64)
+    wsum = int(wn.sum())
+    quota = {lang: min(int(total) * int(w) // wsum, int(nn))
+             for lang, w, nn in zip(before["lang"], wn, n)}
+    kept = grouped_bottomk_sample(docs, "lang", "doc_id", quota,
+                                  method="md5").to_pandas()
+    if kept.empty or "doc_id" not in kept.columns:
+        return empty
+    return (kept[["doc_id", "lang"]].astype({"doc_id": "int64"})
+            .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+
+
+# C4-style blocklist (benign stand-in terms present in the synthetic
+# corpus vocabulary); ordered, names are the output column suffixes.
+_BLOCKLIST = (("spark", r"\bspark\b"),
+              ("slow", r"\bslow\b"),
+              ("vector", r"\bvector\b"))
+
+
+def blocklist_filter(sf_dir: str) -> pd.DataFrame:
+    """Word-blocklist document filter (the C4 'bad words' cleanup shape):
+    per document, count non-overlapping word-boundary matches of each
+    blocklist pattern and keep the doc iff no pattern hits. Map-only —
+    one vectorized RE2 kernel per pattern (``pc.count_substring_regex``),
+    no exchange at any scale.
+
+    Oracle: DuckDB is RE2 too, so
+    ``len(regexp_extract_all(text, pattern))`` reproduces the counts
+    exactly — see __ray_entry__.
+    """
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        cols = {"doc_id": t.column("doc_id")}
+        totals = None
+        for name, pat in _BLOCKLIST:
+            c = pc.count_substring_regex(text, pat).cast(pa.int64())
+            cols[f"n_{name}"] = c
+            totals = c if totals is None else pc.add(totals, c)
+        cols["n_blocked"] = totals
+        cols["keep"] = pc.cast(pc.equal(totals, 0), pa.int64())
+        return pa.table(cols)
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return _finish(out, "doc_id")
+
+
+def zipf_token_fit(sf_dir: str, v: int = 100) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: OLS of ln(count)
+    on ln(rank) for the top-``v`` tokens (rank by count desc, token asc).
+    A healthy natural-language corpus sits near slope -1; the slope is a
+    standard corpus-health signal for training data.
+
+    Exactness discipline: ln(rank) and ln(count) are micro-quantized
+    (6dp) to int64 per term, all OLS sufficient statistics are EXACT
+    integer sums (Python ints / DuckDB HUGEINT — no float sum order), and
+    slope/intercept are each ONE pinned IEEE expression over those
+    integers, nano-rounded. Shape: token counts are the tfidf partials
+    (one vocab-sized exchange); only v rows feed the fit.
+
+    Oracle: SQL window rank + identical quantized sums — see
+    __ray_entry__.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = _docs(sf_dir, ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))))
+        one = pa.table({"tok": toks})
+        one = one.filter(pc.not_equal(one.column("tok"), ""))
+        agg = one.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "n_part"])
+
+    vocab = grouped_sums(ds.map_batches(explode, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["tok"], sum_cols={"n": "n_part"})
+    cols = ["v", "slope_nano", "intercept_nano"]
+    if vocab.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    top = (vocab.sort_values(["n", "tok"], ascending=[False, True])
+           .head(v).reset_index(drop=True))
+    nv = len(top)
+    xs = [int(round_away(1e6 * math.log(r), 0)) for r in range(1, nv + 1)]
+    ys = [int(round_away(1e6 * math.log(int(c)), 0)) for c in top["n"]]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = nv * sxy - sx * sy, nv * sxx - sx * sx
+    if den == 0:  # degenerate single-token vocabulary
+        return pd.DataFrame({"v": [nv], "slope_nano": [0],
+                             "intercept_nano": [int(round_away(
+                                 1e9 * (float(sy) / 1e6) / nv, 0))]})
+    # pinned expressions (identical in the SQL twin):
+    slope = float(num) / float(den)
+    slope_nano = int(round_away(1e9 * slope, 0))
+    intercept_nano = int(round_away(
+        1e9 * ((float(sy) / 1e6 - slope * (float(sx) / 1e6)) / nv), 0))
+    return pd.DataFrame({"v": [nv], "slope_nano": [slope_nano],
+                         "intercept_nano": [intercept_nano]})
 
 
 def embedding_quantization(sf_dir: str) -> pd.DataFrame:

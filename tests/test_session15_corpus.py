@@ -1,0 +1,147 @@
+"""Session-15 operators: temperature mixing, token-budget quality pruning,
+blocklist filtering, Zipf fit — edge semantics pinned by hand cases."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from case_uco_ontology_map_ray.ops.sample import grouped_bottomk_sample
+from case_uco_ontology_map_ray.pipelines.corpus import (
+    blocklist_filter,
+    doc_quality_budget,
+    doc_temperature_mixture,
+    zipf_token_fit,
+)
+
+
+def _write_docs(tmp_path, doc_ids, texts, langs=None):
+    langs = langs or ["en"] * len(doc_ids)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_temperature_mixture_quota_math(tmp_path):
+    """alpha=0.5 hand case: n=(100, 4) -> weights (1e10, 2e9), quotas
+    300*w//12e9 = (250, 50) -> capped at (100, 4): every doc of both
+    languages is selected (the rare language is fully upsampled)."""
+    n_a, n_b = 100, 4
+    ids = list(range(n_a + n_b))
+    _write_docs(tmp_path, ids, ["x"] * (n_a + n_b),
+                ["aa"] * n_a + ["bb"] * n_b)
+    out = doc_temperature_mixture(str(tmp_path))
+    assert out["lang"].value_counts().to_dict() == {"aa": n_a, "bb": n_b}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_temperature_mixture_partial_quota(tmp_path):
+    """Uncapped quota selects exactly the quota-smallest md5 ranks: one
+    language, n=100, quota = 300*w//w = 300 capped at 100 -> all kept;
+    two equal languages n=100 each -> quota 150 capped 100 each."""
+    ids = list(range(200))
+    _write_docs(tmp_path, ids, ["x"] * 200, ["aa"] * 100 + ["bb"] * 100)
+    out = doc_temperature_mixture(str(tmp_path))
+    assert len(out) == 200  # equal weights: 300*w//2w = 150, capped at 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_bottomk_dict_k(ray_session, tmp_path):
+    """Per-group k dict: group quotas honored exactly, groups absent from
+    the dict dropped, selection = k smallest md5 ranks per group."""
+    import ray.data as rd
+
+    rows = [{"g": g, "k": i} for g in ("a", "b", "c") for i in range(10)]
+    ds = rd.from_items(rows)
+    out = (grouped_bottomk_sample(ds, "g", "k", {"a": 3, "b": 10},
+                                  method="md5")
+           .to_pandas())
+    got = out.groupby("g")["k"].apply(set).to_dict()
+    assert set(got) == {"a", "b"}
+    assert len(got["a"]) == 3 and got["b"] == set(range(10))
+    ranked = sorted(range(10),
+                    key=lambda v: hashlib.md5(f"{v}:42".encode()).hexdigest())
+    assert got["a"] == set(ranked[:3])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_budget_matches_brute_force(tmp_path):
+    """The bucketed no-global-sort plan equals the brute-force rule: order
+    by (avg_nll 4dp, md5 rank, doc_id), keep while cum-tokens-before < B =
+    total // 3 — including a crossing that lands mid-bucket."""
+    rng = np.random.default_rng(7)
+    texts = []
+    vocab = [f"w{i}" for i in range(30)]
+    weights = np.arange(30, 0, -1, dtype=float)
+    weights /= weights.sum()
+    for _ in range(60):
+        k = int(rng.integers(3, 20))
+        texts.append(" ".join(rng.choice(vocab, size=k, p=weights)))
+    ids = list(range(60))
+    _write_docs(tmp_path, ids, texts)
+    out = doc_quality_budget(str(tmp_path))
+
+    # brute force on the driver
+    toks = [t.split() for t in texts]
+    from collections import Counter
+    c = Counter(w for tt in toks for w in tt)
+    n = sum(c.values())
+    rows = []
+    for d, tt in zip(ids, toks):
+        if not tt:
+            continue
+        nll = round(sum(-math.log(c[w] / n) for w in tt) / len(tt), 4)
+        rows.append((d, len(tt), nll,
+                     hashlib.md5(f"{d}:42".encode()).hexdigest()))
+    budget = sum(r[1] for r in rows) // 3
+    rows.sort(key=lambda r: (r[2], r[3], r[0]))
+    kept, cum = [], 0
+    for d, nt, nll, _ in rows:
+        if cum < budget:
+            kept.append((d, nt, nll))
+        cum += nt
+    exp = pd.DataFrame(kept, columns=["doc_id", "n_tokens", "avg_nll"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = out.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_tokens": "int64"}), exp.astype({"n_tokens": "int64"}),
+        check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocklist_word_boundaries(tmp_path):
+    """\\b semantics: 'sparky' must NOT hit the spark rule; repeated and
+    multiple-rule hits are counted per occurrence."""
+    _write_docs(tmp_path, [1, 2, 3],
+                ["sparky sparks nothing here",
+                 "spark and spark are slow",
+                 "clean text only"])
+    out = blocklist_filter(str(tmp_path)).set_index("doc_id")
+    assert out.loc[1, "n_spark"] == 0 and out.loc[1, "keep"] == 1
+    assert out.loc[2, "n_spark"] == 2 and out.loc[2, "n_slow"] == 1
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "n_blocked"] == 3
+    assert out.loc[3, "keep"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zipf_exact_power_law(tmp_path):
+    """A corpus whose token counts are exactly c_r = round(1000 / r)
+    fits slope near -1 (within the discretization error of the rounded
+    counts) — and the fit is deterministic."""
+    texts = []
+    for r in range(1, 51):
+        texts.append(" ".join([f"t{r:03d}"] * round(1000 / r)))
+    _write_docs(tmp_path, list(range(len(texts))), texts)
+    out = zipf_token_fit(str(tmp_path), v=50)
+    assert out["v"].iloc[0] == 50
+    slope = out["slope_nano"].iloc[0] / 1e9
+    assert -1.02 < slope < -0.98
+    again = zipf_token_fit(str(tmp_path), v=50)
+    pd.testing.assert_frame_equal(out, again)
