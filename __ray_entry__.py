@@ -181,6 +181,14 @@ def _kg_comention_components(sf_dir: str):
     return comention_components(triples, k=40)
 
 
+def _kg_comention_modularity(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import comention_modularity
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return comention_modularity(triples, k=40)
+
+
 def _kg_entity_ppr(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import (
@@ -852,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conversation_entities": _kg_conversation_entities,
         "kg_entity_pagerank": _kg_entity_pagerank,
         "kg_comention_components": _kg_comention_components,
+        "kg_comention_modularity": _kg_comention_modularity,
         "kg_kcore": _kg_kcore,
         "kg_entity_ppr": _kg_entity_ppr,
         "kg_entity_timeline": _kg_entity_timeline,
@@ -1037,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_temperature_mixture": corpus.doc_temperature_mixture,
         "blocklist_filter": corpus.blocklist_filter,
         "zipf_token_fit": corpus.zipf_token_fit,
+        "customer_rfm_segments": analytics.customer_rfm_segments,
+        "event_markov_stationary": analytics.event_markov_stationary,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -1453,6 +1464,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp AS component_path,
                    CAST(count(*) AS BIGINT) AS n_nodes
             FROM lbl GROUP BY comp
+            ORDER BY n_nodes DESC, component_path
+            LIMIT 40
+        """
+    # modularity oracle: same closure + degree sums; the per-component
+    # modularity term q_c = m_c/m - (d_c/(2m))^2 repeats the engine's
+    # pinned IEEE expression verbatim over exact int64 counts
+    kg_comention_modularity_sql = f"""
+            {mention_norm_cte.replace('WITH rec AS', 'WITH RECURSIVE rec AS')}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            m AS (SELECT count(*) AS m FROM p0),
+            deg AS (SELECT s AS node, count(*) AS d FROM edges GROUP BY 1),
+            nodes AS (SELECT DISTINCT np AS node FROM cm),
+            reach(a, b) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s
+            ),
+            lbl AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+            comps AS (
+                SELECT l.comp AS component_path,
+                       CAST(count(*) AS BIGINT) AS n_nodes,
+                       CAST(COALESCE(sum(d.d), 0) AS BIGINT) AS deg_sum
+                FROM lbl l LEFT JOIN deg d USING (node)
+                GROUP BY l.comp
+            )
+            SELECT component_path, n_nodes, deg_sum,
+                   CAST(deg_sum // 2 AS BIGINT) AS n_intra_edges,
+                   CAST(round(1e9 * (
+                           CAST(deg_sum // 2 AS DOUBLE) / (SELECT m FROM m)
+                           - (CAST(deg_sum AS DOUBLE)
+                              / (2 * (SELECT m FROM m)))
+                             * (CAST(deg_sum AS DOUBLE)
+                                / (2 * (SELECT m FROM m)))), 0) AS BIGINT)
+                       AS q_term_nano
+            FROM comps
             ORDER BY n_nodes DESC, component_path
             LIMIT 40
         """
@@ -2058,9 +2114,88 @@ def oracle_sql() -> dict[str, str]:
                               0) AS BIGINT) AS intercept_nano
             FROM s
         """,
+        "customer_rfm_segments": """
+            -- RFM quintile grid: exact-rank bins (rank-1)*5 // n + 1 over
+            -- the deterministic (metric, custkey) order (NOT ntile —
+            -- remainder placement differs); monetary ranks on whole dollars
+            WITH cmax AS (
+                SELECT o_custkey,
+                       max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                                AS BIGINT)) AS rec_day,
+                       count(*) AS freq,
+                       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ), n AS (SELECT count(*) AS n FROM cmax),
+            r AS (
+                SELECT cents,
+                       row_number() OVER (ORDER BY rec_day, o_custkey) AS rr,
+                       row_number() OVER (ORDER BY freq, o_custkey) AS fr,
+                       row_number() OVER (ORDER BY cents // 100, o_custkey)
+                           AS mr
+                FROM cmax
+            ), b AS (
+                SELECT CAST((rr - 1) * 5 // (SELECT n FROM n) + 1 AS BIGINT)
+                           AS r_bin,
+                       CAST((fr - 1) * 5 // (SELECT n FROM n) + 1 AS BIGINT)
+                           AS f_bin,
+                       CAST((mr - 1) * 5 // (SELECT n FROM n) + 1 AS BIGINT)
+                           AS m_bin,
+                       cents
+                FROM r
+            )
+            SELECT r_bin, f_bin, m_bin,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM b GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "event_markov_stationary": """
+            -- 3-round power iteration toward the event-type stationary
+            -- distribution; states = transition SOURCES, rows renormalized
+            -- after dropping sink-only targets; 6dp per-round quantization
+            -- (the pagerank discipline) keeps both engines bit-aligned
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                FROM events
+            ), pairs AS (
+                SELECT event_type AS prev, nxt FROM seq WHERE nxt IS NOT NULL
+            ), states AS (SELECT DISTINCT prev AS s FROM pairs),
+            p2 AS (
+                SELECT prev, nxt, count(*) AS n FROM pairs
+                WHERE nxt IN (SELECT s FROM states) GROUP BY 1, 2
+            ), tot AS (SELECT prev, sum(n) AS t FROM p2 GROUP BY 1),
+            pm AS MATERIALIZED (
+                SELECT p2.prev, p2.nxt,
+                       CAST(p2.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS p
+                FROM p2 JOIN tot USING (prev)
+            ),
+            k AS (SELECT count(*) AS k FROM states),
+            pi0 AS (SELECT s, 1.0 / (SELECT k FROM k) AS r FROM states),
+            pi1 AS MATERIALIZED (
+                SELECT pm.nxt AS s, round(sum(pi0.r * pm.p), 6) AS r
+                FROM pi0 JOIN pm ON pi0.s = pm.prev GROUP BY 1
+            ),
+            pi2 AS MATERIALIZED (
+                SELECT pm.nxt AS s, round(sum(pi1.r * pm.p), 6) AS r
+                FROM pi1 JOIN pm ON pi1.s = pm.prev GROUP BY 1
+            ),
+            pi3 AS MATERIALIZED (
+                SELECT pm.nxt AS s, round(sum(pi2.r * pm.p), 6) AS r
+                FROM pi2 JOIN pm ON pi2.s = pm.prev GROUP BY 1
+            )
+            SELECT st.s AS event_type,
+                   CAST(round(COALESCE(pi3.r, 0) * 1e6, 0) AS BIGINT)
+                       AS p_stat_micro
+            FROM states st LEFT JOIN pi3 ON st.s = pi3.s
+            ORDER BY st.s
+        """,
         "kg_conversation_entities": kg_conversation_entities_sql,
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
+        "kg_comention_modularity": kg_comention_modularity_sql,
         "kg_kcore": kg_kcore_sql,
         "kg_entity_ppr": kg_entity_ppr_sql,
         "kg_entity_bfs": f"""

@@ -4281,3 +4281,124 @@ def customer_part_hits(sf_dir: str, iters: int = 3, k: int = 15,
                   columns=["c", "h"]).rename(columns={"c": "key",
                                                       "h": "score"})
     return finish(adf, hdf)
+
+
+def customer_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation: quintile-bin each customer on Recency
+    (latest order epoch-day), Frequency (order count) and Monetary (spend
+    in whole dollars), then roll up the 5x5x5 segment grid. The bin rule is
+    the pinned exact-rank formula ``(rank-1)*5 // n + 1`` over the
+    deterministic (metric, custkey) order — NOT SQL ntile(), whose
+    remainder placement differs; both engines apply the same rule.
+
+    Scale shape: per-customer aggregates via per-batch partials + one
+    custkey co-grouped finish; each quintile rank is the
+    ``global_row_number`` machinery (NO global sort — key-sized count
+    table prefix-summed on the driver, offsets broadcast onto per-key
+    co-groups; monetary ranks on whole DOLLARS to keep the key domain
+    bounded, recency/frequency domains are bounded by construction); the
+    final exchange is the <=125-row segment grid.
+
+    Oracle: SQL window row_number + the same bin formula — see
+    __ray_entry__.
+    """
+    from ..ops.agg import global_row_number
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    cols = ["r_bin", "f_bin", "m_bin", "n_customers", "total_cents"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t.column("o_orderdate"), pa.date32()),
+                      pa.int32()).cast(pa.int64())
+        x = pa.table({"o_custkey": t.column("o_custkey"), "day": day,
+                      "cents": _scale_i64(t.column("o_totalprice"), 100.0)})
+        agg = x.group_by(["o_custkey"]).aggregate(
+            [("day", "max"), ("cents", "sum"), ([], "count_all")])
+        return agg.rename_columns(["o_custkey", "day_part", "cents_part",
+                                   "n_part"])
+
+    parts = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["__bucket"])
+             .groupby("o_custkey", as_index=False)
+             .agg(rec_day=("day_part", "max"), cents=("cents_part", "sum"),
+                  freq=("n_part", "sum")))
+        g["m_key"] = g["cents"] // 100  # whole dollars: bounded rank domain
+        return g.astype({"rec_day": "int64", "cents": "int64",
+                         "freq": "int64", "m_key": "int64"})
+
+    cust = _keyed_segments(parts, "o_custkey").map_groups(
+        finish, batch_format="pandas").materialize()
+    n = cust.count()
+    if n == 0:
+        return empty
+    ranked = global_row_number(cust, "rec_day", "o_custkey", rank_col="rr")
+    ranked = global_row_number(ranked, "freq", "o_custkey", rank_col="fr")
+    ranked = global_row_number(ranked, "m_key", "o_custkey", rank_col="mr")
+
+    def bins(t: pa.Table) -> pa.Table:
+        out = {}
+        for col, b in (("rr", "r_bin"), ("fr", "f_bin"), ("mr", "m_bin")):
+            rn = t.column(col).to_numpy(zero_copy_only=False)
+            out[b] = pa.array((rn - 1) * 5 // n + 1, pa.int64())
+        x = pa.table({**out, "cents": t.column("cents")})
+        agg = x.group_by(["r_bin", "f_bin", "m_bin"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return agg.rename_columns(["r_bin", "f_bin", "m_bin", "cents_part",
+                                   "n_part"])
+
+    seg = grouped_sums(ranked.map_batches(bins, batch_format="pyarrow"),
+                       keys=["r_bin", "f_bin", "m_bin"],
+                       sum_cols={"total_cents": "cents_part",
+                                 "n_customers": "n_part"})
+    if seg.empty:
+        return empty
+    seg = seg.astype({c: "int64" for c in cols})
+    return (seg[cols].sort_values(["r_bin", "f_bin", "m_bin"])
+            .reset_index(drop=True))
+
+
+def event_markov_stationary(sf_dir: str, iters: int = 3) -> pd.DataFrame:
+    """Approximate stationary distribution of the per-user event-type
+    Markov chain: power iteration from the uniform vector over the
+    transition matrix of ``event_type_transitions`` (states = types that
+    appear as a transition SOURCE; transitions into sink-only types are
+    dropped and rows renormalized, identically in SQL). Each round's
+    vector is quantized to 6dp (round half away from zero) so the
+    distributed float-sum order cannot drift from the SQL twin — the
+    entity_pagerank discipline.
+
+    Scale shape: the transition counts are the distributed co-grouped
+    pair partials (exchange = the |types|^2 matrix, not the pair stream);
+    the iteration itself is |types|^2 driver math — state that is tiny by
+    construction.
+
+    Oracle: the lead()-window pair CTE + ``iters`` unrolled rounds — see
+    __ray_entry__.
+    """
+    mat = event_type_transitions(sf_dir)[["prev_type", "next_type",
+                                          "n_pairs"]]
+    cols = ["event_type", "p_stat_micro"]
+    if mat.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "p_stat_micro": pd.Series(dtype="int64")})
+    states = sorted(mat["prev_type"].unique())
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    mat = mat[mat["next_type"].isin(idx)]
+    p = np.zeros((k, k), dtype=np.float64)
+    for prev, nxt, c in mat.itertuples(index=False):
+        p[idx[prev], idx[nxt]] = float(c)
+    row_tot = p.sum(axis=1)
+    nz = row_tot > 0
+    p[nz] = p[nz] / row_tot[nz, None]
+    pi = np.full(k, 1.0 / k, dtype=np.float64)
+    for _ in range(iters):
+        pi = round_away(pi @ p, 6)
+    return pd.DataFrame({
+        "event_type": states,
+        "p_stat_micro": round_away(pi * 1e6, 0).astype(np.int64)})

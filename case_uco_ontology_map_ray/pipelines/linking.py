@@ -561,7 +561,7 @@ def _edges_from_incidence(band: np.ndarray, pid: np.ndarray,
 
 
 def comention_graph(triples: rd.Dataset, num_parts: int = 64,
-                    max_conv_entities: int = 4096):
+                    max_conv_entities: int = 4096, mentions=None):
     """Symmetric co-mention edge list over canonical path entities:
     Dataset[(s, t)] of DISTINCT directed pairs (both directions present)
     where s and t are pid keys of paths mentioned in the same conversation,
@@ -573,8 +573,12 @@ def comention_graph(triples: rd.Dataset, num_parts: int = 64,
     conversations, dropped pairs are logged in the 100-TB deployment;
     the synthetic corpus never hits it), then a pid-bucketed global pair
     dedup (equal s co-locate, so per-partition distinct is exact).
+
+    Pass ``mentions`` to reuse an already-materialized mention stream
+    instead of re-deriving it from the triples.
     """
-    mentions = mentions_from_triples(triples)
+    if mentions is None:
+        mentions = mentions_from_triples(triples)
 
     def local(t: pa.Table) -> pa.Table:
         return (t.select(["conv_id", "pid"])
@@ -817,6 +821,129 @@ def comention_components(triples: rd.Dataset, k: int = 40,
                              "n_nodes": pd.Series(dtype="int64")})
     out["n_nodes"] = out["n_nodes"].astype("int64")
     return out[["component_path", "n_nodes"]].reset_index(drop=True)
+
+
+_MODULARITY_COLS = ("component_path", "n_nodes", "deg_sum",
+                    "n_intra_edges", "q_term_nano")
+
+
+def comention_modularity(triples: rd.Dataset, k: int = 40,
+                         num_parts: int = 64,
+                         small_incidence_rows: int = SMALL_GRAPH_INCIDENCE,
+                         ) -> pd.DataFrame:
+    """Modularity decomposition of the co-mention graph under its
+    connected-components partition — the standard graph-clustering quality
+    metric. Communities = components, so every edge is intra-community and
+    each component's modularity term reduces to
+    ``q_c = m_c/m - (d_c/(2m))^2`` with ``m_c = d_c/2`` — but computing it
+    still exercises the full labels + degree dataflow: per-component node
+    counts, degree sums over the DISTINCT-pair co-mention graph, and the
+    min-label component assignment. Isolated (never co-mentioned) nodes
+    form deg-0 singleton components with q_term 0.
+
+    Returns top-``k`` components by (n_nodes DESC, component_path) as
+    (component_path, n_nodes, deg_sum, n_intra_edges, q_term_nano) —
+    q_term_nano is ONE pinned IEEE expression over exact int64 counts,
+    nano-rounded (the SQL twin repeats it verbatim).
+
+    Scale shape: the component rollup is the comention_components
+    machinery (adaptive driver/distributed label propagation under the
+    same incidence gate); degrees come from the bounded pair-expansion
+    graph; the final q_term is computed only for the k winners.
+    """
+    from ..ops.agg import round_away, topk_ds
+    from ..ops.joins import bucket_join
+
+    empty = pd.DataFrame(
+        {"component_path": pd.Series(dtype="str")}
+        | {c: pd.Series(dtype="int64") for c in _MODULARITY_COLS[1:]})
+    mentions = mentions_from_triples(triples).materialize()
+    paths = distinct_paths(mentions).materialize()
+    if paths.count() == 0:
+        return empty
+
+    edges, deg = comention_graph(triples, num_parts=num_parts,
+                                 mentions=mentions)
+    m = edges.count() // 2  # distinct undirected co-mention pairs
+    incidence = _conv_pid_incidence(mentions).materialize()
+
+    if incidence.count() <= small_incidence_rows:
+        band, pid = _collect_incidence(incidence)
+        uniq, lab = _labels_vectorized(band, pid, max_rounds=64)
+        pmap = paths.to_pandas()
+        degdf = deg.to_pandas()
+        df = (pd.DataFrame({"pid": uniq, "label": lab})
+              .merge(pmap, on="pid")
+              .merge(degdf.rename(columns={"node": "pid"}), on="pid",
+                     how="left"))
+        df["deg"] = df["deg"].fillna(0).astype("int64")
+        comp = (df.groupby("label", sort=False)
+                .agg(component_path=("norm_path", "min"),
+                     n_nodes=("norm_path", "size"),
+                     deg_sum=("deg", "sum"))
+                .reset_index(drop=True))
+    else:
+        labels0 = paths.map_batches(
+            lambda t: pa.table({"pid": t.column("pid"),
+                                "label": t.column("pid")}),
+            batch_format="pyarrow")
+        labels, _rounds, converged = propagate_labels(incidence, labels0)
+        assert converged, "comention_modularity: propagation hit the cap"
+        named = bucket_join(labels, paths, on="pid")
+        degp = deg.map_batches(
+            lambda t: t.rename_columns(["pid", "deg"]),
+            batch_format="pyarrow")
+        withdeg = bucket_join(named, degp, on="pid", how="left")
+
+        def local(t: pa.Table) -> pa.Table:
+            d = t.column("deg")
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            d = pc.fill_null(d.cast(pa.int64()), 0)
+            x = pa.table({"label": t.column("label"),
+                          "norm_path": t.column("norm_path"), "deg": d})
+            agg = (x.group_by(["label"]).aggregate(
+                [("norm_path", "min"), ("deg", "sum"), ([], "count_all")]))
+            agg = agg.rename_columns(["label", "comp_path", "deg_part",
+                                      "n_part"])
+            part = pc.bit_wise_and(agg.column("label"),
+                                   pa.scalar(num_parts - 1, pa.int64()))
+            return agg.append_column("__part", part.cast(pa.int32()))
+
+        pre = withdeg.map_batches(local, batch_format="pyarrow")
+
+        def finish(g: pa.Table) -> pa.Table:
+            agg = (g.drop_columns(["__part"]).group_by(["label"]).aggregate(
+                [("comp_path", "min"), ("deg_part", "sum"),
+                 ("n_part", "sum")]))
+            return pa.table({
+                "component_path": agg.column("comp_path_min"),
+                "n_nodes": agg.column("n_part_sum").cast(pa.int64()),
+                "deg_sum": agg.column("deg_part_sum").cast(pa.int64())})
+
+        comps = pre.groupby("__part").map_groups(finish,
+                                                 batch_format="pyarrow")
+        comp = topk_ds(comps, by=["n_nodes", "component_path"],
+                       ascending=[False, True], k=k,
+                       columns=["component_path", "n_nodes", "deg_sum"])
+    if comp.empty:
+        return empty
+    comp = (comp.sort_values(["n_nodes", "component_path"],
+                             ascending=[False, True])
+            .head(k).reset_index(drop=True))
+    dc = comp["deg_sum"].astype("int64").to_numpy()
+    comp["n_intra_edges"] = dc // 2
+    if m > 0:
+        # pinned IEEE expression, verbatim in the SQL twin:
+        # q = (d_c//2)/m - (d_c/(2m))^2, nano-rounded
+        half = dc.astype(np.float64) / float(2 * m)
+        comp["q_term_nano"] = round_away(
+            1e9 * ((dc // 2).astype(np.float64) / float(m) - half * half),
+            0).astype(np.int64)
+    else:
+        comp["q_term_nano"] = np.int64(0)
+    comp = comp.astype({c: "int64" for c in _MODULARITY_COLS[1:]})
+    return comp[list(_MODULARITY_COLS)].reset_index(drop=True)
 
 
 def entity_timeline(triples: rd.Dataset, transcripts_source: "str | rd.Dataset",

@@ -324,6 +324,33 @@ def test_components_small_matches_distributed():
     pd.testing.assert_frame_equal(small, dist)
 
 
+def test_modularity_hand_graph_and_small_matches_distributed():
+    import pandas as pd
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import comention_modularity
+
+    # comp {a,b,c} is a triangle via c1 (m_c = 3); comp {d,e} one edge;
+    # f isolated. m = 4 undirected edges total.
+    tab = _path_triples_table({"c1": ["a", "b", "c"], "c2": ["d", "e"],
+                               "c3": ["f"]})
+    out = comention_modularity(rd.from_arrow(tab), k=10)
+    got = out.set_index("component_path")
+    assert got.loc["a", "n_nodes"] == 3 and got.loc["a", "deg_sum"] == 6
+    assert got.loc["a", "n_intra_edges"] == 3
+    assert got.loc["d", "n_intra_edges"] == 1
+    assert got.loc["f", "deg_sum"] == 0 and got.loc["f", "q_term_nano"] == 0
+    # q_a = 3/4 - (6/8)^2 = 0.1875; q_d = 1/4 - (2/8)^2 = 0.1875
+    assert got.loc["a", "q_term_nano"] == 187_500_000
+    assert got.loc["d", "q_term_nano"] == 187_500_000
+    # components partition modularity: Q = sum q_c = 0.375
+    assert int(out["q_term_nano"].sum()) == 375_000_000
+
+    dist = comention_modularity(rd.from_arrow(tab), k=10,
+                                small_incidence_rows=0)
+    pd.testing.assert_frame_equal(out, dist)
+
+
 def test_entity_timeline_hour_rollup():
     import numpy as np
     import pyarrow as pa

@@ -1,0 +1,110 @@
+"""Session-15 operators: RFM segmentation bins, Markov stationary vector."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from case_uco_ontology_map_ray.pipelines.analytics import (
+    customer_rfm_segments,
+    event_markov_stationary,
+)
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rfm_bins_exact_rank_rule(tmp_path):
+    """n=7 customers: the pinned rule (rank-1)*5 // 7 + 1 gives bin sizes
+    2,1,2,1,1 (ranks 1..7 -> bins 1,1,2,3,3,4,5) — NOT ntile(5)'s 2,2,1,1,1.
+    One order per customer, all three metrics share the same ordering, so
+    each customer's (r,f,m) bins land on its own diagonal cell."""
+    n = 7
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array(range(1, n + 1), pa.int64()),
+        # strictly increasing day and price; freq is constant (=1) so the
+        # freq rank falls back to the custkey tie-break (same order)
+        "o_orderdate": pa.array(
+            [np.datetime64(f"2024-01-{d:02d}T00:00:00", "us")
+             for d in range(1, n + 1)]),
+        "o_totalprice": pa.array([float(100 * d) for d in range(1, n + 1)],
+                                 pa.float64()),
+    }))
+    out = customer_rfm_segments(str(tmp_path))
+    # expected bins per rank r: ((r-1)*5)//7 + 1
+    exp_bins = [(r - 1) * 5 // n + 1 for r in range(1, n + 1)]
+    assert exp_bins == [1, 1, 2, 3, 3, 4, 5]
+    got = out.set_index(["r_bin", "f_bin", "m_bin"])["n_customers"].to_dict()
+    from collections import Counter
+    exp = Counter((b, b, b) for b in exp_bins)
+    assert got == dict(exp)
+    assert int(out["n_customers"].sum()) == n
+    # monetary totals: cents sum preserved through the grid
+    assert int(out["total_cents"].sum()) == sum(100 * d * 100
+                                                for d in range(1, n + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rfm_aggregates_per_customer(tmp_path):
+    """Multiple orders per customer: recency = max day, freq = count,
+    monetary = total cents (ranked on whole dollars)."""
+    _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array([
+            np.datetime64("2024-01-01T00:00:00", "us"),
+            np.datetime64("2024-03-01T00:00:00", "us"),
+            np.datetime64("2024-02-01T00:00:00", "us")]),
+        "o_totalprice": pa.array([10.0, 20.0, 5.0], pa.float64()),
+    }))
+    out = customer_rfm_segments(str(tmp_path))
+    # cust 1: rec later, freq 2, cents 3000; cust 2: rec earlier, freq 1,
+    # cents 500 -> with n=2 ranks map to bins (1-based): rank1->1, rank2->3
+    assert int(out["n_customers"].sum()) == 2
+    assert int(out["total_cents"].sum()) == 3500
+    big = out[out["total_cents"] == 3000].iloc[0]
+    assert (big["r_bin"], big["f_bin"], big["m_bin"]) == (3, 3, 3)
+
+
+def _events(users_types_ts):
+    uid, et, ts, eid = zip(*users_types_ts)
+    return pa.table({
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "ts": pa.array([np.datetime64(t, "us") for t in ts]),
+        "event_id": pa.array(eid, pa.int64()),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_stationary_alternating_chain(tmp_path):
+    """A perfectly alternating A<->B stream has P = [[0,1],[1,0]]; the
+    uniform start vector is stationary, so every round returns (0.5, 0.5)."""
+    rows = []
+    for i in range(10):
+        rows.append((1, "A" if i % 2 == 0 else "B",
+                     f"2024-01-01T00:{i:02d}:00", i))
+    _write(tmp_path, "events", _events(rows))
+    out = event_markov_stationary(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "A", "p_stat_micro": 500000},
+        {"event_type": "B", "p_stat_micro": 500000}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_sink_only_target_dropped(tmp_path):
+    """A type that only ever appears as a transition TARGET (never a
+    source) is not a state: transitions into it are dropped and the
+    remaining rows renormalize. Stream A->A->Z per user (Z terminal):
+    states = {A}, P(A,A) = 1 after renormalization, pi = (1.0,)."""
+    rows = [(1, "A", "2024-01-01T00:00:00", 0),
+            (1, "A", "2024-01-01T00:01:00", 1),
+            (1, "Z", "2024-01-01T00:02:00", 2),
+            (2, "A", "2024-01-01T00:00:00", 3),
+            (2, "Z", "2024-01-01T00:01:00", 4)]
+    _write(tmp_path, "events", _events(rows))
+    out = event_markov_stationary(str(tmp_path))
+    assert out.to_dict("records") == [
+        {"event_type": "A", "p_stat_micro": 1000000}]
