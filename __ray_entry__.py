@@ -924,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": corpus.similarity_topk,
         "inverted_index_terms": corpus.inverted_index_terms,
         "semdedup_invariants": corpus.semdedup_invariants,
+        "corpus_prep_report": corpus.corpus_prep_report,
         # ---------- driver snapshot cap (50) — oracled overflow ----------
         "crosscorpus_contamination_pairs":
             corpus.crosscorpus_contamination_pairs,
@@ -2113,6 +2114,72 @@ def oracle_sql() -> dict[str, str]:
                                         * (CAST(sx AS DOUBLE) / 1e6)) / nv),
                               0) AS BIGINT) AS intercept_nano
             FROM s
+        """,
+        "corpus_prep_report": r"""
+            -- training-data prep funnel under one gate: exact dedup ->
+            -- blocklist -> quality rule, per-language rollup; every stage
+            -- repeats its already-oracled twin (min-doc_id dedup, RE2
+            -- blocklist counts, rounded-feature keep rule, ws tokens)
+            WITH winners AS (
+                SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(text)
+            ), kept AS (
+                SELECT d.doc_id, d.text, d.lang
+                FROM documents d JOIN winners w USING (doc_id)
+            ), feat AS (
+                SELECT lang,
+                       regexp_extract_all(text, '[\p{L}\p{N}_]+') AS toks,
+                       greatest(length(text), 1) AS denom,
+                       len(regexp_extract_all(text, '[^\p{L}\p{N}_\s]'))
+                           AS n_punct,
+                       len(regexp_extract_all(text, '\p{Lu}')) AS n_upper,
+                       len(regexp_extract_all(text, '\bspark\b'))
+                         + len(regexp_extract_all(text, '\bslow\b'))
+                         + len(regexp_extract_all(text, '\bvector\b'))
+                           AS n_blocked,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       t -> t <> '')) AS n_ws
+                FROM kept
+            ), tok AS (
+                SELECT lang, denom, n_punct, n_upper, n_blocked, n_ws,
+                       greatest(len(toks), 1) AS nt,
+                       coalesce(list_sum(list_transform(toks,
+                                                        t -> length(t))), 0)
+                           AS tok_chars,
+                       len(list_filter(toks, t -> lower(t) IN
+                           ('the','and','of','to','a','in','is','it',
+                            'that','for'))) AS n_stop
+                FROM feat
+            ), r AS (
+                SELECT lang, n_blocked, n_ws,
+                       round(tok_chars / nt, 3) AS mt,
+                       round(n_punct / denom, 4) AS pr,
+                       round(n_stop / nt, 4) AS sr,
+                       round(n_upper / denom, 4) AS ur
+                FROM tok
+            ), flags AS (
+                SELECT lang,
+                       CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS bl,
+                       CASE WHEN mt > 2.5 AND mt < 12 AND pr < 0.2
+                                 AND sr > 0.01 AND ur < 0.3
+                            THEN 1 ELSE 0 END AS q,
+                       n_ws
+                FROM r
+            ), raw AS (
+                SELECT lang, count(*) AS n_raw FROM documents GROUP BY 1
+            ), agg AS (
+                SELECT lang, count(*) AS n_dedup, sum(bl) AS n_blocklist,
+                       sum(bl * q) AS n_final,
+                       sum(bl * q * n_ws) AS tokens_final
+                FROM flags GROUP BY 1
+            )
+            SELECT raw.lang, CAST(n_raw AS BIGINT) AS n_raw,
+                   CAST(COALESCE(n_dedup, 0) AS BIGINT) AS n_dedup,
+                   CAST(COALESCE(n_blocklist, 0) AS BIGINT) AS n_blocklist,
+                   CAST(COALESCE(n_final, 0) AS BIGINT) AS n_final,
+                   CAST(COALESCE(tokens_final, 0) AS BIGINT) AS tokens_final
+            FROM raw LEFT JOIN agg USING (lang)
+            ORDER BY raw.lang
         """,
         "customer_rfm_segments": """
             -- RFM quintile grid: exact-rank bins (rank-1)*5 // n + 1 over

@@ -1056,6 +1056,93 @@ def zipf_token_fit(sf_dir: str, v: int = 100) -> pd.DataFrame:
                          "intercept_nano": [intercept_nano]})
 
 
+def corpus_prep_report(sf_dir: str) -> pd.DataFrame:
+    """The corpus-side flagship composition under ONE external gate (the
+    ``kg_pipeline_report`` analog for training-data prep): exact dedup ->
+    blocklist filter -> quality-rule filter, rolled up per language as
+    (lang, n_raw, n_dedup, n_blocklist, n_final, tokens_final). Every stage
+    reuses the already-oracled operator semantics (min-doc_id-per-text
+    dedup, the ``_BLOCKLIST`` RE2 rules, the Gopher/C4 keep rule on the
+    rounded quality features, whitespace token counts), so the SQL twin
+    re-derives the whole funnel in one statement and any drift in any
+    stage breaks the row compare.
+
+    Scale shape: the dedup winner set comes from the combiner-first
+    exact-dedup groupby; winners rejoin their text via one adaptive
+    semi-join; ALL downstream flags (blocklist, quality, token count) are
+    computed in a single map pass whose output is per-(batch, lang)
+    partial sums — the final exchange is language-domain-sized.
+    """
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_sums
+    from ..ops.joins import adaptive_semi_join
+    from ..ops.text import QualityScorer, _segment_sum
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+    cols = ["lang", "n_raw", "n_dedup", "n_blocklist", "n_final",
+            "tokens_final"]
+    empty = pd.DataFrame({"lang": pd.Series(dtype="object")}
+                         | {c: pd.Series(dtype="int64") for c in cols[1:]})
+
+    def raw_part(t: pa.Table) -> pa.Table:
+        agg = t.select(["lang"]).group_by(["lang"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["lang", "n_part"])
+
+    n_raw = grouped_sums(docs.map_batches(raw_part, batch_format="pyarrow"),
+                         keys=["lang"], sum_cols={"n_raw": "n_part"})
+    if n_raw.empty:
+        return empty
+
+    winners = dd.exact_dedup(docs)
+    kept = adaptive_semi_join(docs, winners, on="doc_id")
+    scorer = QualityScorer()
+
+    def flags_part(t: pa.Table) -> pa.Table:
+        feat = scorer(t)  # row-aligned rounded features
+        mt = feat.column("mean_token_len").to_numpy(zero_copy_only=False)
+        pr = feat.column("punct_ratio").to_numpy(zero_copy_only=False)
+        sr = feat.column("stopword_ratio").to_numpy(zero_copy_only=False)
+        ur = feat.column("upper_ratio").to_numpy(zero_copy_only=False)
+        q = (mt > 2.5) & (mt < 12) & (pr < 0.2) & (sr > 0.01) & (ur < 0.3)
+        text = t.column("text")
+        blocked = None
+        for _, pat in _BLOCKLIST:
+            c = pc.count_substring_regex(text, pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            blocked = c if blocked is None else blocked + c
+        bl = blocked == 0
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(text)).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(pc.list_flatten(toks), "").to_numpy(
+            zero_copy_only=False)
+        n_ws = _segment_sum(nonempty.astype(np.int64), offs)
+        final = bl & q
+        x = pa.table({
+            "lang": t.column("lang"),
+            "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "bl": pa.array(bl.astype(np.int64), pa.int64()),
+            "fin": pa.array(final.astype(np.int64), pa.int64()),
+            "tok": pa.array(np.where(final, n_ws, 0), pa.int64()),
+        })
+        agg = x.group_by(["lang"]).aggregate(
+            [("one", "sum"), ("bl", "sum"), ("fin", "sum"), ("tok", "sum")])
+        return agg.rename_columns(["lang", "d_part", "b_part", "f_part",
+                                   "t_part"])
+
+    funnel = grouped_sums(
+        kept.map_batches(flags_part, batch_format="pyarrow"),
+        keys=["lang"],
+        sum_cols={"n_dedup": "d_part", "n_blocklist": "b_part",
+                  "n_final": "f_part", "tokens_final": "t_part"})
+    out = n_raw.merge(funnel, on="lang", how="left")
+    for c in cols[1:]:
+        out[c] = out[c].fillna(0).astype("int64")
+    return out[cols].sort_values("lang").reset_index(drop=True)
+
+
 def embedding_quantization(sf_dir: str) -> pd.DataFrame:
     """Int8 scalar quantization of the embeddings table, value-oracled per
     vector: (scale, n_dims, sum/sum-abs/max/min of the codes) — DuckDB

@@ -131,6 +131,30 @@ def test_blocklist_word_boundaries(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_corpus_prep_report_funnel(tmp_path):
+    """Hand funnel: duplicate text collapses in dedup, a blocklisted doc
+    drops at the blocklist stage, a stopword-free doc fails the quality
+    rule; the final token count covers only full survivors."""
+    from case_uco_ontology_map_ray.pipelines.corpus import corpus_prep_report
+
+    good = "the quick value of it is that the table for it"  # passes all
+    _write_docs(
+        tmp_path, [1, 2, 3, 4],
+        [good, good,                      # 2 is an exact dup of 1
+         "the spark of it is that for it",  # blocklisted
+         "zz qq ww rr tt yy uu ii oo pp"],  # no stopwords -> quality fail
+        ["en"] * 4)
+    out = corpus_prep_report(str(tmp_path)).set_index("lang")
+    row = out.loc["en"]
+    assert row["n_raw"] == 4 and row["n_dedup"] == 3
+    assert row["n_blocklist"] == 2 and row["n_final"] == 1
+    assert row["tokens_final"] == len(good.split())
+    # funnel monotonicity holds by construction
+    assert (row["n_raw"] >= row["n_dedup"] >= row["n_blocklist"]
+            >= row["n_final"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zipf_exact_power_law(tmp_path):
     """A corpus whose token counts are exactly c_r = round(1000 / r)
     fits slope near -1 (within the discretization error of the rounded
