@@ -189,6 +189,16 @@ def _kg_comention_modularity(sf_dir: str):
     return comention_modularity(triples, k=40)
 
 
+def _kg_degree_assortativity(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        comention_assortativity,
+    )
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return comention_assortativity(triples)
+
+
 def _kg_entity_ppr(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import (
@@ -1049,6 +1059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_token_fit": corpus.zipf_token_fit,
         "customer_rfm_segments": analytics.customer_rfm_segments,
         "event_markov_stationary": analytics.event_markov_stationary,
+        "kg_degree_assortativity": _kg_degree_assortativity,
+        "embedding_norm_stats": corpus.embedding_norm_stats,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -1467,6 +1479,51 @@ def oracle_sql() -> dict[str, str]:
             FROM lbl GROUP BY comp
             ORDER BY n_nodes DESC, component_path
             LIMIT 40
+        """
+    # assortativity oracle: degrees are exact ints, so every sufficient
+    # statistic is an exact integer sum; one pinned corr expression
+    kg_degree_assortativity_sql = f"""
+            {mention_norm_cte}
+            , cm AS (SELECT DISTINCT conv_id, np FROM norm),
+            p0 AS (
+                SELECT DISTINCT a.np AS s, b.np AS t
+                FROM cm a JOIN cm b
+                  ON a.conv_id = b.conv_id AND a.np < b.np
+            ),
+            edges AS (
+                SELECT s, t FROM p0
+                UNION ALL
+                SELECT t AS s, s AS t FROM p0
+            ),
+            deg AS (SELECT s AS node, count(*) AS d FROM edges GROUP BY 1),
+            j AS (
+                SELECT ds.d AS x, dt.d AS y
+                FROM edges e
+                JOIN deg ds ON e.s = ds.node
+                JOIN deg dt ON e.t = dt.node
+            ),
+            stats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(sum(y * y) AS BIGINT) AS syy,
+                       CAST(sum(x * y) AS BIGINT) AS sxy
+                FROM j
+            )
+            SELECT n AS n_edges, sx AS sum_x, sy AS sum_y,
+                   sxx AS sum_xx, syy AS sum_yy, sxy AS sum_xy,
+                   CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE)
+                                        * CAST(sx AS DOUBLE))
+                                 * sqrt(CAST(n AS DOUBLE)
+                                        * CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE)
+                                          * CAST(sy AS DOUBLE)))
+                              * 1000000000.0, 0) AS BIGINT) AS assort_nano
+            FROM stats
         """
     # modularity oracle: same closure + degree sums; the per-component
     # modularity term q_c = m_c/m - (d_c/(2m))^2 repeats the engine's
@@ -2263,6 +2320,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_pagerank": kg_entity_pagerank_sql,
         "kg_comention_components": kg_comention_components_sql,
         "kg_comention_modularity": kg_comention_modularity_sql,
+        "kg_degree_assortativity": kg_degree_assortativity_sql,
+        "embedding_norm_stats": """
+            -- per-vector norms from the same x2^20 round-half-away
+            -- quantization as embedding_dimension_stats: exact int sums
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   CAST(list_sum(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0)
+                                  AS BIGINT))) AS BIGINT) AS sum_q,
+                   CAST(list_sum(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1048576, 0)
+                                  AS BIGINT)
+                             * CAST(round(CAST(x AS DOUBLE) * 1048576, 0)
+                                    AS BIGINT))) AS BIGINT) AS norm2_q
+            FROM embeddings
+            ORDER BY vec_id
+        """,
         "kg_kcore": kg_kcore_sql,
         "kg_entity_ppr": kg_entity_ppr_sql,
         "kg_entity_bfs": f"""

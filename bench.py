@@ -346,6 +346,10 @@ def run_bench() -> dict:
          analytics.referential_integrity_audit),
         ("event_volume_anomalies", analytics.event_volume_anomalies),
         ("peak_concurrent_sessions", analytics.peak_concurrent_sessions),
+        ("corpus_prep_report", corpus.corpus_prep_report),
+        ("doc_quality_budget", corpus.doc_quality_budget),
+        ("customer_rfm_segments", analytics.customer_rfm_segments),
+        ("blocklist_filter", corpus.blocklist_filter),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

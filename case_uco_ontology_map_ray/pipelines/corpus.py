@@ -1143,6 +1143,44 @@ def corpus_prep_report(sf_dir: str) -> pd.DataFrame:
     return out[cols].sort_values("lang").reset_index(drop=True)
 
 
+def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-vector norm screening (the sanity filter that precedes any
+    cosine/ANN stage: zero or exploding norms break normalization): for
+    every embedding, (n_dims, sum_q, norm2_q) with each element quantized
+    to int64 at x2^20 (round half away — the embedding_dimension_stats
+    discipline) BEFORE summing, so the per-vector sums are exact integers
+    and the DuckDB twin (list_transform + list_sum over the same
+    quantization) compares bit-for-bit. Map-only, one matrix pass per
+    batch.
+    """
+    ds = _emb(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        n = len(widths)
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ["vec_id", "n_dims", "sum_q", "norm2_q"]})
+        d = int(widths[0])
+        x = flat * 1048576.0
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        m = q.reshape(n, d)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "n_dims": pa.array(np.full(n, d, np.int64)),
+            "sum_q": pa.array(m.sum(axis=1, dtype=np.int64)),
+            "norm2_q": pa.array((m * m).sum(axis=1, dtype=np.int64))})
+
+    out = ds.map_batches(stats, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return _finish(out, "vec_id")
+
+
 def embedding_quantization(sf_dir: str) -> pd.DataFrame:
     """Int8 scalar quantization of the embeddings table, value-oracled per
     vector: (scale, n_dims, sum/sum-abs/max/min of the codes) — DuckDB

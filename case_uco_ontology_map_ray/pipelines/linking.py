@@ -946,6 +946,72 @@ def comention_modularity(triples: rd.Dataset, k: int = 40,
     return comp[list(_MODULARITY_COLS)].reset_index(drop=True)
 
 
+def comention_assortativity(triples: rd.Dataset,
+                            num_parts: int = 64) -> pd.DataFrame:
+    """Degree assortativity of the co-mention graph: Pearson correlation
+    of (deg(s), deg(t)) over all DIRECTED edges — positive means hubs
+    co-mention hubs (assortative mixing), negative means hub-leaf
+    structure. Degrees are exact integers, so ALL sufficient statistics
+    are exact int64 sums (no quantization anywhere before the final
+    expression); the correlation itself is the repo's ONE pinned
+    grouped_corr IEEE expression, nano-rounded.
+
+    Shape: two bucketed joins hang each endpoint's degree on the edge
+    stream; per-batch integer partials reduce the exchange to one
+    6-number row per block. Returns one row:
+    (n_edges, sum_x, sum_y, sum_xx, sum_yy, sum_xy, assort_nano).
+
+    Oracle: SQL re-derives edges + degrees and repeats the expression —
+    see __ray_entry__.
+    """
+    from ..ops.agg import round_away
+    from ..ops.joins import bucket_join
+
+    cols = ["n_edges", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy",
+            "assort_nano"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    mentions = mentions_from_triples(triples).materialize()
+    edges, deg = comention_graph(triples, num_parts=num_parts,
+                                 mentions=mentions)
+    if edges.count() == 0:
+        return empty
+    deg = deg.materialize()
+    degs = deg.map_batches(
+        lambda t: t.rename_columns(["s", "deg_s"]), batch_format="pyarrow")
+    degt = deg.map_batches(
+        lambda t: t.rename_columns(["t", "deg_t"]), batch_format="pyarrow")
+    j = bucket_join(bucket_join(edges, degs, on="s"), degt, on="t")
+
+    def partial(tab: pa.Table) -> pa.Table:
+        x = tab.column("deg_s").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = tab.column("deg_t").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "n_part": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    n = int(parts["n_part"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    sxy = int(parts["sxy"].sum())
+    # the grouped_corr pinned expression (identical in the SQL twin)
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = (np.sqrt(float(n) * float(sxx) - float(sx) * float(sx))
+           * np.sqrt(float(n) * float(syy) - float(sy) * float(sy)))
+    assort = int(round_away(num / den * 1e9, 0)) if den > 0 else 0
+    return pd.DataFrame({"n_edges": [n], "sum_x": [sx], "sum_y": [sy],
+                         "sum_xx": [sxx], "sum_yy": [syy], "sum_xy": [sxy],
+                         "assort_nano": [assort]}).astype("int64")
+
+
 def entity_timeline(triples: rd.Dataset, transcripts_source: "str | rd.Dataset",
                     ) -> pd.DataFrame:
     """Per-hour entity-mention activity: (hour, n_mentions, n_entities) —

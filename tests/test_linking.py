@@ -351,6 +351,38 @@ def test_modularity_hand_graph_and_small_matches_distributed():
     pd.testing.assert_frame_equal(out, dist)
 
 
+def test_assortativity_star_is_minus_one():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        comention_assortativity,
+    )
+
+    # star: center c co-mentioned with each leaf in its own conversation
+    # -> every directed edge pairs degrees (3,1) or (1,3): Pearson = -1
+    tab = _path_triples_table({"c1": ["c", "l1"], "c2": ["c", "l2"],
+                               "c3": ["c", "l3"]})
+    out = comention_assortativity(rd.from_arrow(tab))
+    row = out.iloc[0]
+    assert row["n_edges"] == 6
+    assert row["sum_x"] == row["sum_y"] == 12  # 3*(3+1)
+    assert row["assort_nano"] == -1_000_000_000
+
+
+def test_assortativity_clique_degenerate_zero():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        comention_assortativity,
+    )
+
+    # a single clique: every degree equal -> zero variance, denominator 0,
+    # assortativity pinned to 0 (the engine's den-guard)
+    tab = _path_triples_table({"c1": ["a", "b", "c"]})
+    out = comention_assortativity(rd.from_arrow(tab))
+    assert out.iloc[0]["assort_nano"] == 0
+
+
 def test_entity_timeline_hour_rollup():
     import numpy as np
     import pyarrow as pa

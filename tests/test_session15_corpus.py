@@ -155,6 +155,24 @@ def test_corpus_prep_report_funnel(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_norm_stats_exact_quantization(tmp_path):
+    """x2^20 round-half-away quantization: 0.5 -> 524288 exactly, so
+    [0.5, -0.5] gives sum_q 0 and norm2_q 2 * 524288^2; the zero vector
+    gives all-zero stats (the degenerate case norm screening exists for)."""
+    from case_uco_ontology_map_ray.pipelines.corpus import embedding_norm_stats
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[0.5, -0.5], [0.0, 0.0]],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = embedding_norm_stats(str(tmp_path)).set_index("vec_id")
+    assert out.loc[1, "sum_q"] == 0
+    assert out.loc[1, "norm2_q"] == 2 * 524288 ** 2
+    assert out.loc[2, "norm2_q"] == 0 and out.loc[2, "n_dims"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zipf_exact_power_law(tmp_path):
     """A corpus whose token counts are exactly c_r = round(1000 / r)
     fits slope near -1 (within the discretization error of the rounded
