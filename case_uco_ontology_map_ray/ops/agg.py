@@ -185,10 +185,14 @@ def global_row_number(ds, key_col: str, id_col: str,
     state — the documented assumption is |distinct keys| << |rows|, the
     usual case for score/length/bucket ranking; for key spaces approaching
     |rows| compose with a coarser bucketing key first); (3) offsets are
-    broadcast (ray.put once, read per task) onto a per-key co-grouped
-    local sort by ``id_col``, which is exact because equal keys co-locate.
+    broadcast (ray.put once, read per task) onto hash-bucketed key
+    CO-GROUPS (equal keys co-locate, MANY keys per dispatch — not one
+    ``map_groups`` call per distinct key, which is the repo's documented
+    per-key-dispatch anti-pattern at 10^6+ key domains): each bucket
+    sorts once by (key, id) and ranks every segment vectorized
+    (base + within-key cumcount).
     """
-    import pyarrow.compute as pc  # noqa: F401  (kept for parity with peers)
+    from .joins import _mix_bucket, broadcast_join
 
     counts = grouped_sums(ds, keys=[key_col], sum_cols={}, count_alias="n")
     counts = counts.sort_values(key_col, ascending=key_ascending)
@@ -197,14 +201,17 @@ def global_row_number(ds, key_col: str, id_col: str,
     offsets = pd.DataFrame({key_col: counts[key_col].to_numpy(),
                             "__base": base.astype(np.int64)})
 
-    from .joins import broadcast_join
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__kb", _mix_bucket(t.column(key_col), 64))
 
     def local_rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        g[rank_col] = g["__base"].to_numpy() + np.arange(1, len(g) + 1,
-                                                         dtype=np.int64)
+        g = (g.drop(columns=["__kb"])
+             .sort_values([key_col, id_col], kind="mergesort")
+             .reset_index(drop=True))
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        g[rank_col] = g["__base"].to_numpy() + pos + 1
         return g.drop(columns=["__base"])
 
     joined = broadcast_join(ds, offsets, on=key_col)
-    return joined.groupby(key_col).map_groups(local_rank,
-                                              batch_format="pandas")
+    return (joined.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__kb").map_groups(local_rank, batch_format="pandas"))
