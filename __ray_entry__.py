@@ -1061,6 +1061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov_stationary": analytics.event_markov_stationary,
         "kg_degree_assortativity": _kg_degree_assortativity,
         "embedding_norm_stats": corpus.embedding_norm_stats,
+        "embedding_class_scatter": corpus.embedding_class_scatter,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -2321,6 +2322,41 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_components": kg_comention_components_sql,
         "kg_comention_modularity": kg_comention_modularity_sql,
         "kg_degree_assortativity": kg_degree_assortativity_sql,
+        "embedding_class_scatter": """
+            -- within-class scatter from exact integer sufficient stats at
+            -- the x2^10 grid: A = sum q^2, B = sum_d (sum_i q)^2,
+            -- mean sq distance to centroid = (A - B/n) / n (one pinned
+            -- expression, nano-rounded)
+            WITH q AS (
+                SELECT u.label, u.ord AS dim,
+                       CAST(round(CAST(u.x AS DOUBLE) * 1024, 0) AS BIGINT)
+                           AS qv
+                FROM (SELECT label,
+                             generate_subscripts(embedding, 1) AS ord,
+                             unnest(embedding) AS x
+                      FROM embeddings) u
+            ), dimsum AS (
+                SELECT label, dim,
+                       CAST(sum(qv) AS BIGINT) AS s,
+                       CAST(sum(qv * qv) AS BIGINT) AS aa,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM q GROUP BY 1, 2
+            ), agg AS (
+                SELECT label,
+                       CAST(max(n) AS BIGINT) AS n,
+                       CAST(sum(aa) AS BIGINT) AS a_sum,
+                       CAST(sum(s * s) AS BIGINT) AS b_sum
+                FROM dimsum GROUP BY 1
+            )
+            SELECT CAST(label AS BIGINT) AS label, n, a_sum, b_sum,
+                   CAST(round(1e9 * ((CAST(a_sum AS DOUBLE)
+                                      - CAST(b_sum AS DOUBLE)
+                                        / CAST(n AS DOUBLE))
+                                     / CAST(n AS DOUBLE)), 0) AS BIGINT)
+                       AS scatter_nano
+            FROM agg
+            ORDER BY label
+        """,
         "embedding_norm_stats": """
             -- per-vector norms from the same x2^20 round-half-away
             -- quantization as embedding_dimension_stats: exact int sums

@@ -1181,6 +1181,72 @@ def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
     return _finish(out, "vec_id")
 
 
+def embedding_class_scatter(sf_dir: str) -> pd.DataFrame:
+    """Within-class scatter per label (the LDA/clustering-quality signal:
+    how tight is each class around its centroid): mean squared distance to
+    the class centroid from EXACT integer sufficient statistics —
+    ``sum_i ||x_i - mu||^2 = A - B/n`` with ``A = sum x_q^2`` and
+    ``B = sum_d (sum_i x_qd)^2`` over elements quantized at x2^10 (round
+    half away; the coarser grid keeps B inside int64 at 10^6 rows/label,
+    documented bound). The only float step is ONE pinned expression
+    ``(A - B/n) / n`` nano-rounded, identical in the SQL twin.
+
+    Shape: per-batch per-label column reductions emit (label, dim, s, a,
+    n) partials — the exchange is |labels| x d rows per block, never the
+    vectors; the driver rollup is label-domain-sized.
+    """
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = _emb(sf_dir).select_columns(["label", "embedding"])
+    cols = ["label", "n", "a_sum", "b_sum", "scatter_nano"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        n = len(widths)
+        out = {c: [] for c in ["label", "dim", "s_part", "a_part", "n_part"]}
+        if n:
+            d = int(widths[0])
+            x = flat * 1024.0
+            q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+            m = q.reshape(n, d)
+            lab = t.column("label").to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            for lv in np.unique(lab):
+                sub = m[lab == lv]
+                out["label"].extend([int(lv)] * d)
+                out["dim"].extend(range(d))
+                out["s_part"].extend(sub.sum(axis=0, dtype=np.int64))
+                out["a_part"].extend((sub * sub).sum(axis=0, dtype=np.int64))
+                out["n_part"].extend([sub.shape[0]] * d)
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in out.items()})
+
+    per = grouped_sums(ds.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       keys=["label", "dim"],
+                       sum_cols={"s": "s_part", "a": "a_part",
+                                 "n": "n_part"})
+    if per.empty:
+        return empty
+    rows = []
+    for lv, g in per.groupby("label"):
+        a = sum(int(v) for v in g["a"])
+        b = sum(int(v) * int(v) for v in g["s"])
+        n_l = int(g.loc[g["dim"] == 0, "n"].iloc[0])
+        # pinned IEEE expression (verbatim in SQL): (A - B/n) / n, nano
+        sc = int(round_away(
+            1e9 * ((float(a) - float(b) / float(n_l)) / float(n_l)), 0))
+        rows.append((int(lv), n_l, a, b, sc))
+    return (pd.DataFrame(rows, columns=cols).astype("int64")
+            .sort_values("label").reset_index(drop=True))
+
+
 def embedding_quantization(sf_dir: str) -> pd.DataFrame:
     """Int8 scalar quantization of the embeddings table, value-oracled per
     vector: (scale, n_dims, sum/sum-abs/max/min of the codes) — DuckDB

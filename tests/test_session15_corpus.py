@@ -173,6 +173,29 @@ def test_embedding_norm_stats_exact_quantization(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_class_scatter_hand_case(tmp_path):
+    """Two 1-point classes scatter 0; a 2-point class at q = (+512, -512)
+    per dim has centroid 0 and mean sq distance = d * 512^2 exactly."""
+    from case_uco_ontology_map_ray.pipelines.corpus import (
+        embedding_class_scatter,
+    )
+
+    d = 4
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "label": pa.array([0, 1, 1, 2], pa.int32()),
+        "embedding": pa.array([[0.25] * d, [0.5] * d, [-0.5] * d,
+                               [0.0] * d], pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = embedding_class_scatter(str(tmp_path)).set_index("label")
+    assert out.loc[0, "scatter_nano"] == 0 and out.loc[2, "scatter_nano"] == 0
+    # label 1: A = 2 * d * 512^2, B = 0 -> (A - 0)/2 = d * 512^2
+    assert out.loc[1, "a_sum"] == 2 * d * 512 ** 2
+    assert out.loc[1, "b_sum"] == 0
+    assert out.loc[1, "scatter_nano"] == d * 512 ** 2 * 10 ** 9
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zipf_exact_power_law(tmp_path):
     """A corpus whose token counts are exactly c_r = round(1000 / r)
     fits slope near -1 (within the discretization error of the rounded
