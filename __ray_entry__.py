@@ -189,6 +189,22 @@ def _kg_comention_modularity(sf_dir: str):
     return comention_modularity(triples, k=40)
 
 
+def _transcript_turn_latency(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.transcript_prep import (
+        turn_latency_stats,
+    )
+
+    return turn_latency_stats(_transcripts_for(sf_dir))
+
+
+def _transcript_tool_usage(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.transcript_prep import (
+        tool_usage_stats,
+    )
+
+    return tool_usage_stats(_transcripts_for(sf_dir))
+
+
 def _kg_degree_assortativity(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import (
@@ -1062,6 +1078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_assortativity": _kg_degree_assortativity,
         "embedding_norm_stats": corpus.embedding_norm_stats,
         "embedding_class_scatter": corpus.embedding_class_scatter,
+        "transcript_turn_latency": _transcript_turn_latency,
+        "transcript_tool_usage": _transcript_tool_usage,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -1480,6 +1498,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lbl GROUP BY comp
             ORDER BY n_nodes DESC, component_path
             LIMIT 40
+        """
+    transcript_turn_latency_sql = f"""
+            -- per-conversation timing profile in exact integer micros;
+            -- max gap over TRUE gaps only (single-turn convs coalesce 0)
+            WITH t AS (
+                SELECT conv_id, turn_idx, epoch_us(ts) AS us
+                FROM read_parquet('{transcripts_glob}')
+            ), g AS (
+                SELECT conv_id, us,
+                       us - lag(us) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx) AS gap
+                FROM t
+            )
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(max(us) - min(us) AS BIGINT) AS span_us,
+                   CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us
+            FROM g GROUP BY 1 ORDER BY 1
+        """
+    transcript_tool_usage_sql = f"""
+            -- per-tool rollup over the tool turns
+            SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM read_parquet('{transcripts_glob}')
+            WHERE role = 'tool' AND tool IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """
     # assortativity oracle: degrees are exact ints, so every sufficient
     # statistic is an exact integer sum; one pinned corr expression
@@ -2322,6 +2366,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_components": kg_comention_components_sql,
         "kg_comention_modularity": kg_comention_modularity_sql,
         "kg_degree_assortativity": kg_degree_assortativity_sql,
+        "transcript_turn_latency": transcript_turn_latency_sql,
+        "transcript_tool_usage": transcript_tool_usage_sql,
         "embedding_class_scatter": """
             -- within-class scatter from exact integer sufficient stats at
             -- the x2^10 grid: A = sum q^2, B = sum_d (sum_i q)^2,

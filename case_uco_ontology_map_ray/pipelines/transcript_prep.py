@@ -170,3 +170,129 @@ def remove_boilerplate_turns(source: "str | rd.Dataset",
                .select_columns(["pid"]))
     kept = bucket_semi_join(keyed, flagged, on="pid", negate=True)
     return kept.drop_columns(["pid"])
+
+
+def turn_latency_stats(source: "str | rd.Dataset",
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """Per-conversation timing profile over the transcript stream: number
+    of turns, total span (last ts - first ts) and the largest gap between
+    consecutive turns (turn_idx order), all in EXACT integer microseconds
+    — the agent-ops latency dashboard over the input_hint table.
+
+    Scale shape: conversations are hash-bucketed into co-groups (many
+    conversations per dispatch); each bucket sorts once by
+    (conv_id, turn_idx) and computes every conversation's span/max-gap in
+    one vectorized diff pass (gaps never cross conversations because the
+    boundary positions are masked). The exchange carries one row per
+    conversation.
+
+    Oracle: SQL lead() window over the same parquet — see __ray_entry__.
+    """
+    from ..ops.joins import _mix_bucket
+
+    ds = _read_turns(source, columns=["conv_id", "turn_idx", "ts"])
+    cols = ["conv_id", "n_turns", "span_us", "max_gap_us"]
+    empty = pd.DataFrame({"conv_id": pd.Series(dtype="object")}
+                         | {c: pd.Series(dtype="int64") for c in cols[1:]})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        if pa.types.is_dictionary(conv.type):
+            conv = conv.cast(pa.string())
+            t = t.set_column(t.column_names.index("conv_id"), "conv_id", conv)
+        return t.append_column("__b", _mix_bucket(conv, num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        same = np.r_[False, conv[1:] == conv[:-1]]
+        gap = np.r_[np.int64(0), np.diff(us)]
+        # boundary rows carry -inf so a conversation's max is over its TRUE
+        # gaps only (a negative max gap must survive; single-turn convs
+        # have no gaps and clamp to 0 below — the SQL COALESCE twin)
+        gap[~same] = np.iinfo(np.int64).min
+        out = pd.DataFrame({"conv_id": conv, "us": us, "gap": gap})
+        agg = (out.groupby("conv_id", sort=False)
+               .agg(n_turns=("us", "size"), lo=("us", "min"),
+                    hi=("us", "max"), max_gap_us=("gap", "max"))
+               .reset_index())
+        agg.loc[agg["max_gap_us"] == np.iinfo(np.int64).min,
+                "max_gap_us"] = 0
+        agg["span_us"] = agg["hi"] - agg["lo"]
+        return agg[cols].astype({c: "int64" for c in cols[1:]})
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__b").map_groups(
+               lambda g: per_bucket(g.drop(columns=["__b"])),
+               batch_format="pandas")
+           .to_pandas())
+    if out.empty or "conv_id" not in out.columns:
+        return empty
+    return out.sort_values("conv_id").reset_index(drop=True)[cols]
+
+
+def tool_usage_stats(source: "str | rd.Dataset") -> pd.DataFrame:
+    """Per-tool usage rollup over the tool turns: call count, distinct
+    conversations using the tool, and total payload characters — the
+    agent-telemetry rollup. One combiner pass emits distinct
+    (tool, conv_id) partials + per-(tool) count/chars partials; the
+    exchange is tool-domain-sized.
+
+    Oracle: SQL GROUP BY over the same parquet — see __ray_entry__.
+    """
+    from ..ops.agg import grouped_sums
+
+    ds = _read_turns(source, columns=["conv_id", "role", "text", "tool"])
+    cols = ["tool", "n_calls", "n_convs", "total_chars"]
+    empty = pd.DataFrame({"tool": pd.Series(dtype="object")}
+                         | {c: pd.Series(dtype="int64") for c in cols[1:]})
+
+    def partial(t: pa.Table) -> pa.Table:
+        tool = t.column("tool")
+        if pa.types.is_dictionary(tool.type):
+            tool = tool.cast(pa.string())
+        role = t.column("role")
+        if pa.types.is_dictionary(role.type):
+            role = role.cast(pa.string())
+        keep = pc.and_(pc.equal(role, "tool"), pc.is_valid(tool))
+        x = pa.table({"tool": tool,
+                      "conv_id": t.column("conv_id"),
+                      "chars": pc.utf8_length(t.column("text"))
+                      .cast(pa.int64())}).filter(keep)
+        # distinct (tool, conv) within the batch carries the conv marker;
+        # per-tool counts/chars are plain partial sums
+        pairs = x.group_by(["tool", "conv_id"]).aggregate(
+            [([], "count_all"), ("chars", "sum")])
+        return pairs.rename_columns(["tool", "conv_id", "n_part", "c_part"])
+
+    from ..ops.joins import _mix_bucket
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _mix_bucket(t.column("conv_id"), 64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a conversation lives in exactly one bucket, so distinct-conv
+        # counting is bucket-local and the emitted rows are per-(tool)
+        # partials — the driver only sums tool-domain-sized rows
+        g = (g.drop(columns=["__b"])
+             .groupby(["tool", "conv_id"], as_index=False)
+             .agg(n=("n_part", "sum"), c=("c_part", "sum")))
+        out = (g.groupby("tool", as_index=False)
+               .agg(n_calls=("n", "sum"), n_convs=("conv_id", "size"),
+                    total_chars=("c", "sum")))
+        return out
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
+    agg = grouped_sums(parts, keys=["tool"],
+                       sum_cols={"n_calls": "n_calls", "n_convs": "n_convs",
+                                 "total_chars": "total_chars"})
+    if agg.empty:
+        return empty
+    return (agg[cols].astype({c: "int64" for c in cols[1:]})
+            .sort_values("tool").reset_index(drop=True))

@@ -80,3 +80,48 @@ def test_empty_input_is_schema_stable():
     assert list(out.columns) == ["text", "role", "n_convs", "n_turns"]
     summary = tp.boilerplate_removal_counts(rd.from_arrow(tab), min_convs=2)
     assert summary.iloc[0].n_turns_total == 0
+
+
+def _hand_turns():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def ts(minute):
+        return np.datetime64(f"2024-01-01T00:{minute:02d}:00", "us")
+
+    # c1: 3 turns, gaps +60s and +180s; c2: single turn; c3: ts goes
+    # BACKWARD (negative gap must survive, not be masked to 0)
+    return rd.from_arrow(pa.table({
+        "conv_id": pa.array(["c1", "c1", "c1", "c2", "c3", "c3"]),
+        "turn_idx": pa.array([0, 1, 2, 0, 0, 1], pa.int32()),
+        "role": pa.array(["user", "tool", "assistant", "user",
+                          "user", "tool"]),
+        "text": pa.array(["q", "payload-123", "a", "solo", "q", "pp"]),
+        "tool": pa.array([None, "grep", None, None, None, "awk"]),
+        "ts": pa.array([ts(0), ts(1), ts(4), ts(0), ts(5), ts(3)]),
+    }))
+
+
+def test_turn_latency_hand_case():
+    from case_uco_ontology_map_ray.pipelines import transcript_prep as tp
+
+    out = tp.turn_latency_stats(_hand_turns()).set_index("conv_id")
+    assert out.loc["c1", "n_turns"] == 3
+    assert out.loc["c1", "span_us"] == 240 * 1_000_000
+    assert out.loc["c1", "max_gap_us"] == 180 * 1_000_000
+    assert out.loc["c2", "n_turns"] == 1 and out.loc["c2", "max_gap_us"] == 0
+    # c3's only gap is negative: it must NOT clamp to 0
+    assert out.loc["c3", "max_gap_us"] == -120 * 1_000_000
+    assert out.loc["c3", "span_us"] == 120 * 1_000_000
+
+
+def test_tool_usage_distinct_convs():
+    from case_uco_ontology_map_ray.pipelines import transcript_prep as tp
+
+    out = tp.tool_usage_stats(_hand_turns()).set_index("tool")
+    assert out.loc["grep", "n_calls"] == 1
+    assert out.loc["grep", "n_convs"] == 1
+    assert out.loc["grep", "total_chars"] == len("payload-123")
+    assert out.loc["awk", "n_calls"] == 1
+    assert set(out.index) == {"grep", "awk"}  # non-tool roles excluded
