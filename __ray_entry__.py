@@ -1080,6 +1080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_class_scatter": corpus.embedding_class_scatter,
         "transcript_turn_latency": _transcript_turn_latency,
         "transcript_tool_usage": _transcript_tool_usage,
+        "customer_k_anonymity": analytics.customer_k_anonymity,
+        "hourly_value_p95": analytics.hourly_value_p95,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -2368,6 +2370,43 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_assortativity": kg_degree_assortativity_sql,
         "transcript_turn_latency": transcript_turn_latency_sql,
         "transcript_tool_usage": transcript_tool_usage_sql,
+        "customer_k_anonymity": """
+            -- k-anonymity audit over the (nation, segment) QI classes
+            WITH sizes AS (
+                SELECT c_nationkey, c_mktsegment, count(*) AS n
+                FROM customer GROUP BY 1, 2
+            ), ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(count(*) FILTER (WHERE n < k) AS BIGINT)
+                       AS n_groups_below,
+                   CAST(COALESCE(sum(n) FILTER (WHERE n < k), 0) AS BIGINT)
+                       AS n_rows_below,
+                   CAST(count(*) AS BIGINT) AS n_groups_total
+            FROM ks CROSS JOIN sizes
+            GROUP BY k ORDER BY k
+        """,
+        "hourly_value_p95": """
+            -- exact discrete p95 per tumbling hour: min cents with
+            -- 20*cum >= 19*n (all-integer CDF rule, no float quantile)
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events
+            ), hc AS (
+                SELECT hour, cents, count(*) AS c FROM h GROUP BY 1, 2
+            ), cdf AS (
+                SELECT hour, cents,
+                       sum(c) OVER (PARTITION BY hour ORDER BY cents)
+                           AS cum,
+                       sum(c) OVER (PARTITION BY hour) AS n
+                FROM hc
+            )
+            SELECT hour, CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(cents) FILTER (WHERE 20 * cum >= 19 * n)
+                        AS BIGINT) AS p95_cents
+            FROM cdf GROUP BY hour
+            ORDER BY n DESC, hour LIMIT 50
+        """,
         "embedding_class_scatter": """
             -- within-class scatter from exact integer sufficient stats at
             -- the x2^10 grid: A = sum q^2, B = sum_d (sum_i q)^2,

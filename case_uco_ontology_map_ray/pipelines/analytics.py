@@ -4402,3 +4402,85 @@ def event_markov_stationary(sf_dir: str, iters: int = 3) -> pd.DataFrame:
     return pd.DataFrame({
         "event_type": states,
         "p_stat_micro": round_away(pi * 1e6, 0).astype(np.int64)})
+
+
+def customer_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (nation, market segment) — the privacy-governance check a
+    training-data release runs before shipping: for each threshold k,
+    how many QI equivalence classes have fewer than k members and how
+    many rows those classes expose. Returns one row per k in (2, 5, 10,
+    20): (k, n_groups_below, n_rows_below, n_groups_total).
+
+    Shape: per-batch partial counts over the BOUNDED QI domain
+    (|nations| x |segments|); the class-size table is QI-domain-sized by
+    definition, so the driver rollup is constant-size at any corpus
+    scale. Oracle: SQL HAVING/“FILTER over group sizes” twin.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["c_nationkey", "c_mktsegment"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["c_nationkey", "c_mktsegment", "n_part"])
+
+    sizes = grouped_sums(ds.map_batches(partial, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["c_nationkey", "c_mktsegment"],
+                         sum_cols={"n": "n_part"})
+    cols = ["k", "n_groups_below", "n_rows_below", "n_groups_total"]
+    if sizes.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    n = sizes["n"].astype("int64").to_numpy()
+    rows = [(k, int((n < k).sum()), int(n[n < k].sum()), len(n))
+            for k in (2, 5, 10, 20)]
+    return pd.DataFrame(rows, columns=cols).astype("int64")
+
+
+def hourly_value_p95(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Exact p95 of event value (cents) per tumbling calendar hour — the
+    ops-telemetry windowed percentile. Discrete rule, all-integer:
+    p95 = min cents whose cumulative count satisfies ``20*cum >= 19*n``
+    (i.e. cum >= 0.95n without touching floats), so the SQL window twin
+    compares exactly. Top-``k`` busiest hours by (n DESC, hour).
+
+    Shape: per-batch (hour, cents) partial counts shrink the exchange to
+    distinct pairs; hour co-groups compute each hour's CDF pick in one
+    sorted pass per bucket and emit one row per hour.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    cols = ["hour", "n", "p95_cents"]
+    empty = pd.DataFrame({"hour": pd.Series(dtype="datetime64[us]")}
+                         | {c: pd.Series(dtype="int64") for c in cols[1:]})
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        x = pa.table({"hour": hour, "cents": _scale_i64(t.column("value"),
+                                                        100.0)})
+        agg = x.group_by(["hour", "cents"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["hour", "cents", "n_part"])
+
+    parts = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["__bucket"])
+             .groupby(["hour", "cents"], as_index=False)
+             .agg(c=("n_part", "sum"))
+             .sort_values(["hour", "cents"], kind="mergesort"))
+        out = []
+        for hour, sub in g.groupby("hour", sort=False):
+            cum = sub["c"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            pick = int(np.searchsorted(20 * cum, 19 * n, side="left"))
+            out.append((hour, n, int(sub["cents"].iloc[pick])))
+        return pd.DataFrame(out, columns=cols)
+
+    res = _keyed_segments(parts, "hour").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if res.empty or "hour" not in res.columns:
+        return empty
+    res = res.sort_values(["n", "hour"], ascending=[False, True]).head(k)
+    return (res.reset_index(drop=True)
+            .astype({"n": "int64", "p95_cents": "int64"}))

@@ -68,6 +68,42 @@ def test_rfm_aggregates_per_customer(tmp_path):
     assert (big["r_bin"], big["f_bin"], big["m_bin"]) == (3, 3, 3)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_k_anonymity_hand_case(tmp_path):
+    """Classes of sizes 1, 3, 7: below k=2 -> 1 class / 1 row; below k=5
+    -> 2 classes / 4 rows; below k=10 and 20 -> all 3 / 11 rows."""
+    nk = [1] * 1 + [2] * 3 + [3] * 7
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array(range(len(nk)), pa.int64()),
+        "c_nationkey": pa.array(nk, pa.int32()),
+        "c_mktsegment": pa.array(["S"] * len(nk)),
+    }))
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        customer_k_anonymity,
+    )
+    out = customer_k_anonymity(str(tmp_path)).set_index("k")
+    assert out.loc[2].tolist() == [1, 1, 3]
+    assert out.loc[5].tolist() == [2, 4, 3]
+    assert out.loc[10].tolist() == [3, 11, 3]
+    assert out.loc[20].tolist() == [3, 11, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hourly_p95_integer_rule(tmp_path):
+    """20 values 1..20 in one hour: p95 = min v with 20*cum >= 19*20,
+    i.e. cum >= 19 -> v = 19 (the discrete lower-p95, not interpolated)."""
+    ts = [np.datetime64("2024-01-01T10:00:00", "us")
+          + np.timedelta64(i, "m") for i in range(20)]
+    _write(tmp_path, "events", pa.table({
+        "ts": pa.array(ts),
+        "value": pa.array([float(v) for v in range(1, 21)], pa.float64()),
+    }))
+    from case_uco_ontology_map_ray.pipelines.analytics import hourly_value_p95
+    out = hourly_value_p95(str(tmp_path))
+    assert len(out) == 1
+    assert out.iloc[0]["n"] == 20 and out.iloc[0]["p95_cents"] == 1900
+
+
 def _events(users_types_ts):
     uid, et, ts, eid = zip(*users_types_ts)
     return pa.table({
