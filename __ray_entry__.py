@@ -205,6 +205,14 @@ def _transcript_tool_usage(sf_dir: str):
     return tool_usage_stats(_transcripts_for(sf_dir))
 
 
+def _transcript_tool_lift(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.transcript_prep import (
+        tool_copresence_lift,
+    )
+
+    return tool_copresence_lift(_transcripts_for(sf_dir))
+
+
 def _kg_degree_assortativity(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import (
@@ -1082,6 +1090,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_tool_usage": _transcript_tool_usage,
         "customer_k_anonymity": analytics.customer_k_anonymity,
         "hourly_value_p95": analytics.hourly_value_p95,
+        "transcript_tool_lift": _transcript_tool_lift,
+        "user_event_type_runs": analytics.user_event_type_runs,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -1526,6 +1536,32 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{transcripts_glob}')
             WHERE role = 'tool' AND tool IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """
+    transcript_tool_lift_sql = f"""
+            -- tool co-presence association: lift = n_convs * n_ab /
+            -- (n_a * n_b) over distinct (conv, tool) incidence
+            WITH ct AS (
+                SELECT DISTINCT conv_id, tool
+                FROM read_parquet('{transcripts_glob}')
+                WHERE role = 'tool' AND tool IS NOT NULL
+            ), singles AS (SELECT tool, count(*) AS n FROM ct GROUP BY 1),
+            nc AS (SELECT count(DISTINCT conv_id) AS n FROM ct),
+            pairs AS (
+                SELECT a.tool AS tool_a, b.tool AS tool_b,
+                       count(*) AS n_ab
+                FROM ct a JOIN ct b
+                  ON a.conv_id = b.conv_id AND a.tool < b.tool
+                GROUP BY 1, 2
+            )
+            SELECT p.tool_a, p.tool_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+                   CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(round((1e9 * (CAST((SELECT n FROM nc) AS DOUBLE)
+                                      * n_ab))
+                              / (CAST(sa.n AS DOUBLE) * sb.n), 0) AS BIGINT)
+                       AS lift_nano
+            FROM pairs p JOIN singles sa ON p.tool_a = sa.tool
+                         JOIN singles sb ON p.tool_b = sb.tool
+            ORDER BY p.tool_a, p.tool_b
         """
     # assortativity oracle: degrees are exact ints, so every sufficient
     # statistic is an exact integer sum; one pinned corr expression
@@ -2370,6 +2406,30 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_assortativity": kg_degree_assortativity_sql,
         "transcript_turn_latency": transcript_turn_latency_sql,
         "transcript_tool_usage": transcript_tool_usage_sql,
+        "transcript_tool_lift": transcript_tool_lift_sql,
+        "user_event_type_runs": """
+            -- run-length encoding of user event streams: the classic
+            -- rn - rn_per_(user,type) islands trick; top-25 longest runs
+            WITH e AS (
+                SELECT user_id, event_type, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS rnt
+                FROM events
+            ), runs AS (
+                SELECT user_id, event_type,
+                       CAST(count(*) AS BIGINT) AS run_len,
+                       min(ts) AS run_start, max(ts) AS run_end
+                FROM e GROUP BY user_id, event_type, rn - rnt
+            )
+            SELECT user_id, event_type, run_len, run_start, run_end
+            FROM runs
+            ORDER BY run_len DESC, user_id, run_start, event_type
+            LIMIT 25
+        """,
         "customer_k_anonymity": """
             -- k-anonymity audit over the (nation, segment) QI classes
             WITH sizes AS (

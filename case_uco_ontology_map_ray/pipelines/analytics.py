@@ -4484,3 +4484,59 @@ def hourly_value_p95(sf_dir: str, k: int = 50) -> pd.DataFrame:
     res = res.sort_values(["n", "hour"], ascending=[False, True]).head(k)
     return (res.reset_index(drop=True)
             .astype({"n": "int64", "p95_cents": "int64"}))
+
+
+def user_event_type_runs(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Run-length encoding of each user's event stream: maximal runs of
+    consecutive same-type events in (ts, event_id) order, reported as the
+    top-``k`` longest runs (run_len DESC, user, start, type) — the
+    SCD2/sequence-compaction shape: every interval row is (key, value,
+    valid_from, valid_to).
+
+    Shape: user co-groups detect ALL users' run boundaries in one
+    vectorized pass per bucket (boundary = user change OR type change) and
+    emit only the bucket-local top-k; runs never cross buckets because
+    users don't. Oracle: the rn - rn_per_(user,type) islands trick — see
+    __ray_entry__.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    cols = ["user_id", "event_type", "run_len", "run_start", "run_end"]
+    empty = pd.DataFrame({
+        "user_id": pd.Series(dtype="int64"),
+        "event_type": pd.Series(dtype="object"),
+        "run_len": pd.Series(dtype="int64"),
+        "run_start": pd.Series(dtype="datetime64[us]"),
+        "run_end": pd.Series(dtype="datetime64[us]")})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty
+        g = (g.drop(columns=["__bucket"])
+             .sort_values(["user_id", "ts", "event_id"], kind="mergesort"))
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        new_run = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        rid = np.cumsum(new_run)
+        out = (pd.DataFrame({"rid": rid, "user_id": uid, "event_type": et,
+                             "ts": g["ts"].to_numpy()})
+               .groupby("rid", sort=False)
+               .agg(user_id=("user_id", "first"),
+                    event_type=("event_type", "first"),
+                    run_len=("ts", "size"), run_start=("ts", "min"),
+                    run_end=("ts", "max"))
+               .reset_index(drop=True))
+        return (out.sort_values(
+            ["run_len", "user_id", "run_start", "event_type"],
+            ascending=[False, True, True, True], kind="mergesort")
+            .head(k).astype({"user_id": "int64", "run_len": "int64"}))
+
+    res = _keyed_segments(ds, "user_id").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if res.empty or "run_len" not in res.columns:
+        return empty
+    return (res.sort_values(["run_len", "user_id", "run_start",
+                             "event_type"],
+                            ascending=[False, True, True, True],
+                            kind="mergesort")
+            .head(k).reset_index(drop=True)[cols])

@@ -296,3 +296,98 @@ def tool_usage_stats(source: "str | rd.Dataset") -> pd.DataFrame:
         return empty
     return (agg[cols].astype({c: "int64" for c in cols[1:]})
             .sort_values("tool").reset_index(drop=True))
+
+
+def tool_copresence_lift(source: "str | rd.Dataset") -> pd.DataFrame:
+    """Association mining over the agent's tool usage: for every tool pair
+    (a < b), in how many conversations do BOTH appear, and how does that
+    compare to independence — ``lift = n_convs * n_ab / (n_a * n_b)``
+    (nano, one pinned IEEE expression over exact int64 counts). The
+    telemetry a tool-routing designer reads to find coupled tools.
+
+    Shape: distinct (conv, tool) pairs via a per-batch combiner; each
+    conversation's pair fan-out happens inside conv co-groups (tools per
+    conv is bounded by the tool domain, so C(k,2) is tiny); the pair
+    exchange is tool-pair-domain-sized. Oracle: SQL self-join on distinct
+    pairs — see __ray_entry__.
+    """
+    from ..ops.agg import grouped_sums, round_away
+    from ..ops.joins import _mix_bucket
+
+    ds = _read_turns(source, columns=["conv_id", "role", "tool"])
+    cols = ["tool_a", "tool_b", "n_ab", "n_a", "n_b", "lift_nano"]
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        role = t.column("role")
+        if pa.types.is_dictionary(role.type):
+            role = role.cast(pa.string())
+        tool = t.column("tool")
+        if pa.types.is_dictionary(tool.type):
+            tool = tool.cast(pa.string())
+        x = pa.table({"conv_id": t.column("conv_id"), "tool": tool}).filter(
+            pc.and_(pc.equal(role, "tool"), pc.is_valid(tool)))
+        return x.group_by(["conv_id", "tool"]).aggregate([])
+
+    pre = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _mix_bucket(t.column("conv_id"), 64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop(columns=["__b"])
+             .drop_duplicates(["conv_id", "tool"])
+             .sort_values(["conv_id", "tool"], kind="mergesort"))
+        rows = {"tool_a": [], "tool_b": [], "n_part": []}
+        singles = {"tool": [], "n_part": []}
+        n_convs_part = 0
+        for _, sub in g.groupby("conv_id", sort=False):
+            ts = sub["tool"].tolist()
+            n_convs_part += 1
+            singles["tool"].extend(ts)
+            singles["n_part"].extend([1] * len(ts))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    rows["tool_a"].append(ts[i])
+                    rows["tool_b"].append(ts[j])
+                    rows["n_part"].append(1)
+        pairs = (pd.DataFrame(rows)
+                 .groupby(["tool_a", "tool_b"], as_index=False)
+                 .agg(n_part=("n_part", "sum")))
+        pairs["kind"] = "pair"
+        sing = (pd.DataFrame(singles).groupby("tool", as_index=False)
+                .agg(n_part=("n_part", "sum"))
+                .rename(columns={"tool": "tool_a"}))
+        sing["tool_b"] = ""
+        sing["kind"] = "single"
+        conv = pd.DataFrame({"tool_a": ["__convs__"], "tool_b": [""],
+                             "n_part": [n_convs_part], "kind": ["conv"]})
+        return pd.concat([pairs, sing, conv], ignore_index=True)[
+            ["kind", "tool_a", "tool_b", "n_part"]]
+
+    parts = (pre.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket, batch_format="pandas"))
+    agg = grouped_sums(parts, keys=["kind", "tool_a", "tool_b"],
+                       sum_cols={"n": "n_part"})
+    empty = pd.DataFrame({c: pd.Series(dtype="object" if c.startswith("tool")
+                                       else "int64") for c in cols})
+    if agg.empty:
+        return empty
+    n_convs = int(agg.loc[agg["kind"] == "conv", "n"].sum())
+    sing = agg[agg["kind"] == "single"].set_index("tool_a")["n"]
+    pairs = agg[agg["kind"] == "pair"].copy()
+    if pairs.empty or n_convs == 0:
+        return empty
+    na = sing.loc[pairs["tool_a"]].to_numpy(np.int64)
+    nb = sing.loc[pairs["tool_b"]].to_numpy(np.int64)
+    nab = pairs["n"].to_numpy(np.int64)
+    # pinned expression (verbatim in SQL): 1e9 * (n_convs * n_ab) / (n_a * n_b)
+    lift = round_away(
+        (1e9 * (np.float64(n_convs) * nab)) / (na.astype(np.float64) * nb), 0)
+    out = pd.DataFrame({"tool_a": pairs["tool_a"].to_numpy(),
+                        "tool_b": pairs["tool_b"].to_numpy(),
+                        "n_ab": nab, "n_a": na, "n_b": nb,
+                        "lift_nano": lift.astype(np.int64)})
+    return (out.sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
+            .astype({c: "int64" for c in ["n_ab", "n_a", "n_b",
+                                          "lift_nano"]}))

@@ -104,6 +104,31 @@ def test_hourly_p95_integer_rule(tmp_path):
     assert out.iloc[0]["n"] == 20 and out.iloc[0]["p95_cents"] == 1900
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_event_type_runs_hand_case(tmp_path):
+    """Stream A A A B A for user 1 and A A for user 2: runs are
+    (1,A,3), (1,B,1), (1,A,1), (2,A,2) — runs split on type change and
+    never merge across the gap or across users."""
+    rows = [(1, "A", "2024-01-01T00:00:00", 0),
+            (1, "A", "2024-01-01T00:01:00", 1),
+            (1, "A", "2024-01-01T00:02:00", 2),
+            (1, "B", "2024-01-01T00:03:00", 3),
+            (1, "A", "2024-01-01T00:04:00", 4),
+            (2, "A", "2024-01-01T00:00:00", 5),
+            (2, "A", "2024-01-01T00:05:00", 6)]
+    _write(tmp_path, "events", _events(rows))
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        user_event_type_runs,
+    )
+    out = user_event_type_runs(str(tmp_path))
+    got = list(zip(out["user_id"], out["event_type"], out["run_len"]))
+    # equal-length runs order by run_start: B (00:03) precedes A (00:04)
+    assert got == [(1, "A", 3), (2, "A", 2), (1, "B", 1), (1, "A", 1)]
+    top = out.iloc[0]
+    assert str(top["run_start"]) == "2024-01-01 00:00:00"
+    assert str(top["run_end"]) == "2024-01-01 00:02:00"
+
+
 def _events(users_types_ts):
     uid, et, ts, eid = zip(*users_types_ts)
     return pa.table({
