@@ -1092,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_value_p95": analytics.hourly_value_p95,
         "transcript_tool_lift": _transcript_tool_lift,
         "user_event_type_runs": analytics.user_event_type_runs,
+        "split_leakage_audit": corpus.split_leakage_audit,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -2407,6 +2408,47 @@ def oracle_sql() -> dict[str, str]:
         "transcript_turn_latency": transcript_turn_latency_sql,
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,
+        "split_leakage_audit": r"""
+            -- near-dup pairs crossing the 80/10/10 md5 split: the
+            -- ngram_jaccard_exact pair CTE + the doc_split_assign rule
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, list_distinct(CASE
+                  WHEN len(toks) >= 3 THEN
+                      [concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                       for i in generate_series(1, len(toks) - 2)]
+                  WHEN len(toks) >= 1 THEN [array_to_string(toks, ' ')]
+                  ELSE [] END) AS s
+              FROM tok
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                          ELSE len(list_intersect(a.s, b.s)) * 1.0
+                               / len(list_distinct(list_concat(a.s, b.s)))
+                     END AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), sp AS (
+              SELECT doc_id,
+                     CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                                       || ':42'), 1, 8))
+                                AS BIGINT) % 100 AS b
+                    FROM documents)
+            )
+            SELECT p.id_a, p.id_b, round(p.jac, 4) AS jac,
+                   sa.split AS split_a, sb.split AS split_b,
+                   CAST(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END
+                        AS BIGINT) AS leaky
+            FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+                         JOIN sp sb ON p.id_b = sb.doc_id
+            WHERE p.jac >= 0.3  -- pre-round, same boundary as the exact twin
+            ORDER BY p.id_a, p.id_b
+        """,
         "user_event_type_runs": """
             -- run-length encoding of user event streams: the classic
             -- rn - rn_per_(user,type) islands trick; top-25 longest runs

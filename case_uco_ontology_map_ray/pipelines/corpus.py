@@ -1143,6 +1143,47 @@ def corpus_prep_report(sf_dir: str) -> pd.DataFrame:
     return out[cols].sort_values("lang").reset_index(drop=True)
 
 
+def split_leakage_audit(sf_dir: str, tau: float = 0.3) -> pd.DataFrame:
+    """Train/eval split LEAKAGE audit (the governance check behind every
+    held-out benchmark number): list the near-duplicate document pairs
+    whose endpoints landed in DIFFERENT splits of the deterministic
+    80/10/10 assignment — a near-dup of a training doc sitting in test
+    silently inflates eval. Composes two already-oracled surfaces: the
+    exact word-3-gram Jaccard pair set (``ngram_jaccard_exact``) and the
+    md5 split rule (``doc_split_assign``). Returns (id_a, id_b, jac,
+    split_a, split_b, leaky) for every pair with jac >= tau.
+
+    Scale shape: the split label is a PURE FUNCTION of (doc_id, seed), so
+    pair endpoints are labeled by recomputation — no join against a
+    corpus-sized split table anywhere; the pair set itself is the exact
+    operator's contract (its LSH sibling is the 100-TB path — plug
+    ``ngram_jaccard_pairs`` in unchanged, the annotation is map-only).
+    """
+    import hashlib
+
+    pairs = dd.ngram_jaccard_exact(_docs(sf_dir, ["doc_id", "text"]))
+    cols = ["id_a", "id_b", "jac", "split_a", "split_b", "leaky"]
+    if pairs.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "jac": pd.Series(dtype="float64"),
+             "split_a": pd.Series(dtype="object"),
+             "split_b": pd.Series(dtype="object"),
+             "leaky": pd.Series(dtype="int64")})
+    pairs = pairs[pairs["jac"] >= tau].copy()
+
+    def split_of(key: int) -> str:
+        b = int(hashlib.md5(f"{key}:42".encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    pairs["split_a"] = [split_of(int(k)) for k in pairs["id_a"]]
+    pairs["split_b"] = [split_of(int(k)) for k in pairs["id_b"]]
+    pairs["leaky"] = (pairs["split_a"] != pairs["split_b"]).astype("int64")
+    return (pairs[cols].astype({"id_a": "int64", "id_b": "int64"})
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
 def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
     """Per-vector norm screening (the sanity filter that precedes any
     cosine/ANN stage: zero or exploding norms break normalization): for

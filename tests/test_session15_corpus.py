@@ -196,6 +196,30 @@ def test_embedding_class_scatter_hand_case(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_split_leakage_audit_flags_cross_split_neardups(tmp_path):
+    """Identical texts are jac-1.0 pairs; leaky iff the md5 80/10/10 rule
+    puts the two doc_ids in different splits — verified against the rule
+    computed independently here."""
+    from case_uco_ontology_map_ray.pipelines.corpus import split_leakage_audit
+
+    text = "alpha beta gamma delta epsilon zeta"
+    ids = [1, 2, 3, 4]
+    _write_docs(tmp_path, ids, [text] * 4)
+    out = split_leakage_audit(str(tmp_path))
+    assert len(out) == 6  # C(4,2) identical pairs, all jac 1.0
+    assert (out["jac"] == 1.0).all()
+
+    def split_of(k):
+        b = int(hashlib.md5(f"{k}:42".encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    for _, r in out.iterrows():
+        assert r["split_a"] == split_of(r["id_a"])
+        assert r["split_b"] == split_of(r["id_b"])
+        assert r["leaky"] == int(r["split_a"] != r["split_b"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zipf_exact_power_law(tmp_path):
     """A corpus whose token counts are exactly c_r = round(1000 / r)
     fits slope near -1 (within the discretization error of the rounded
