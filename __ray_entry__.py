@@ -1093,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_tool_lift": _transcript_tool_lift,
         "user_event_type_runs": analytics.user_event_type_runs,
         "split_leakage_audit": corpus.split_leakage_audit,
+        "functional_dependency_audit": analytics.functional_dependency_audit,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -2408,6 +2409,34 @@ def oracle_sql() -> dict[str, str]:
         "transcript_turn_latency": transcript_turn_latency_sql,
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,
+        "functional_dependency_audit": """
+            -- FD discovery audit: per candidate LHS -> RHS, violating-LHS
+            -- count and worst fan-out from count(DISTINCT rhs) per lhs
+            WITH fd AS (
+                SELECT 'orderkey_to_custkey' AS fd, o_orderkey AS lhs,
+                       CAST(o_custkey AS VARCHAR) AS rhs FROM orders
+                UNION ALL
+                SELECT 'orderkey_to_priority', o_orderkey,
+                       o_orderpriority FROM orders
+                UNION ALL
+                SELECT 'custkey_to_priority', o_custkey,
+                       o_orderpriority FROM orders
+                UNION ALL
+                SELECT 'orderkey_to_returnflag', l_orderkey,
+                       l_returnflag FROM lineitem
+                UNION ALL
+                SELECT 'partkey_to_suppkey', l_partkey,
+                       CAST(l_suppkey AS VARCHAR) FROM lineitem
+            ), per AS (
+                SELECT fd, lhs, count(DISTINCT rhs) AS v
+                FROM fd GROUP BY 1, 2
+            )
+            SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs,
+                   CAST(count(*) FILTER (WHERE v > 1) AS BIGINT)
+                       AS n_violating_lhs,
+                   CAST(max(v) AS BIGINT) AS max_rhs_variants
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
         "split_leakage_audit": r"""
             -- near-dup pairs crossing the 80/10/10 md5 split: the
             -- ngram_jaccard_exact pair CTE + the doc_split_assign rule

@@ -4540,3 +4540,69 @@ def user_event_type_runs(sf_dir: str, k: int = 25) -> pd.DataFrame:
                             ascending=[False, True, True, True],
                             kind="mergesort")
             .head(k).reset_index(drop=True)[cols])
+
+
+# Candidate functional dependencies audited by functional_dependency_audit:
+# (name, table, lhs, rhs). Mix of expected-to-hold (PK-backed) and
+# expected-to-fail dependencies so both outcomes stay externally gated.
+_FD_CANDIDATES = (
+    ("orderkey_to_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orderkey_to_priority", "orders", "o_orderkey", "o_orderpriority"),
+    ("custkey_to_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("orderkey_to_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("partkey_to_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+)
+
+
+def functional_dependency_audit(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery audit (the schema-profiling check a
+    warehouse runs before declaring constraints): for each candidate
+    LHS -> RHS dependency, how many LHS values map to MORE than one RHS
+    value, and the worst fan-out. PK-backed candidates must report zero
+    violations; many-to-many candidates quantify how far from functional
+    they are. One row per candidate: (fd, n_lhs, n_violating_lhs,
+    max_rhs_variants).
+
+    Shape: per-batch distinct (lhs, rhs) pairs are the combiner (the
+    exchange carries distinct pairs, never rows); LHS-bucketed co-groups
+    count RHS variants per LHS locally (an LHS never spans buckets) and
+    emit per-bucket partials — driver state is one row per candidate.
+
+    Oracle: SQL count(DISTINCT rhs) HAVING twin — see __ray_entry__.
+    """
+    from ..ops.joins import _mix_bucket
+
+    cols = ["fd", "n_lhs", "n_violating_lhs", "max_rhs_variants"]
+    rows = []
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        ds = rd.read_parquet(_t(sf_dir, table), columns=[lhs, rhs])
+
+        def distinct_pairs(t: pa.Table, _l=lhs, _r=rhs) -> pa.Table:
+            return t.group_by([_l, _r]).aggregate([])
+
+        def add_bucket(t: pa.Table, _l=lhs) -> pa.Table:
+            return t.append_column("__b", _mix_bucket(t.column(_l), 64))
+
+        def per_bucket(g: pd.DataFrame, _l=lhs, _r=rhs) -> pd.DataFrame:
+            g = (g.drop(columns=["__b"]).drop_duplicates([_l, _r])
+                 .groupby(_l, as_index=False).agg(v=(_r, "size")))
+            return pd.DataFrame({
+                "n_lhs_part": [len(g)],
+                "n_viol_part": [int((g["v"] > 1).sum())],
+                "max_v_part": [int(g["v"].max()) if len(g) else 0]})
+
+        parts = (ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby("__b").map_groups(per_bucket,
+                                            batch_format="pandas")
+                 .to_pandas())
+        if parts.empty or "n_lhs_part" not in parts.columns:
+            rows.append((name, 0, 0, 0))
+        else:
+            rows.append((name, int(parts["n_lhs_part"].sum()),
+                         int(parts["n_viol_part"].sum()),
+                         int(parts["max_v_part"].max())))
+    out = pd.DataFrame(rows, columns=cols)
+    return (out.astype({c: "int64" for c in cols[1:]})
+            .sort_values("fd").reset_index(drop=True))

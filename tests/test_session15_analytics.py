@@ -129,6 +129,33 @@ def test_event_type_runs_hand_case(tmp_path):
     assert str(top["run_end"]) == "2024-01-01 00:02:00"
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_fd_audit_holds_and_violations(tmp_path):
+    """PK-backed FD (orderkey -> custkey) reports 0 violations; the
+    planted custkey -> priority violation (cust 1 uses two priorities)
+    reports 1 violating LHS with fan-out 2."""
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderpriority": pa.array(["HIGH", "LOW", "LOW"]),
+    }))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([10, 10], pa.int64()),
+        "l_partkey": pa.array([5, 5], pa.int64()),
+        "l_suppkey": pa.array([7, 8], pa.int64()),
+        "l_returnflag": pa.array(["N", "N"]),
+    }))
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        functional_dependency_audit,
+    )
+    out = functional_dependency_audit(str(tmp_path)).set_index("fd")
+    assert out.loc["orderkey_to_custkey", "n_violating_lhs"] == 0
+    assert out.loc["custkey_to_priority", "n_violating_lhs"] == 1
+    assert out.loc["custkey_to_priority", "max_rhs_variants"] == 2
+    assert out.loc["partkey_to_suppkey", "n_violating_lhs"] == 1
+    assert out.loc["orderkey_to_returnflag", "n_violating_lhs"] == 0
+
+
 def _events(users_types_ts):
     uid, et, ts, eid = zip(*users_types_ts)
     return pa.table({
