@@ -1094,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_type_runs": analytics.user_event_type_runs,
         "split_leakage_audit": corpus.split_leakage_audit,
         "functional_dependency_audit": analytics.functional_dependency_audit,
+        "logreg_click_purchase": analytics.logreg_click_purchase,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -1305,6 +1306,47 @@ def _event_type_pivot_sql() -> str:
                    {cols},
                    CAST(count(*) AS BIGINT) AS n_total
             FROM events GROUP BY 1 ORDER BY day
+        """
+
+
+def _logreg_sql(iters: int = 3) -> str:
+    """Unrolled gradient-descent twin of analytics.logreg_click_purchase:
+    per-round micro-quantized int gradient sums + the pinned 6dp update
+    expression; MATERIALIZED round CTEs (each references its predecessor
+    twice — the kg_kcore inlining lesson)."""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f"""g{i + 1} AS MATERIALIZED (
+                SELECT sum(CAST(round(1e6 * (1/(1+exp(-(p{i}.a + p{i}.b * x)))
+                                            - y), 0) AS BIGINT)) AS sa,
+                       sum(CAST(round(1e6 * ((1/(1+exp(-(p{i}.a + p{i}.b * x)))
+                                              - y) * x), 0) AS BIGINT)) AS sb
+                FROM pts, p{i}
+            ), p{i + 1} AS MATERIALIZED (
+                SELECT round(p{i}.a - 0.05 * (CAST(g{i + 1}.sa AS DOUBLE)
+                                              / 1e6) / (SELECT n FROM nn), 6)
+                           AS a,
+                       round(p{i}.b - 0.05 * (CAST(g{i + 1}.sb AS DOUBLE)
+                                              / 1e6) / (SELECT n FROM nn), 6)
+                           AS b
+                FROM p{i}, g{i + 1}
+            )""")
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS iter,
+                   CAST(round(p{i}.a * 1e9, 0) AS BIGINT) AS a_nano,
+                   CAST(round(p{i}.b * 1e9, 0) AS BIGINT) AS b_nano
+            FROM p{i}""" for i in range(1, iters + 1))
+    return f"""
+            WITH pts AS MATERIALIZED (
+                SELECT CAST(round(value * 100, 0) AS BIGINT) / 10000.0 AS x,
+                       CASE WHEN event_type = 'purchase' THEN 1.0
+                            ELSE 0.0 END AS y
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ), nn AS (SELECT count(*) AS n FROM pts),
+            p0 AS (SELECT 0.0 AS a, 0.0 AS b),
+            {', '.join(rounds)}
+            {selects}
+            ORDER BY iter
         """
 
 
@@ -2409,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_turn_latency": transcript_turn_latency_sql,
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,
+        "logreg_click_purchase": _logreg_sql(),
         "functional_dependency_audit": """
             -- FD discovery audit: per candidate LHS -> RHS, violating-LHS
             -- count and worst fan-out from count(DISTINCT rhs) per lhs

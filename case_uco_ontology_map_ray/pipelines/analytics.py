@@ -4606,3 +4606,69 @@ def functional_dependency_audit(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=cols)
     return (out.astype({c: "int64" for c in cols[1:]})
             .sort_values("fd").reset_index(drop=True))
+
+
+def logreg_click_purchase(sf_dir: str, iters: int = 3,
+                          lr: float = 0.05) -> pd.DataFrame:
+    """Distributed LOGISTIC REGRESSION TRAINING on Ray Data: fit
+    P(purchase | value) vs clicks by full-batch gradient descent —
+    the model-training dataflow itself (broadcast parameters -> per-batch
+    vectorized sigmoid -> gradient partials -> driver update), not just
+    feature statistics. Feature x = cents/1e4, label y = 1 for purchase.
+
+    Cross-engine exactness (the pagerank/HITS discipline applied to SGD):
+    every per-row gradient term is quantized to int64 micro BEFORE the
+    sum, so the gradient reduction is an order-exact integer sum; the
+    parameter update is ONE pinned IEEE expression per round, 6dp-rounded
+    (a 6dp decimal re-parses to the identical double on both engines), so
+    both engines carry bit-identical (a, b) into the next round's libm
+    exp. Returns one row per round: (iter, a_nano, b_nano).
+
+    Shape: the (x, y) projection is materialized once and re-scanned per
+    round; the exchange per round is one (sa, sb) int pair per block.
+    Oracle: ``iters`` unrolled MATERIALIZED rounds — see __ray_entry__.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if pa.types.is_dictionary(et.type):
+            et = et.cast(pa.string())
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        x = pa.table({"et": et, "value": t.column("value")}).filter(keep)
+        cents = _scale_i64(x.column("value"), 100.0)
+        return pa.table({
+            "x": pc.divide(cents.cast(pa.float64()), pa.scalar(10000.0)),
+            "y": pc.cast(pc.equal(x.column("et"), "purchase"),
+                         pa.int8()).cast(pa.float64())})
+
+    pts = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    n = pts.count()
+    if n == 0:
+        return pd.DataFrame({"iter": pd.Series(dtype="int64"),
+                             "a_nano": pd.Series(dtype="int64"),
+                             "b_nano": pd.Series(dtype="int64")})
+    a, b = 0.0, 0.0
+    rows = []
+    for it in range(1, iters + 1):
+        def grad_part(t: pa.Table, _a=a, _b=b) -> pa.Table:
+            x = t.column("x").to_numpy(zero_copy_only=False)
+            y = t.column("y").to_numpy(zero_copy_only=False)
+            p = 1.0 / (1.0 + np.exp(-(_a + _b * x)))
+            ga = round_away(1e6 * (p - y), 0).astype(np.int64)
+            gb = round_away(1e6 * ((p - y) * x), 0).astype(np.int64)
+            return pa.table({"sa": pa.array([int(ga.sum())], pa.int64()),
+                             "sb": pa.array([int(gb.sum())], pa.int64())})
+
+        parts = pts.map_batches(grad_part, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+        sa, sb = int(parts["sa"].sum()), int(parts["sb"].sum())
+        # pinned update expression (verbatim in SQL, left-assoc * /):
+        a = float(round_away(a - lr * (float(sa) / 1e6) / n, 6))
+        b = float(round_away(b - lr * (float(sb) / 1e6) / n, 6))
+        rows.append((it, int(round_away(a * 1e9, 0)),
+                     int(round_away(b * 1e9, 0))))
+    return pd.DataFrame(rows, columns=["iter", "a_nano", "b_nano"]) \
+        .astype("int64")

@@ -156,6 +156,29 @@ def test_fd_audit_holds_and_violations(tmp_path):
     assert out.loc["orderkey_to_returnflag", "n_violating_lhs"] == 0
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_logreg_learns_direction_and_is_deterministic(tmp_path):
+    """Purchases at high values, clicks at low: gradient descent must push
+    the slope b positive and the learning must be deterministic (the
+    quantized-gradient reduction is order-exact by construction)."""
+    rows, eid = [], 0
+    for v, et in [(1.0, "click")] * 20 + [(300.0, "purchase")] * 20:
+        rows.append((1, et, f"2024-01-01T00:{eid % 60:02d}:00", eid))
+        eid += 1
+    tab = _events(rows)
+    tab = tab.append_column("value", pa.array(
+        [1.0] * 20 + [300.0] * 20, pa.float64()))
+    _write(tmp_path, "events", tab)
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        logreg_click_purchase,
+    )
+    out = logreg_click_purchase(str(tmp_path))
+    assert list(out["iter"]) == [1, 2, 3]
+    assert out.iloc[-1]["b_nano"] > 0  # slope learned the separation
+    again = logreg_click_purchase(str(tmp_path))
+    pd.testing.assert_frame_equal(out, again)
+
+
 def _events(users_types_ts):
     uid, et, ts, eid = zip(*users_types_ts)
     return pa.table({
