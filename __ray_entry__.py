@@ -1095,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_audit": corpus.split_leakage_audit,
         "functional_dependency_audit": analytics.functional_dependency_audit,
         "logreg_click_purchase": analytics.logreg_click_purchase,
+        "nb_lang_confusion": corpus.nb_lang_confusion,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -2452,6 +2453,41 @@ def oracle_sql() -> dict[str, str]:
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,
         "logreg_click_purchase": _logreg_sql(),
+        "nb_lang_confusion": r"""
+            -- add-one multinomial NB language classifier: per-token class
+            -- terms 4dp-quantized to ints (order-exact per-doc sums),
+            -- argmax ties break by language name; no-token docs omitted
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tok2 AS (
+                SELECT doc_id, lang, tok FROM toks WHERE tok <> ''
+            ), model AS MATERIALIZED (
+                SELECT lang AS ml, tok, count(*) AS c FROM tok2 GROUP BY 1, 2
+            ), nl AS (SELECT ml, sum(c) AS nt FROM model GROUP BY 1),
+            vv AS (SELECT count(DISTINCT tok) AS v FROM tok2),
+            langs AS (SELECT DISTINCT ml FROM model),
+            scored AS (
+                SELECT t.doc_id, t.lang AS true_lang, l.ml AS cand,
+                       sum(CAST(round(1e4 * ln((COALESCE(m.c, 0) + 1) * 1.0
+                                               / (nl.nt + (SELECT v FROM vv))),
+                                      0) AS BIGINT)) AS s
+                FROM tok2 t CROSS JOIN langs l
+                LEFT JOIN model m ON m.ml = l.ml AND m.tok = t.tok
+                JOIN nl ON nl.ml = l.ml
+                GROUP BY 1, 2, 3
+            ), pred AS (
+                SELECT doc_id, true_lang, cand,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY s DESC, cand) AS rn
+                FROM scored
+            )
+            SELECT true_lang, cand AS pred_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pred WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "functional_dependency_audit": """
             -- FD discovery audit: per candidate LHS -> RHS, violating-LHS
             -- count and worst fan-out from count(DISTINCT rhs) per lhs

@@ -1184,6 +1184,112 @@ def split_leakage_audit(sf_dir: str, tau: float = 0.3) -> pd.DataFrame:
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 
 
+def nb_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Trained text classification on the Dataset dataflow: fit an
+    add-one-smoothed multinomial Naive Bayes language model from the
+    corpus (per-(lang, token) counts — one explode pass, one exchange),
+    score every document against every language and report the confusion
+    matrix (true_lang, pred_lang, n) — training AND inference distributed,
+    not just feature statistics.
+
+    Exactness: each per-token class term ``ln((c+1)/(n_lang+V))`` is
+    4dp-quantized to int64 before summing, so per-doc class scores are
+    order-exact integer sums; argmax ties break by language name. Docs
+    with no tokens carry no evidence and are omitted (the LM JOIN
+    semantics). Shape: the model is vocab x |langs| rows, broadcast once
+    via ray.put (bucket-join on tok past broadcast size, as unigram LM);
+    scoring is |langs| searchsorted lookups + CSR segment sums per batch.
+
+    Oracle: SQL cross-joins the token stream with the language set and
+    repeats the quantized scoring — see __ray_entry__.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..ops.agg import grouped_sums, round_away
+    from ..ops.text import _segment_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
+    cols = ["true_lang", "pred_lang", "n"]
+    empty = pd.DataFrame({"true_lang": pd.Series(dtype="object"),
+                          "pred_lang": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64")})
+
+    def fit_part(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        reps = np.diff(offs)
+        lang = np.repeat(t.column("lang").to_numpy(zero_copy_only=False),
+                         reps)
+        flat = pa.table({"lang": pa.array(lang),
+                         "tok": pc.list_flatten(toks)})
+        flat = flat.filter(pc.not_equal(flat.column("tok"), ""))
+        agg = flat.group_by(["lang", "tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "tok", "c_part"])
+
+    model = grouped_sums(ds.map_batches(fit_part, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["lang", "tok"], sum_cols={"c": "c_part"})
+    if model.empty:
+        return empty
+    v_total = model["tok"].nunique()
+    langs = sorted(model["lang"].unique())
+    per_lang = []
+    for lg in langs:
+        sub = model[model["lang"] == lg].sort_values("tok")
+        n_lang = int(sub["c"].sum())
+        denom = float(n_lang + v_total)
+        # pinned per-term expression (verbatim in SQL):
+        # round(1e4 * ln((c+1)*1.0/denom), 0); OOV tokens use c = 0
+        terms = round_away(
+            1e4 * np.log((sub["c"].to_numpy(np.int64) + 1) * 1.0 / denom),
+            0).astype(np.int64)
+        oov = int(round_away(1e4 * np.log(1.0 * 1.0 / denom), 0))
+        per_lang.append((lg, sub["tok"].to_numpy(), terms, oov))
+    handle = ray.put(per_lang)
+
+    def score(t: pa.Table) -> pa.Table:
+        pl = ray.get(handle)
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        vals = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        nonempty = vals != ""
+        kept = _segment_sum(nonempty.astype(np.int64), offs)
+        n_docs = len(offs) - 1
+        scores = np.empty((n_docs, len(pl)), dtype=np.int64)
+        for li, (_, mtoks, mterms, oov) in enumerate(pl):
+            ix = np.searchsorted(mtoks, vals)
+            hit = (ix < len(mtoks)) & (mtoks[np.minimum(
+                ix, len(mtoks) - 1)] == vals)
+            term = np.where(hit, mterms[np.minimum(ix, len(mtoks) - 1)],
+                            np.int64(oov))
+            term = np.where(nonempty, term, np.int64(0))
+            scores[:, li] = _segment_sum(term, offs)
+        # argmax with lang-ascending tie-break: langs are column-ordered
+        # ascending, so the FIRST max index is the tie-break winner
+        pred_ix = np.argmax(scores, axis=1)
+        keep = kept > 0
+        lang_names = np.array([lg for lg, _, _, _ in pl])
+        x = pa.table({
+            "true_lang": t.column("lang").filter(pa.array(keep)),
+            "pred_lang": pa.array(lang_names[pred_ix][keep]),
+        })
+        agg = x.group_by(["true_lang", "pred_lang"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["true_lang", "pred_lang", "n_part"])
+
+    out = grouped_sums(ds.map_batches(score, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       keys=["true_lang", "pred_lang"],
+                       sum_cols={"n": "n_part"})
+    if out.empty:
+        return empty
+    return (out[cols].astype({"n": "int64"})
+            .sort_values(["true_lang", "pred_lang"]).reset_index(drop=True))
+
+
 def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
     """Per-vector norm screening (the sanity filter that precedes any
     cosine/ANN stage: zero or exploding norms break normalization): for

@@ -220,6 +220,23 @@ def test_split_leakage_audit_flags_cross_split_neardups(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_nb_confusion_separable_languages(tmp_path):
+    """Fully separable vocabularies train a perfect classifier: the
+    confusion matrix is diagonal. An empty-text doc is omitted (no
+    evidence), so counts sum to 6, not 7."""
+    from case_uco_ontology_map_ray.pipelines.corpus import nb_lang_confusion
+
+    _write_docs(
+        tmp_path, [1, 2, 3, 4, 5, 6, 7],
+        ["aa bb cc", "aa aa bb", "cc aa bb",
+         "xx yy zz", "yy yy xx", "zz xx yy", ""],
+        ["en", "en", "en", "de", "de", "de", "en"])
+    out = nb_lang_confusion(str(tmp_path))
+    got = {(r.true_lang, r.pred_lang): r.n for r in out.itertuples()}
+    assert got == {("en", "en"): 3, ("de", "de"): 3}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zipf_exact_power_law(tmp_path):
     """A corpus whose token counts are exactly c_r = round(1000 / r)
     fits slope near -1 (within the discretization error of the rounded
