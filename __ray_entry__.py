@@ -1096,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "functional_dependency_audit": analytics.functional_dependency_audit,
         "logreg_click_purchase": analytics.logreg_click_purchase,
         "nb_lang_confusion": corpus.nb_lang_confusion,
+        "knn_label_confusion": corpus.knn_label_confusion,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -2453,6 +2454,36 @@ def oracle_sql() -> dict[str, str]:
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,
         "logreg_click_purchase": _logreg_sql(),
+        "knn_label_confusion": """
+            -- exact-integer 1-NN eval: x2^10 quantized squared L2 (tie-safe
+            -- argmin, neighbor vec_id tie-break) for probes vec_id % 20 = 0
+            WITH q AS (
+                SELECT vec_id, label,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1024, 0)
+                                     AS BIGINT)) AS qv
+                FROM embeddings
+            ), probes AS (
+                SELECT * FROM q WHERE vec_id % 20 = 0
+            ), pairs AS (
+                SELECT p.vec_id AS pid, p.label AS tl,
+                       o.vec_id AS oid, o.label AS ol,
+                       list_sum([ (p.qv[i] - o.qv[i]) * (p.qv[i] - o.qv[i])
+                                  for i in generate_series(1, len(p.qv)) ])
+                           AS d2
+                FROM probes p JOIN q o ON o.vec_id <> p.vec_id
+            ), best AS (
+                SELECT pid, tl, ol,
+                       row_number() OVER (
+                           PARTITION BY pid ORDER BY d2, oid) AS rn
+                FROM pairs
+            )
+            SELECT CAST(tl AS BIGINT) AS true_label,
+                   CAST(ol AS BIGINT) AS pred_label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM best WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "nb_lang_confusion": r"""
             -- add-one multinomial NB language classifier: per-token class
             -- terms 4dp-quantized to ints (order-exact per-doc sums),

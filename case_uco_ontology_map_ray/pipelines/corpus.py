@@ -1290,6 +1290,103 @@ def nb_lang_confusion(sf_dir: str) -> pd.DataFrame:
             .sort_values(["true_lang", "pred_lang"]).reset_index(drop=True))
 
 
+def knn_label_confusion(sf_dir: str, probe_mod: int = 20) -> pd.DataFrame:
+    """1-NN classifier evaluation over the embeddings (the label-quality /
+    neighborhood-purity check): for a deterministic probe subset
+    (``vec_id % probe_mod == 0``), find each probe's nearest OTHER vector
+    and report the (true_label, pred_label, n) confusion matrix.
+
+    EXACT arithmetic end to end: vectors quantize to int at x2^10 (the
+    class-scatter grid) and distances are integer squared L2, so the
+    argmin is tie-safe (ties break by neighbor vec_id) and the SQL twin
+    compares exactly — no float distance ordering anywhere. Shape: the
+    probe matrix broadcasts once (ray.put); each batch computes an
+    integer Gram block against it and emits one best-candidate row per
+    probe per block; the driver merge is |probes| x blocks rows. At
+    10^10 vectors the probe set must itself be sampled (hash bottom-k) —
+    the modulo rule is the test-scale stand-in, documented here.
+
+    Oracle: SQL pairwise integer distances + row_number — see
+    __ray_entry__.
+    """
+    import ray
+
+    from ..ops.agg import grouped_sums
+
+    ds = _emb(sf_dir).select_columns(["vec_id", "label", "embedding"]) \
+        .materialize()
+    cols = ["true_label", "pred_label", "n"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    def quantize(t: pa.Table):
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        n = len(offs) - 1
+        if n == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty((0, 0), np.int64))
+        d = int(offs[1] - offs[0])
+        x = flat * 1024.0
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return (t.column("vec_id").to_numpy(zero_copy_only=False),
+                t.column("label").to_numpy(zero_copy_only=False).astype(
+                    np.int64),
+                q.reshape(n, d))
+
+    def probe_filter(t: pa.Table) -> pa.Table:
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v % probe_mod == 0))
+
+    probe_tab = (ds.map_batches(probe_filter, batch_format="pyarrow")
+                 .take_all())
+    if not probe_tab:
+        return empty
+    pt = pa.Table.from_pylist(probe_tab)
+    pids, plabels, pq = quantize(pt)
+    pnorm = (pq * pq).sum(axis=1)  # |P|
+    handle = ray.put((pids, plabels, pq, pnorm))
+
+    def best_part(t: pa.Table) -> pa.Table:
+        _pids, _plab, _pq, _pn = ray.get(handle)
+        vids, vlab, vq = quantize(t)
+        out = {"pid": [], "d2": [], "oid": [], "olabel": []}
+        if len(vids) and len(_pids):
+            vnorm = (vq * vq).sum(axis=1)
+            # integer Gram block: d2[p, v] = |p|^2 + |v|^2 - 2 p.v, exact
+            dots = _pq @ vq.T
+            d2 = _pn[:, None] + vnorm[None, :] - 2 * dots
+            # exclude the probe itself; break ties by neighbor vec_id
+            self_mask = _pids[:, None] == vids[None, :]
+            big = np.iinfo(np.int64).max
+            d2 = np.where(self_mask, big, d2)
+            order = np.lexsort((vids[None, :].repeat(len(_pids), 0), d2),
+                               axis=1)[:, 0]
+            valid = d2[np.arange(len(_pids)), order] < big
+            out["pid"] = _pids[valid].tolist()
+            out["d2"] = d2[np.arange(len(_pids)), order][valid].tolist()
+            out["oid"] = vids[order][valid].tolist()
+            out["olabel"] = vlab[order][valid].tolist()
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in out.items()})
+
+    parts = ds.map_batches(best_part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return empty
+    best = (parts.sort_values(["pid", "d2", "oid"], kind="mergesort")
+            .drop_duplicates("pid", keep="first"))
+    plab_map = dict(zip(pids.tolist(), plabels.tolist()))
+    best = best.assign(true_label=[plab_map[p] for p in best["pid"]])
+    out = (best.groupby(["true_label", "olabel"], as_index=False)
+           .size().rename(columns={"olabel": "pred_label", "size": "n"}))
+    return (out[cols].astype("int64")
+            .sort_values(["true_label", "pred_label"])
+            .reset_index(drop=True))
+
+
 def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
     """Per-vector norm screening (the sanity filter that precedes any
     cosine/ANN stage: zero or exploding norms break normalization): for

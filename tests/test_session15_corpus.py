@@ -237,6 +237,28 @@ def test_nb_confusion_separable_languages(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_knn_confusion_planted_clusters(tmp_path):
+    """Two tight clusters far apart: every probe's nearest neighbor shares
+    its label -> diagonal confusion; the probe itself is excluded (vec 0's
+    nearest is vec 1, not itself)."""
+    from case_uco_ontology_map_ray.pipelines.corpus import knn_label_confusion
+
+    vecs, labels = [], []
+    for i in range(6):
+        base = 0.0 if i < 3 else 0.4  # quantized: 0 vs 410 per dim
+        vecs.append([base + 0.001 * i] * 4)
+        labels.append(0 if i < 3 else 1)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = knn_label_confusion(str(tmp_path), probe_mod=2)  # probes 0,2,4
+    got = {(r.true_label, r.pred_label): r.n for r in out.itertuples()}
+    assert got == {(0, 0): 2, (1, 1): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zipf_exact_power_law(tmp_path):
     """A corpus whose token counts are exactly c_r = round(1000 / r)
     fits slope near -1 (within the discretization error of the rounded
