@@ -1097,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_click_purchase": analytics.logreg_click_purchase,
         "nb_lang_confusion": corpus.nb_lang_confusion,
         "knn_label_confusion": corpus.knn_label_confusion,
+        "stump_click_purchase": analytics.stump_click_purchase,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -2454,6 +2455,38 @@ def oracle_sql() -> dict[str, str]:
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,
         "logreg_click_purchase": _logreg_sql(),
+        "stump_click_purchase": """
+            -- depth-1 decision-tree training: exact integer threshold scan
+            -- over the (cents, class) histogram; ties -> smallest threshold
+            WITH pts AS (
+                SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS y
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ), h AS (
+                SELECT cents, sum(y) AS p, count(*) - sum(y) AS c
+                FROM pts GROUP BY 1
+            ), tot AS (SELECT sum(p) AS tp, sum(c) AS tc FROM h),
+            scan AS (
+                SELECT cents,
+                       sum(p) OVER (ORDER BY cents) AS pb,
+                       sum(c) OVER (ORDER BY cents) AS cb
+                FROM h
+            ), scored AS (
+                SELECT cents,
+                       greatest(pb, cb)
+                       + greatest((SELECT tp FROM tot) - pb,
+                                  (SELECT tc FROM tot) - cb) AS correct
+                FROM scan
+            )
+            SELECT CAST(cents AS BIGINT) AS threshold_cents,
+                   CAST(correct AS BIGINT) AS n_correct,
+                   CAST((SELECT tp + tc FROM tot) AS BIGINT) AS n,
+                   CAST(round(1e9 * (CAST(correct AS DOUBLE)
+                                     / (SELECT tp + tc FROM tot)), 0)
+                        AS BIGINT) AS acc_nano
+            FROM scored ORDER BY correct DESC, cents LIMIT 1
+        """,
         "knn_label_confusion": """
             -- exact-integer 1-NN eval: x2^10 quantized squared L2 (tie-safe
             -- argmin, neighbor vec_id tie-break) for probes vec_id % 20 = 0

@@ -4672,3 +4672,59 @@ def logreg_click_purchase(sf_dir: str, iters: int = 3,
                      int(round_away(b * 1e9, 0))))
     return pd.DataFrame(rows, columns=["iter", "a_nano", "b_nano"]) \
         .astype("int64")
+
+
+def stump_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Depth-1 decision-tree TRAINING (the boosting weak learner): find
+    the cents threshold that best separates clicks from purchases,
+    predicting each side's majority class. Every quantity in the
+    threshold scan is an exact integer (class counts from the (cents,
+    class) counting histogram, correct(t) = max below-majorities + max
+    above-majorities), so the argmax is deterministic (ties -> smallest
+    threshold) and the SQL window twin compares exactly; only the final
+    accuracy ratio is floating (one pinned expression, nano-rounded).
+    Returns one row: (threshold_cents, n_correct, n, acc_nano).
+
+    Shape: per-batch (cents, y) partial counts shrink the exchange to the
+    bounded price grid; the scan itself is one pass over that
+    domain-sized histogram.
+    """
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    cols = ["threshold_cents", "n_correct", "n", "acc_nano"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if pa.types.is_dictionary(et.type):
+            et = et.cast(pa.string())
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        x = pa.table({"et": et, "value": t.column("value")}).filter(keep)
+        y = pc.cast(pc.equal(x.column("et"), "purchase"), pa.int64())
+        h = pa.table({"cents": _scale_i64(x.column("value"), 100.0),
+                      "p": y,
+                      "c": pc.subtract(pa.scalar(1, pa.int64()), y)})
+        agg = h.group_by(["cents"]).aggregate([("p", "sum"), ("c", "sum")])
+        return agg.rename_columns(["cents", "p_part", "c_part"])
+
+    hist = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["cents"],
+                        sum_cols={"p": "p_part", "c": "c_part"})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    p = hist["p"].astype("int64").to_numpy()
+    c = hist["c"].astype("int64").to_numpy()
+    tp, tc = int(p.sum()), int(c.sum())
+    pb, cb = np.cumsum(p), np.cumsum(c)
+    correct = (np.maximum(pb, cb)
+               + np.maximum(tp - pb, tc - cb))
+    i = int(np.argmax(correct))  # first max = smallest-threshold tie-break
+    n = tp + tc
+    best = int(correct[i])
+    return pd.DataFrame({
+        "threshold_cents": [int(hist["cents"].iloc[i])],
+        "n_correct": [best], "n": [n],
+        "acc_nano": [int(round_away(1e9 * (np.float64(best) / n), 0))],
+    }).astype("int64")

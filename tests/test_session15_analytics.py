@@ -179,6 +179,27 @@ def test_logreg_learns_direction_and_is_deterministic(tmp_path):
     pd.testing.assert_frame_equal(out, again)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_stump_finds_separating_threshold(tmp_path):
+    """Clicks at $1, purchases at $3: the best stump threshold is the
+    boundary of the click mass (t = 100 cents) with perfect accuracy."""
+    rows, eid = [], 0
+    vals = []
+    for v, et in [(1.0, "click")] * 5 + [(3.0, "purchase")] * 5:
+        rows.append((1, et, f"2024-01-01T00:{eid:02d}:00", eid))
+        vals.append(v)
+        eid += 1
+    tab = _events(rows).append_column("value", pa.array(vals, pa.float64()))
+    _write(tmp_path, "events", tab)
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        stump_click_purchase,
+    )
+    out = stump_click_purchase(str(tmp_path)).iloc[0]
+    assert out["threshold_cents"] == 100
+    assert out["n_correct"] == 10 and out["n"] == 10
+    assert out["acc_nano"] == 1_000_000_000
+
+
 def _events(users_types_ts):
     uid, et, ts, eid = zip(*users_types_ts)
     return pa.table({
