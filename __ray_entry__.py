@@ -1098,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_confusion": corpus.nb_lang_confusion,
         "knn_label_confusion": corpus.knn_label_confusion,
         "stump_click_purchase": analytics.stump_click_purchase,
+        "adaboost_click_purchase": analytics.adaboost_click_purchase,
         # --- rows-only: bloom counts include false positives by design;
         # the zero-false-negative invariant above is the external gate
         "ngram_contamination_bloom": corpus.ngram_contamination_bloom,
@@ -2455,6 +2456,96 @@ def oracle_sql() -> dict[str, str]:
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,
         "logreg_click_purchase": _logreg_sql(),
+        "adaboost_click_purchase": """
+            -- 2-round AdaBoost over stumps, fully unrolled: integer scans,
+            -- 6dp-pinned alphas, micro-quantized weighted cell masses
+            WITH pts AS (
+                SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS y
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ), h AS MATERIALIZED (
+                SELECT cents, sum(y) AS p, count(*) - sum(y) AS c
+                FROM pts GROUP BY 1
+            ), tot1 AS (SELECT sum(p) AS tp, sum(c) AS tc FROM h),
+            t1s AS (
+                SELECT cents, sum(p) OVER (ORDER BY cents) AS pb,
+                       sum(c) OVER (ORDER BY cents) AS cb
+                FROM h
+            ), best1 AS MATERIALIZED (
+                SELECT cents AS t1, pb, cb,
+                       greatest(pb, cb)
+                       + greatest((SELECT tp FROM tot1) - pb,
+                                  (SELECT tc FROM tot1) - cb) AS corr
+                FROM t1s ORDER BY corr DESC, cents LIMIT 1
+            ), par1 AS MATERIALIZED (
+                SELECT t1,
+                       CASE WHEN pb > cb THEN 1 ELSE 0 END AS bl,
+                       CASE WHEN (SELECT tp FROM tot1) - pb
+                                 > (SELECT tc FROM tot1) - cb
+                            THEN 1 ELSE 0 END AS al,
+                       round(0.5 * ln(CAST(corr AS DOUBLE)
+                                      / ((SELECT tp + tc FROM tot1)
+                                         - corr)), 6) AS a1
+                FROM best1
+            ), h2 AS MATERIALIZED (
+                SELECT h.cents, h.p, h.c,
+                       CASE WHEN h.cents <= par1.t1 THEN par1.bl
+                            ELSE par1.al END AS pred1,
+                       CAST(round(1e6 * h.p * (CASE WHEN
+                            (CASE WHEN h.cents <= par1.t1 THEN par1.bl
+                                  ELSE par1.al END) = 1
+                            THEN exp(-par1.a1) ELSE exp(par1.a1) END), 0)
+                            AS BIGINT) AS mp,
+                       CAST(round(1e6 * h.c * (CASE WHEN
+                            (CASE WHEN h.cents <= par1.t1 THEN par1.bl
+                                  ELSE par1.al END) = 0
+                            THEN exp(-par1.a1) ELSE exp(par1.a1) END), 0)
+                            AS BIGINT) AS mc
+                FROM h, par1
+            ), tot2 AS (SELECT sum(mp) AS tp, sum(mc) AS tc FROM h2),
+            t2s AS (
+                SELECT cents, sum(mp) OVER (ORDER BY cents) AS pb,
+                       sum(mc) OVER (ORDER BY cents) AS cb
+                FROM h2
+            ), best2 AS MATERIALIZED (
+                SELECT cents AS t2, pb, cb,
+                       greatest(pb, cb)
+                       + greatest((SELECT tp FROM tot2) - pb,
+                                  (SELECT tc FROM tot2) - cb) AS corr
+                FROM t2s ORDER BY corr DESC, cents LIMIT 1
+            ), par2 AS MATERIALIZED (
+                SELECT t2,
+                       CASE WHEN pb > cb THEN 1 ELSE 0 END AS bl,
+                       CASE WHEN (SELECT tp FROM tot2) - pb
+                                 > (SELECT tc FROM tot2) - cb
+                            THEN 1 ELSE 0 END AS al,
+                       round(0.5 * ln(CAST(corr AS DOUBLE)
+                                      / ((SELECT tp + tc FROM tot2)
+                                         - corr)), 6) AS a2
+                FROM best2
+            ), ens AS (
+                SELECT h2.p, h2.c,
+                       CASE WHEN par1.a1 * (2 * h2.pred1 - 1)
+                                 + par2.a2 * (2 * (CASE WHEN h2.cents
+                                                        <= par2.t2
+                                                   THEN par2.bl
+                                                   ELSE par2.al END) - 1)
+                                 > 0
+                            THEN 1 ELSE 0 END AS pe
+                FROM h2, par1, par2
+            )
+            SELECT CAST((SELECT t1 FROM par1) AS BIGINT) AS t1_cents,
+                   CAST(round((SELECT a1 FROM par1) * 1e9, 0) AS BIGINT)
+                       AS alpha1_nano,
+                   CAST((SELECT t2 FROM par2) AS BIGINT) AS t2_cents,
+                   CAST(round((SELECT a2 FROM par2) * 1e9, 0) AS BIGINT)
+                       AS alpha2_nano,
+                   CAST(sum(CASE WHEN pe = 1 THEN p ELSE c END) AS BIGINT)
+                       AS n_correct_ensemble,
+                   CAST(sum(p + c) AS BIGINT) AS n
+            FROM ens
+        """,
         "stump_click_purchase": """
             -- depth-1 decision-tree training: exact integer threshold scan
             -- over the (cents, class) histogram; ties -> smallest threshold

@@ -4728,3 +4728,98 @@ def stump_click_purchase(sf_dir: str) -> pd.DataFrame:
         "n_correct": [best], "n": [n],
         "acc_nano": [int(round_away(1e9 * (np.float64(best) / n), 0))],
     }).astype("int64")
+
+
+def adaboost_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """Two-round ADABOOST over decision stumps — ensemble training on the
+    Dataset dataflow: round 1 fits the exact-integer stump, reweights the
+    (cents, class) histogram cells by correctness (exp(±alpha1), alpha
+    6dp-pinned so both engines carry the identical double), round 2 fits
+    a weighted stump on micro-quantized integer cell masses, and the
+    final ensemble sign(alpha1*h1 + alpha2*h2) is scored on the same
+    histogram. One row: (t1_cents, alpha1_nano, t2_cents, alpha2_nano,
+    n_correct_ensemble, n).
+
+    Exactness chain: raw counts are int64; every weighted mass is
+    round(1e6 * count * w) BEFORE summing (order-exact int scans); both
+    alphas are round(0.5*ln(correct/wrong), 6) over exact integers;
+    majority labels break ties toward class 0. Shape: ONE histogram pass
+    over the data (bounded price grid); the boosting rounds are
+    domain-sized driver math — the HITS small-path shape.
+
+    Oracle: the same two scans + reweighting unrolled in SQL — see
+    __ray_entry__.
+    """
+    import math
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    cols = ["t1_cents", "alpha1_nano", "t2_cents", "alpha2_nano",
+            "n_correct_ensemble", "n"]
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if pa.types.is_dictionary(et.type):
+            et = et.cast(pa.string())
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        x = pa.table({"et": et, "value": t.column("value")}).filter(keep)
+        y = pc.cast(pc.equal(x.column("et"), "purchase"), pa.int64())
+        h = pa.table({"cents": _scale_i64(x.column("value"), 100.0),
+                      "p": y,
+                      "c": pc.subtract(pa.scalar(1, pa.int64()), y)})
+        agg = h.group_by(["cents"]).aggregate([("p", "sum"), ("c", "sum")])
+        return agg.rename_columns(["cents", "p_part", "c_part"])
+
+    hist = grouped_sums(ds.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        keys=["cents"],
+                        sum_cols={"p": "p_part", "c": "c_part"})
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("cents").reset_index(drop=True)
+    cents = hist["cents"].astype("int64").to_numpy()
+    p = hist["p"].astype("int64").to_numpy()
+    c = hist["c"].astype("int64").to_numpy()
+
+    def scan(mp, mc):
+        """Best threshold over integer masses; ties -> smallest cents,
+        majority labels tie toward class 0 (pinned pb > cb rule)."""
+        tp, tc = int(mp.sum()), int(mc.sum())
+        pb, cb = np.cumsum(mp), np.cumsum(mc)
+        corr = np.maximum(pb, cb) + np.maximum(tp - pb, tc - cb)
+        i = int(np.argmax(corr))
+        bl = 1 if pb[i] > cb[i] else 0
+        al = 1 if (tp - pb[i]) > (tc - cb[i]) else 0
+        return i, int(corr[i]), tp + tc, bl, al
+
+    i1, corr1, tot1, bl1, al1 = scan(p, c)
+    t1 = int(cents[i1])
+    wrong1 = tot1 - corr1
+    # pinned: 0.5 * ln(correct / wrong), 6dp (verbatim in SQL)
+    alpha1 = float(round_away(
+        0.5 * math.log(float(corr1) / wrong1), 6)) if wrong1 else 0.0
+    pred1 = np.where(cents <= t1, bl1, al1)
+    w_right, w_wrong = math.exp(-alpha1), math.exp(alpha1)
+    mp = round_away(1e6 * p * np.where(pred1 == 1, w_right, w_wrong),
+                    0).astype(np.int64)
+    mc = round_away(1e6 * c * np.where(pred1 == 0, w_right, w_wrong),
+                    0).astype(np.int64)
+    i2, corr2, tot2, bl2, al2 = scan(mp, mc)
+    t2 = int(cents[i2])
+    wrong2 = tot2 - corr2
+    alpha2 = float(round_away(
+        0.5 * math.log(float(corr2) / wrong2), 6)) if wrong2 else 0.0
+    pred2 = np.where(cents <= t2, bl2, al2)
+    score = (alpha1 * (2 * pred1 - 1).astype(np.float64)
+             + alpha2 * (2 * pred2 - 1).astype(np.float64))
+    pred_e = (score > 0).astype(np.int64)
+    n_corr = int((p * (pred_e == 1) + c * (pred_e == 0)).sum())
+    return pd.DataFrame({
+        "t1_cents": [t1],
+        "alpha1_nano": [int(round_away(alpha1 * 1e9, 0))],
+        "t2_cents": [t2],
+        "alpha2_nano": [int(round_away(alpha2 * 1e9, 0))],
+        "n_correct_ensemble": [n_corr],
+        "n": [int(p.sum() + c.sum())],
+    }).astype("int64")

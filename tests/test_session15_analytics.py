@@ -200,6 +200,34 @@ def test_stump_finds_separating_threshold(tmp_path):
     assert out["acc_nano"] == 1_000_000_000
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_adaboost_improves_on_xor_bands(tmp_path):
+    """Value bands click/purchase/click: one stump can't separate (best
+    single threshold mislabels one band) but two boosted stumps carve
+    both boundaries — ensemble accuracy must beat round-1's."""
+    rows, vals, eid = [], [], 0
+    for v, et, cnt in [(1.0, "click", 10), (2.0, "purchase", 10),
+                       (3.0, "click", 6)]:
+        for _ in range(cnt):
+            rows.append((1, et, f"2024-01-01T00:{eid % 60:02d}:00", eid))
+            vals.append(v)
+            eid += 1
+    tab = _events(rows).append_column("value", pa.array(vals, pa.float64()))
+    _write(tmp_path, "events", tab)
+    from case_uco_ontology_map_ray.pipelines.analytics import (
+        adaboost_click_purchase,
+        stump_click_purchase,
+    )
+    stump = stump_click_purchase(str(tmp_path)).iloc[0]
+    boost = adaboost_click_purchase(str(tmp_path)).iloc[0]
+    assert boost["n"] == 26 and stump["n"] == 26
+    assert boost["n_correct_ensemble"] >= stump["n_correct"]
+    assert boost["alpha1_nano"] > 0  # round-1 better than chance
+    again = adaboost_click_purchase(str(tmp_path))
+    pd.testing.assert_frame_equal(
+        again, adaboost_click_purchase(str(tmp_path)))
+
+
 def _events(users_types_ts):
     uid, et, ts, eid = zip(*users_types_ts)
     return pa.table({
