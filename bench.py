@@ -350,6 +350,10 @@ def run_bench() -> dict:
         ("doc_quality_budget", corpus.doc_quality_budget),
         ("customer_rfm_segments", analytics.customer_rfm_segments),
         ("blocklist_filter", corpus.blocklist_filter),
+        ("logreg_click_purchase", analytics.logreg_click_purchase),
+        ("adaboost_click_purchase", analytics.adaboost_click_purchase),
+        ("nb_lang_confusion", corpus.nb_lang_confusion),
+        ("knn_label_confusion", corpus.knn_label_confusion),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)
