@@ -1096,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "functional_dependency_audit": analytics.functional_dependency_audit,
         "logreg_click_purchase": analytics.logreg_click_purchase,
         "nb_lang_confusion": corpus.nb_lang_confusion,
+        "nb_mislabel_audit": corpus.nb_mislabel_audit,
         "knn_label_confusion": corpus.knn_label_confusion,
         "stump_click_purchase": analytics.stump_click_purchase,
         "adaboost_click_purchase": analytics.adaboost_click_purchase,
@@ -2607,6 +2608,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM best WHERE rn = 1
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "nb_mislabel_audit": r"""
+            -- cleanlab-style label-error listing: NB prediction vs the
+            -- stored lang label, with the exact integer score margin
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tok2 AS (
+                SELECT doc_id, lang, tok FROM toks WHERE tok <> ''
+            ), model AS MATERIALIZED (
+                SELECT lang AS ml, tok, count(*) AS c FROM tok2 GROUP BY 1, 2
+            ), nl AS (SELECT ml, sum(c) AS nt FROM model GROUP BY 1),
+            vv AS (SELECT count(DISTINCT tok) AS v FROM tok2),
+            langs AS (SELECT DISTINCT ml FROM model),
+            scored AS (
+                SELECT t.doc_id, t.lang AS true_lang, l.ml AS cand,
+                       sum(CAST(round(1e4 * ln((COALESCE(m.c, 0) + 1) * 1.0
+                                               / (nl.nt + (SELECT v FROM vv))),
+                                      0) AS BIGINT)) AS s
+                FROM tok2 t CROSS JOIN langs l
+                LEFT JOIN model m ON m.ml = l.ml AND m.tok = t.tok
+                JOIN nl ON nl.ml = l.ml
+                GROUP BY 1, 2, 3
+            ), pred AS (
+                SELECT doc_id, true_lang, cand, s,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY s DESC, cand) AS rn,
+                       max(CASE WHEN cand = true_lang THEN s END)
+                           OVER (PARTITION BY doc_id) AS s_true
+                FROM scored
+            )
+            SELECT doc_id, true_lang AS lang, cand AS pred_lang,
+                   CAST(s - s_true AS BIGINT) AS margin_q4
+            FROM pred WHERE rn = 1 AND cand <> true_lang
+            ORDER BY doc_id
         """,
         "nb_lang_confusion": r"""
             -- add-one multinomial NB language classifier: per-token class

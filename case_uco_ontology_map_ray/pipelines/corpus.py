@@ -1203,6 +1203,75 @@ def nb_lang_confusion(sf_dir: str) -> pd.DataFrame:
     Oracle: SQL cross-joins the token stream with the language set and
     repeats the quantized scoring — see __ray_entry__.
     """
+    from ..ops.agg import grouped_sums
+
+    cols = ["true_lang", "pred_lang", "n"]
+    empty = pd.DataFrame({"true_lang": pd.Series(dtype="object"),
+                          "pred_lang": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64")})
+    scored = _nb_scored(sf_dir)
+    if scored is None:
+        return empty
+
+    def conf_part(t: pa.Table) -> pa.Table:
+        agg = (t.select(["true_lang", "pred_lang"])
+               .group_by(["true_lang", "pred_lang"])
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns(["true_lang", "pred_lang", "n_part"])
+
+    out = grouped_sums(scored.map_batches(conf_part,
+                                          batch_format="pyarrow"),
+                       keys=["true_lang", "pred_lang"],
+                       sum_cols={"n": "n_part"})
+    if out.empty:
+        return empty
+    return (out[cols].astype({"n": "int64"})
+            .sort_values(["true_lang", "pred_lang"]).reset_index(drop=True))
+
+
+def nb_mislabel_audit(sf_dir: str) -> pd.DataFrame:
+    """Model-based LABEL-ERROR detection (the confident-learning /
+    cleanlab shape): list the documents whose trained-NB prediction
+    disagrees with the stored ``lang`` label, with the exact integer
+    score margin (best minus the labeled language's score, 4dp units) —
+    the ranking signal a curator triages mislabeled training data by.
+    Reuses the NB scoring dataflow; the audit itself is a map-only
+    filter over the scored stream.
+
+    Oracle: the nb_lang_confusion SQL chain extended with the labeled
+    language's score — see __ray_entry__.
+    """
+    import pyarrow.compute as pc
+
+    cols = ["doc_id", "lang", "pred_lang", "margin_q4"]
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "lang": pd.Series(dtype="object"),
+                          "pred_lang": pd.Series(dtype="object"),
+                          "margin_q4": pd.Series(dtype="int64")})
+    scored = _nb_scored(sf_dir)
+    if scored is None:
+        return empty
+
+    def audit(t: pa.Table) -> pa.Table:
+        bad = pc.not_equal(t.column("true_lang"), t.column("pred_lang"))
+        x = t.filter(bad)
+        return pa.table({"doc_id": x.column("doc_id"),
+                         "lang": x.column("true_lang"),
+                         "pred_lang": x.column("pred_lang"),
+                         "margin_q4": x.column("margin_q4")})
+
+    out = scored.map_batches(audit, batch_format="pyarrow").to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return empty
+    return (out[cols].astype({"doc_id": "int64", "margin_q4": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _nb_scored(sf_dir: str):
+    """Shared NB dataflow: fit the add-one model, return the LAZY scored
+    Dataset (doc_id, true_lang, pred_lang, margin_q4) where margin_q4 =
+    best score minus the LABELED language's score (exact ints; 0 when
+    the label wins). None on an empty corpus."""
     import pyarrow.compute as pc
     import ray
 
@@ -1210,10 +1279,6 @@ def nb_lang_confusion(sf_dir: str) -> pd.DataFrame:
     from ..ops.text import _segment_sum
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang"]).materialize()
-    cols = ["true_lang", "pred_lang", "n"]
-    empty = pd.DataFrame({"true_lang": pd.Series(dtype="object"),
-                          "pred_lang": pd.Series(dtype="object"),
-                          "n": pd.Series(dtype="int64")})
 
     def fit_part(t: pa.Table) -> pa.Table:
         toks = pc.utf8_split_whitespace(
@@ -1232,7 +1297,7 @@ def nb_lang_confusion(sf_dir: str) -> pd.DataFrame:
                                         zero_copy_batch=True),
                          keys=["lang", "tok"], sum_cols={"c": "c_part"})
     if model.empty:
-        return empty
+        return None
     v_total = model["tok"].nunique()
     langs = sorted(model["lang"].unique())
     per_lang = []
@@ -1272,22 +1337,23 @@ def nb_lang_confusion(sf_dir: str) -> pd.DataFrame:
         pred_ix = np.argmax(scores, axis=1)
         keep = kept > 0
         lang_names = np.array([lg for lg, _, _, _ in pl])
-        x = pa.table({
-            "true_lang": t.column("lang").filter(pa.array(keep)),
+        true_lang = t.column("lang").to_numpy(zero_copy_only=False)
+        lang_pos = {lg: i for i, lg in enumerate(lang_names)}
+        # a language absent from the model has only empty-text docs; those
+        # rows are dropped by `keep` below, so the 0 fallback is never read
+        true_ix = np.array([lang_pos.get(lg, 0) for lg in true_lang],
+                           dtype=np.int64)
+        rows = np.arange(len(true_ix))
+        margin = scores[rows, pred_ix] - scores[rows, true_ix]
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "true_lang": pa.array(true_lang[keep]),
             "pred_lang": pa.array(lang_names[pred_ix][keep]),
+            "margin_q4": pa.array(margin[keep], pa.int64()),
         })
-        agg = x.group_by(["true_lang", "pred_lang"]).aggregate(
-            [([], "count_all")])
-        return agg.rename_columns(["true_lang", "pred_lang", "n_part"])
 
-    out = grouped_sums(ds.map_batches(score, batch_format="pyarrow",
-                                      zero_copy_batch=True),
-                       keys=["true_lang", "pred_lang"],
-                       sum_cols={"n": "n_part"})
-    if out.empty:
-        return empty
-    return (out[cols].astype({"n": "int64"})
-            .sort_values(["true_lang", "pred_lang"]).reset_index(drop=True))
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def knn_label_confusion(sf_dir: str, probe_mod: int = 20) -> pd.DataFrame:

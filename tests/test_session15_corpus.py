@@ -259,6 +259,23 @@ def test_knn_confusion_planted_clusters(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_nb_mislabel_audit_finds_planted_error(tmp_path):
+    """A de-vocabulary doc labeled 'en' is the one flagged row; correctly
+    labeled docs are absent and the margin is positive."""
+    from case_uco_ontology_map_ray.pipelines.corpus import nb_mislabel_audit
+
+    _write_docs(
+        tmp_path, [1, 2, 3, 4, 5],
+        ["aa bb cc", "aa aa bb", "xx yy zz", "yy zz xx",
+         "xx yy zz yy"],  # doc 5 is German-vocab but labeled en
+        ["en", "en", "de", "de", "en"])
+    out = nb_mislabel_audit(str(tmp_path))
+    assert list(out["doc_id"]) == [5]
+    assert out.iloc[0]["lang"] == "en" and out.iloc[0]["pred_lang"] == "de"
+    assert out.iloc[0]["margin_q4"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zipf_exact_power_law(tmp_path):
     """A corpus whose token counts are exactly c_r = round(1000 / r)
     fits slope near -1 (within the discretization error of the rounded
