@@ -836,6 +836,44 @@ def _pii_redaction(sf_dir: str):
         lambda t: t.drop_columns(["text"]), batch_format="pyarrow"))
 
 
+def _transcript_pii_by_tool(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.transcript_prep import pii_by_tool
+
+    return pii_by_tool(_transcripts_for(sf_dir))
+
+
+def _pii_by_tool_sql(transcripts_glob: str) -> str:
+    """pii_redaction's sequential family chain with `tool` carried through
+    and a per-tool rollup."""
+    from case_uco_ontology_map_ray.ops.text import PII_FAMILIES
+
+    prev = "t0"
+    ctes = [f"""t0 AS (
+                SELECT tool, text
+                FROM read_parquet('{transcripts_glob}')
+                WHERE role = 'tool' AND text <> '' AND tool IS NOT NULL
+            )"""]
+    counts = []
+    for i, (name, pattern, token) in enumerate(PII_FAMILIES, start=1):
+        carry = ", ".join(f"n_{n}" for n, _, _ in PII_FAMILIES[: i - 1])
+        carry = f"{carry}, " if carry else ""
+        ctes.append(f"""t{i} AS (
+                SELECT tool, {carry}
+                       CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS n_{name},
+                       regexp_replace(text, '{pattern}', '{token}', 'g') AS text
+                FROM {prev}
+            )""")
+        prev = f"t{i}"
+        counts.append(f"n_{name}")
+    cte_block = ",\n            ".join(ctes)
+    sums = ", ".join(f"CAST(sum({c}) AS BIGINT) AS {c}" for c in counts)
+    return f"""
+            WITH {cte_block}
+            SELECT tool, CAST(count(*) AS BIGINT) AS n_turns, {sums}
+            FROM {prev} GROUP BY tool ORDER BY tool
+    """
+
+
 def _pii_redaction_sql(transcripts_glob: str) -> str:
     from case_uco_ontology_map_ray.ops.text import PII_FAMILIES
 
@@ -1097,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_click_purchase": analytics.logreg_click_purchase,
         "nb_lang_confusion": corpus.nb_lang_confusion,
         "nb_mislabel_audit": corpus.nb_mislabel_audit,
+        "transcript_pii_by_tool": _transcript_pii_by_tool,
         "knn_label_confusion": corpus.knn_label_confusion,
         "stump_click_purchase": analytics.stump_click_purchase,
         "adaboost_click_purchase": analytics.adaboost_click_purchase,
@@ -2079,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_literal_values": kg_literal_values_sql,
         "kg_entity_mentions": kg_entity_mentions_sql,
         "pii_redaction": _pii_redaction_sql(transcripts_glob),
+        "transcript_pii_by_tool": _pii_by_tool_sql(transcripts_glob),
         # BM25 top-15 for query terms (spark, merge, vector); Lucene-form
         # idf, k1=1.2 b=0.75, per-(doc,term) contribution quantized to
         # integer nanos with the IDENTICAL IEEE expression order as the

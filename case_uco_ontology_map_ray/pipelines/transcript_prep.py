@@ -391,3 +391,57 @@ def tool_copresence_lift(source: "str | rd.Dataset") -> pd.DataFrame:
     return (out.sort_values(["tool_a", "tool_b"]).reset_index(drop=True)
             .astype({c: "int64" for c in ["n_ab", "n_a", "n_b",
                                           "lift_nano"]}))
+
+
+def pii_by_tool(source: "str | rd.Dataset") -> pd.DataFrame:
+    """Per-tool PII exposure telemetry: which tools emit how much
+    PII-shaped content (the governance rollup a redaction policy is
+    tuned against). Runs the sequential RE2 family redaction
+    (ops/text.redact_pii — order is semantics) over the tool turns and
+    sums per-family match counts per tool. One map pass + a
+    tool-domain-sized exchange.
+
+    Oracle: the pii_redaction CTE chain with tool carried through,
+    GROUP BY tool — see __ray_entry__.
+    """
+    from ..ops.agg import grouped_sums
+    from ..ops.text import PII_FAMILIES, redact_pii
+
+    ds = _read_turns(source, columns=["role", "text", "tool"])
+
+    def keep_tool_turns(t: pa.Table) -> pa.Table:
+        role = t.column("role")
+        if pa.types.is_dictionary(role.type):
+            role = role.cast(pa.string())
+        tool = t.column("tool")
+        if pa.types.is_dictionary(tool.type):
+            tool = tool.cast(pa.string())
+        text = t.column("text")
+        keep = pc.and_(pc.and_(pc.equal(role, "tool"),
+                               pc.not_equal(text, "")),
+                       pc.is_valid(tool))
+        return pa.table({"tool": tool, "text": text}).filter(keep)
+
+    red = redact_pii(ds.map_batches(keep_tool_turns,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    fam = [f"n_{name}" for name, _, _ in PII_FAMILIES]
+    cols = ["tool", "n_turns"] + fam
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.select(["tool"] + fam)
+        agg = x.group_by(["tool"]).aggregate(
+            [([], "count_all")] + [(c, "sum") for c in fam])
+        return agg.rename_columns(["tool", "t_part"]
+                                  + [f"{c}_part" for c in fam])
+
+    out = grouped_sums(red.map_batches(partial, batch_format="pyarrow"),
+                       keys=["tool"],
+                       sum_cols={"n_turns": "t_part",
+                                 **{c: f"{c}_part" for c in fam}})
+    if out.empty:
+        return pd.DataFrame({"tool": pd.Series(dtype="object")}
+                            | {c: pd.Series(dtype="int64")
+                               for c in cols[1:]})
+    return (out[cols].astype({c: "int64" for c in cols[1:]})
+            .sort_values("tool").reset_index(drop=True))
