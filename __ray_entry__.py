@@ -1136,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_confusion": corpus.nb_lang_confusion,
         "nb_mislabel_audit": corpus.nb_mislabel_audit,
         "transcript_pii_by_tool": _transcript_pii_by_tool,
+        "doc_keywords": corpus.doc_keywords,
         "knn_label_confusion": corpus.knn_label_confusion,
         "stump_click_purchase": analytics.stump_click_purchase,
         "adaboost_click_purchase": analytics.adaboost_click_purchase,
@@ -2648,6 +2649,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM best WHERE rn = 1
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_keywords": r"""
+            -- per-doc top-3 TF-IDF keywords; N = docs with >=1 token,
+            -- score nano-quantized per (doc, term), ties -> term asc
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tok2 AS (
+                SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM tok2 GROUP BY 1, 2
+            ), df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1
+            ), nn AS (SELECT count(DISTINCT doc_id) AS n FROM tok2),
+            sc AS (
+                SELECT t.doc_id, t.tok,
+                       CAST(round(1e9 * (t.tf * ln(
+                            CAST((SELECT n FROM nn) AS DOUBLE) / df.df)), 0)
+                            AS BIGINT) AS s
+                FROM tf t JOIN df USING (tok)
+            ), r AS (
+                SELECT doc_id, tok, s,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY s DESC, tok) AS rn
+                FROM sc
+            )
+            SELECT doc_id, tok AS term, CAST(rn AS BIGINT) AS rank,
+                   s AS score_nano
+            FROM r WHERE rn <= 3
+            ORDER BY doc_id, rn
         """,
         "nb_mislabel_audit": r"""
             -- cleanlab-style label-error listing: NB prediction vs the

@@ -1356,6 +1356,105 @@ def _nb_scored(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def doc_keywords(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms of each doc by
+    TF-IDF (``tf * ln(N/df)``, N = docs with at least one token) — the
+    per-doc summarization/tagging op, where ``tfidf_top_terms`` is the
+    corpus-level rollup. Scores are nano-quantized per (doc, term) so the
+    per-doc ranking is an exact integer order (ties -> term asc).
+
+    Shape: the df table is one exchange (vocab-sized) broadcast once via
+    ray.put; per batch, term frequencies and the top-k rank are computed
+    doc-locally (docs never span batches for within-doc work). Returns
+    (doc_id, term, rank, score_nano).
+
+    Oracle: SQL tf/df CTEs + row_number per doc — see __ray_entry__.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..ops.agg import grouped_sums, round_away
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    cols = ["doc_id", "term", "rank", "score_nano"]
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "term": pd.Series(dtype="object"),
+                          "rank": pd.Series(dtype="int64"),
+                          "score_nano": pd.Series(dtype="int64")})
+
+    def df_part(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        reps = np.diff(offs)
+        doc = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        reps)
+        flat = pa.table({"doc_id": pa.array(doc),
+                         "tok": pc.list_flatten(toks)})
+        flat = flat.filter(pc.not_equal(flat.column("tok"), ""))
+        # distinct (doc, tok) within the batch = the df combiner
+        agg = flat.group_by(["tok", "doc_id"]).aggregate([])
+        agg = agg.group_by(["tok"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["tok", "df_part"])
+
+    dftab = grouped_sums(ds.map_batches(df_part, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         keys=["tok"], sum_cols={"df": "df_part"})
+    if dftab.empty:
+        return empty
+    dftab = dftab.sort_values("tok")
+    toks_sorted = dftab["tok"].to_numpy()
+    dfs = dftab["df"].to_numpy(np.int64)
+
+    # N = docs with at least one token: sum over per-batch counts
+    def n_part(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        from ..ops.text import _segment_sum
+        nonempty = pc.not_equal(pc.list_flatten(toks), "").to_numpy(
+            zero_copy_only=False)
+        kept = _segment_sum(nonempty.astype(np.int64), offs)
+        return pa.table({"n": pa.array([int((kept > 0).sum())], pa.int64())})
+
+    n_docs = int(ds.map_batches(n_part, batch_format="pyarrow").sum("n"))
+    handle = ray.put((toks_sorted, dfs, float(n_docs)))
+
+    def topk(t: pa.Table) -> pd.DataFrame:
+        mtoks, mdf, nd = ray.get(handle)
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t.column("text"))).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        reps = np.diff(offs)
+        doc = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                        reps)
+        vals = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        m = vals != ""
+        frame = pd.DataFrame({"doc_id": doc[m], "term": vals[m]})
+        if frame.empty:
+            return empty
+        tf = (frame.groupby(["doc_id", "term"], as_index=False)
+              .size().rename(columns={"size": "tf"}))
+        ix = np.searchsorted(mtoks, tf["term"].to_numpy())
+        d = mdf[ix]
+        # pinned expression (verbatim in SQL): 1e9 * (tf * ln(N/df))
+        s = round_away(1e9 * (tf["tf"].to_numpy(np.int64)
+                              * np.log(nd / d)), 0).astype(np.int64)
+        tf = tf.assign(score_nano=s).sort_values(
+            ["doc_id", "score_nano", "term"],
+            ascending=[True, False, True], kind="mergesort")
+        tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        return tf[tf["rank"] <= k][cols].astype(
+            {"doc_id": "int64", "rank": "int64", "score_nano": "int64"})
+
+    out = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return empty
+    return (out[cols].astype({"doc_id": "int64", "rank": "int64",
+                              "score_nano": "int64"})
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+
 def knn_label_confusion(sf_dir: str, probe_mod: int = 20) -> pd.DataFrame:
     """1-NN classifier evaluation over the embeddings (the label-quality /
     neighborhood-purity check): for a deterministic probe subset

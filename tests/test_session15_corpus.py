@@ -276,6 +276,25 @@ def test_nb_mislabel_audit_finds_planted_error(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_doc_keywords_idf_beats_tf(tmp_path):
+    """A term appearing in every doc has ln(N/df) = 0 regardless of tf; a
+    rare term wins even with lower tf. Doc 1's top keyword must be its
+    unique term, not the corpus-wide filler it repeats."""
+    from case_uco_ontology_map_ray.pipelines.corpus import doc_keywords
+
+    _write_docs(tmp_path, [1, 2, 3],
+                ["common common common rareterm",
+                 "common other words",
+                 "common more words"])
+    out = doc_keywords(str(tmp_path))
+    top1 = out[(out.doc_id == 1) & (out["rank"] == 1)].iloc[0]
+    assert top1["term"] == "rareterm"
+    # 'common' (df = 3 = N) scores exactly 0
+    sc = out[(out.doc_id == 1) & (out.term == "common")]
+    assert (sc["score_nano"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_zipf_exact_power_law(tmp_path):
     """A corpus whose token counts are exactly c_r = round(1000 / r)
     fits slope near -1 (within the discretization error of the rounded
