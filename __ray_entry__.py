@@ -223,6 +223,14 @@ def _kg_degree_assortativity(sf_dir: str):
     return comention_assortativity(triples)
 
 
+def _kg_path_depth_profile(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import path_depth_profile
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return path_depth_profile(triples)
+
+
 def _kg_entity_ppr(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import (
@@ -1137,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_mislabel_audit": corpus.nb_mislabel_audit,
         "transcript_pii_by_tool": _transcript_pii_by_tool,
         "doc_keywords": corpus.doc_keywords,
+        "kg_path_depth_profile": _kg_path_depth_profile,
         "knn_label_confusion": corpus.knn_label_confusion,
         "stump_click_purchase": analytics.stump_click_purchase,
         "adaboost_click_purchase": analytics.adaboost_click_purchase,
@@ -1599,6 +1608,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lbl GROUP BY comp
             ORDER BY n_nodes DESC, component_path
             LIMIT 40
+        """
+    kg_path_depth_profile_sql = f"""
+            -- depth histogram over DISTINCT normalized entity paths:
+            -- depth = separator count + 1 on the same normalization CTE
+            {mention_norm_cte}
+            , dp AS (SELECT DISTINCT np FROM norm),
+            d AS (
+                SELECT CAST(length(np) - length(replace(np, '/', '')) + 1
+                            AS BIGINT) AS depth
+                FROM dp
+            )
+            SELECT depth, CAST(count(*) AS BIGINT) AS n_paths
+            FROM d GROUP BY 1 ORDER BY 1
         """
     transcript_turn_latency_sql = f"""
             -- per-conversation timing profile in exact integer micros;
@@ -2494,6 +2516,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_components": kg_comention_components_sql,
         "kg_comention_modularity": kg_comention_modularity_sql,
         "kg_degree_assortativity": kg_degree_assortativity_sql,
+        "kg_path_depth_profile": kg_path_depth_profile_sql,
         "transcript_turn_latency": transcript_turn_latency_sql,
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,

@@ -2205,3 +2205,40 @@ def entity_pagerank_personalized(triples: rd.Dataset, iters: int = 3,
     out = out.rename(columns={"deg": "degree", "rank": "ppr"})
     out["degree"] = out["degree"].astype("int64")
     return out[["path", "degree", "ppr"]].reset_index(drop=True)
+
+
+def path_depth_profile(triples: rd.Dataset) -> pd.DataFrame:
+    """Directory-depth distribution of the canonical entity namespace:
+    for every DISTINCT normalized path, depth = number of '/'-separated
+    segments; returns (depth, n_paths) — the forensic-KG shape signal
+    (flat artifact dumps vs deep filesystem trees) over the entity table
+    the linking stage maintains.
+
+    Shape: distinct paths are the already-bucketed ``distinct_paths``
+    stream; depth is one vectorized count_substring kernel; the exchange
+    is the depth histogram. Oracle: SQL separator counting over the same
+    normalization CTE — see __ray_entry__.
+    """
+    from ..ops.agg import grouped_sums
+
+    mentions = mentions_from_triples(triples)
+    paths = distinct_paths(mentions)
+    empty = pd.DataFrame({"depth": pd.Series(dtype="int64"),
+                          "n_paths": pd.Series(dtype="int64")})
+
+    def hist(t: pa.Table) -> pa.Table:
+        np_col = t.column("norm_path")
+        if isinstance(np_col, pa.ChunkedArray):
+            np_col = np_col.combine_chunks()
+        depth = pc.add(pc.count_substring(np_col, "/"),
+                       pa.scalar(1, pa.int32())).cast(pa.int64())
+        x = pa.table({"depth": depth})
+        agg = x.group_by(["depth"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["depth", "n_part"])
+
+    out = grouped_sums(paths.map_batches(hist, batch_format="pyarrow"),
+                       keys=["depth"], sum_cols={"n_paths": "n_part"})
+    if out.empty:
+        return empty
+    return (out[["depth", "n_paths"]].astype("int64")
+            .sort_values("depth").reset_index(drop=True))

@@ -383,6 +383,20 @@ def test_assortativity_clique_degenerate_zero():
     assert out.iloc[0]["assort_nano"] == 0
 
 
+def test_path_depth_profile_hand_case():
+    import ray.data as rd
+
+    from case_uco_ontology_map_ray.pipelines.linking import path_depth_profile
+
+    # depths: a -> 1; b/c -> 2; d/e/f -> 3; duplicate mentions of the
+    # same path collapse (distinct-path histogram)
+    tab = _path_triples_table({"c1": ["a", "b/c"], "c2": ["d/e/f", "b/c"]})
+    out = path_depth_profile(rd.from_arrow(tab))
+    assert out.to_dict("records") == [
+        {"depth": 1, "n_paths": 1}, {"depth": 2, "n_paths": 1},
+        {"depth": 3, "n_paths": 1}]
+
+
 def test_entity_timeline_hour_rollup():
     import numpy as np
     import pyarrow as pa
