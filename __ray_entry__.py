@@ -231,6 +231,16 @@ def _kg_path_depth_profile(sf_dir: str):
     return path_depth_profile(triples)
 
 
+def _kg_entity_concentration(sf_dir: str):
+    from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
+    from case_uco_ontology_map_ray.pipelines.linking import (
+        entity_concentration,
+    )
+
+    triples = triples_from_transcripts(_transcripts_for(sf_dir))
+    return entity_concentration(triples)
+
+
 def _kg_entity_ppr(sf_dir: str):
     from case_uco_ontology_map_ray.pipelines.kg import triples_from_transcripts
     from case_uco_ontology_map_ray.pipelines.linking import (
@@ -1146,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_pii_by_tool": _transcript_pii_by_tool,
         "doc_keywords": corpus.doc_keywords,
         "kg_path_depth_profile": _kg_path_depth_profile,
+        "kg_entity_concentration": _kg_entity_concentration,
         "knn_label_confusion": corpus.knn_label_confusion,
         "stump_click_purchase": analytics.stump_click_purchase,
         "adaboost_click_purchase": analytics.adaboost_click_purchase,
@@ -1608,6 +1619,35 @@ def oracle_sql() -> dict[str, str]:
             FROM lbl GROUP BY comp
             ORDER BY n_nodes DESC, component_path
             LIMIT 40
+        """
+    kg_entity_concentration_sql = f"""
+            -- entity-mention concentration: exact rank-sum Gini + top-1%
+            -- share (tie-invariant; the gini_customer_spend discipline)
+            {mention_norm_cte}
+            , cnt AS (SELECT np, count(*) AS c FROM norm GROUP BY 1),
+            r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM cnt),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS t,
+                       CAST(sum(rn * c) AS HUGEINT) AS srs
+                FROM r
+            ),
+            topk AS (
+                SELECT CAST(sum(c) AS BIGINT) AS tc
+                FROM (SELECT c, row_number() OVER (ORDER BY c DESC) AS rd
+                      FROM cnt)
+                WHERE rd <= greatest(1, (SELECT n FROM a) // 100)
+            )
+            SELECT n AS n_entities, t AS total_mentions,
+                   CAST(round(1e9 * (2.0 * CAST(srs AS DOUBLE)
+                                     / CAST(n * t AS DOUBLE)
+                                     - (CAST(n AS DOUBLE) + 1.0)
+                                       / CAST(n AS DOUBLE)), 0)
+                        AS BIGINT) AS gini_nano,
+                   CAST(round(1e9 * (CAST((SELECT tc FROM topk) AS DOUBLE)
+                                     / CAST(t AS DOUBLE)), 0) AS BIGINT)
+                       AS top1pct_share_nano
+            FROM a
         """
     kg_path_depth_profile_sql = f"""
             -- depth histogram over DISTINCT normalized entity paths:
@@ -2517,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_comention_modularity": kg_comention_modularity_sql,
         "kg_degree_assortativity": kg_degree_assortativity_sql,
         "kg_path_depth_profile": kg_path_depth_profile_sql,
+        "kg_entity_concentration": kg_entity_concentration_sql,
         "transcript_turn_latency": transcript_turn_latency_sql,
         "transcript_tool_usage": transcript_tool_usage_sql,
         "transcript_tool_lift": transcript_tool_lift_sql,

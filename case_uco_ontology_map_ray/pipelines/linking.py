@@ -2242,3 +2242,53 @@ def path_depth_profile(triples: rd.Dataset) -> pd.DataFrame:
         return empty
     return (out[["depth", "n_paths"]].astype("int64")
             .sort_values("depth").reset_index(drop=True))
+
+
+def entity_concentration(triples: rd.Dataset) -> pd.DataFrame:
+    """Concentration audit of the entity-mention distribution: Gini
+    coefficient plus the mention share of the top 1% of entities — the
+    KG-curation signal for "is the entity table dominated by a few hot
+    paths". Per-entity mention counts are exact int64; the Gini rank-sum
+    runs in arbitrary-precision Python ints over the sorted counts
+    (tie-invariant, the gini_customer_spend kernel), the top-1% sum is
+    tie-invariant because boundary ties share the same count; each output
+    is ONE pinned nano expression.
+
+    Returns one row: (n_entities, total_mentions, gini_nano,
+    top1pct_share_nano). Shape: the exchange is the entity-domain-sized
+    mention groupby; the driver holds one int per entity.
+
+    Oracle: SQL rank-sum + top-share over the normalization CTE — see
+    __ray_entry__.
+    """
+    from ..ops.agg import grouped_sums, round_away
+
+    mentions = mentions_from_triples(triples)
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ["n_entities", "total_mentions", "gini_nano",
+                           "top1pct_share_nano"]})
+
+    def local(t: pa.Table) -> pa.Table:
+        agg = t.select(["pid"]).group_by(["pid"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["pid", "n_part"])
+
+    cnt = grouped_sums(mentions.map_batches(local, batch_format="pyarrow"),
+                       keys=["pid"], sum_cols={"c": "n_part"})
+    if cnt.empty:
+        return empty
+    vals = np.sort(cnt["c"].to_numpy(np.int64))
+    n = len(vals)
+    s = sum(i * v for i, v in enumerate(vals.tolist(), start=1))
+    t_total = int(vals.sum())
+    g = 1e9 * (2.0 * float(s) / float(n * t_total)
+               - (float(n) + 1.0) / float(n))
+    k = max(1, n // 100)
+    top_sum = int(vals[n - k:].sum())
+    share = 1e9 * (float(top_sum) / float(t_total))
+    return pd.DataFrame({
+        "n_entities": pd.array([n], dtype="int64"),
+        "total_mentions": pd.array([t_total], dtype="int64"),
+        "gini_nano": pd.array([int(round_away(g, 0))], dtype="int64"),
+        "top1pct_share_nano": pd.array([int(round_away(share, 0))],
+                                       dtype="int64")})
